@@ -1,0 +1,451 @@
+"""Scalar + aggregate function surface (SURVEY.md §2.7).
+
+Re-expresses the reference's complete function registry
+(/root/reference/src/Query/Builders/Functions/KsqlFunctionRegistry.cs:13-148)
+as a thin alias layer over ``pyspark.sql.functions`` — every function here
+stays JVM-side (whole-stage codegen), no Python UDFs in this module.
+
+Names follow the reference's C#/KSQL surface (UCase, Len, EarliestByOffset,
+...) so a user of the reference finds the same vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+# ---------------------------------------------------------------- string
+# KsqlFunctionRegistry.cs:17-44
+def UCase(c):  # ToUpper → UCASE
+    return F.upper(_c(c))
+
+
+def LCase(c):  # ToLower → LCASE
+    return F.lower(_c(c))
+
+
+def Substring(c, pos, length=None):
+    return F.substring(_c(c), pos, length) if length is not None else F.expr(
+        f"substring({_c(c)._jc.toString()}, {pos})"
+    )
+
+
+def Len(c):  # Length → LEN
+    return F.length(_c(c))
+
+
+def Trim(c):
+    return F.trim(_c(c))
+
+
+def Replace(c, search, repl):
+    return F.replace(_c(c), F.lit(search), F.lit(repl))
+
+
+def Contains(c, s):  # Contains → INSTR(a,b) > 0 (KsqlFunctionRegistry.cs:24)
+    return F.instr(_c(c), s) > 0
+
+
+def StartsWith(c, s):
+    return F.startswith(_c(c), F.lit(s))
+
+
+def EndsWith(c, s):
+    return F.endswith(_c(c), F.lit(s))
+
+
+def Split(c, delim):
+    # KSQL SPLIT is literal, not regex
+    return F.split(_c(c), delim and __import__("re").escape(delim))
+
+
+def Concat(*cols):
+    return F.concat(*[_c(c) if isinstance(c, (Column, str)) else F.lit(c) for c in cols])
+
+
+def IndexOf(c, s):  # IndexOf → INSTR
+    return F.instr(_c(c), s)
+
+
+def PadLeft(c, width, pad=" "):
+    return F.lpad(_c(c), width, pad)
+
+
+def PadRight(c, width, pad=" "):
+    return F.rpad(_c(c), width, pad)
+
+
+def Left(c, n):  # clamped SUBSTRING composite (KsqlFunctionRegistry.cs:35-44)
+    return F.left(_c(c), F.lit(n))
+
+
+def Right(c, n):
+    return F.right(_c(c), F.lit(n))
+
+
+# ---------------------------------------------------------------- math
+# KsqlFunctionRegistry.cs:47-59
+def Abs(c):
+    return F.abs(_c(c))
+
+
+def Round(c, digits=0):
+    return F.round(_c(c), digits)
+
+
+def Floor(c):
+    return F.floor(_c(c))
+
+
+def Ceiling(c):
+    return F.ceil(_c(c))
+
+
+def Sqrt(c):
+    return F.sqrt(_c(c))
+
+
+def Power(c, p):
+    return F.pow(_c(c), p)
+
+
+def Sign(c):
+    return F.signum(_c(c))
+
+
+def Sin(c):
+    return F.sin(_c(c))
+
+
+def Cos(c):
+    return F.cos(_c(c))
+
+
+def Tan(c):
+    return F.tan(_c(c))
+
+
+def Log(c, base=None):
+    return F.log(float(base), _c(c)) if base is not None else F.log(_c(c))
+
+
+def Log10(c):
+    return F.log10(_c(c))
+
+
+def Exp(c):
+    return F.exp(_c(c))
+
+
+# ---------------------------------------------------------------- date/time
+# KsqlFunctionRegistry.cs:63-77
+def Year(c):
+    return F.year(_c(c))
+
+
+def Month(c):
+    return F.month(_c(c))
+
+
+def Day(c):
+    return F.dayofmonth(_c(c))
+
+
+def Hour(c):
+    return F.hour(_c(c))
+
+
+def Minute(c):
+    return F.minute(_c(c))
+
+
+def Second(c):
+    return F.second(_c(c))
+
+
+def AddDays(c, n):
+    return _c(c) + F.expr(f"INTERVAL {int(n)} DAYS")
+
+
+def AddHours(c, n):
+    return _c(c) + F.expr(f"INTERVAL {int(n)} HOURS")
+
+
+def AddMinutes(c, n):
+    return _c(c) + F.expr(f"INTERVAL {int(n)} MINUTES")
+
+
+def AddSeconds(c, n):
+    return _c(c) + F.expr(f"INTERVAL {int(n)} SECONDS")
+
+
+def AddMilliseconds(c, n):
+    return _c(c) + F.expr(f"INTERVAL {int(n)} MILLISECONDS")
+
+
+def DayOfWeek(c):
+    return F.dayofweek(_c(c))
+
+
+def DayOfYear(c):
+    return F.dayofyear(_c(c))
+
+
+def WeekOfYear(c):
+    return F.weekofyear(_c(c))
+
+
+def FormatTimestamp(c, fmt="yyyy-MM-dd'T'HH:mm:ss"):
+    # DateTime.ToString → FORMAT_TIMESTAMP (KsqlFunctionTranslator.cs:107-140)
+    return F.date_format(_c(c), fmt)
+
+
+# ---------------------------------------------------------------- cast
+# KsqlFunctionRegistry.cs:116-122
+def ToStringCol(c):
+    return _c(c).cast(T.StringType())
+
+
+def ToInt(c):
+    return _c(c).cast(T.IntegerType())
+
+
+def ToLong(c):
+    return _c(c).cast(T.LongType())
+
+
+def ToDouble(c):
+    return _c(c).cast(T.DoubleType())
+
+
+def ToDecimal(c, precision=18, scale=2):
+    return _c(c).cast(T.DecimalType(precision, scale))
+
+
+# ---------------------------------------------------------------- conditional
+# KsqlFunctionRegistry.cs:125-128
+def Case(*when_then, default=None):
+    """n-ary CASE: Case((cond1, val1), (cond2, val2), default=...)."""
+    expr = None
+    for cond, val in when_then:
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr.otherwise(default) if default is not None else expr
+
+
+def Coalesce(*cols):
+    return F.coalesce(*[_c(c) for c in cols])
+
+
+def IfNull(c, default):
+    return F.ifnull(_c(c), F.lit(default))
+
+
+def NullIf(c, v):
+    return F.nullif(_c(c), F.lit(v))
+
+
+# ---------------------------------------------------------------- array
+# KsqlFunctionRegistry.cs:95-105 — 1:1 with Spark builtins
+def ArrayLength(c):
+    return F.size(_c(c))
+
+
+def ArrayContains(c, v):
+    return F.array_contains(_c(c), v)
+
+
+def ArraySlice(c, start, length):
+    return F.slice(_c(c), start, length)
+
+
+def ArrayJoin(c, delim):
+    return F.array_join(_c(c), delim)
+
+
+def ArrayDistinct(c):
+    return F.array_distinct(_c(c))
+
+
+def ArrayExcept(a, b):
+    return F.array_except(_c(a), _c(b))
+
+
+def ArrayIntersect(a, b):
+    return F.array_intersect(_c(a), _c(b))
+
+
+def ArrayUnion(a, b):
+    return F.array_union(_c(a), _c(b))
+
+
+def ArraySort(c):
+    return F.sort_array(_c(c))
+
+
+def ArrayMax(c):
+    return F.array_max(_c(c))
+
+
+def ArrayMin(c):
+    return F.array_min(_c(c))
+
+
+# ---------------------------------------------------------------- json
+# KsqlFunctionRegistry.cs:108-113
+def JsonExtractString(c, path):
+    return F.get_json_object(_c(c), path)
+
+
+def JsonArrayLength(c):
+    return F.json_array_length(_c(c))
+
+
+def JsonKeys(c):
+    return F.json_object_keys(_c(c))
+
+
+# ---------------------------------------------------------------- url
+# KsqlFunctionRegistry.cs:131-134
+def UrlExtractHost(c):
+    return F.parse_url(_c(c), F.lit("HOST"))
+
+
+def UrlExtractPath(c):
+    return F.parse_url(_c(c), F.lit("PATH"))
+
+
+def UrlExtractQuery(c):
+    return F.parse_url(_c(c), F.lit("QUERY"))
+
+
+def UrlExtractProtocol(c):
+    return F.parse_url(_c(c), F.lit("PROTOCOL"))
+
+
+# ---------------------------------------------------------------- geo
+# KsqlFunctionRegistry.cs:137-138 — haversine, UDF-free column math
+def GeoDistance(lat1, lon1, lat2, lon2, unit="KM"):
+    r = 6371.0 if unit.upper() == "KM" else 3958.8
+    la1, lo1 = F.radians(_c(lat1)), F.radians(_c(lon1))
+    la2, lo2 = F.radians(_c(lat2)), F.radians(_c(lon2))
+    a = (
+        F.sin((la2 - la1) / 2) ** 2
+        + F.cos(la1) * F.cos(la2) * F.sin((lo2 - lo1) / 2) ** 2
+    )
+    return F.lit(2 * r) * F.asin(F.sqrt(a))
+
+
+def AsGeoJson(lat, lon):
+    return F.to_json(
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(_c(lon), _c(lat)).alias("coordinates"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- crypto
+# KsqlFunctionRegistry.cs:141-143
+def Md5(c):
+    return F.md5(_c(c))
+
+
+def Sha1(c):
+    return F.sha1(_c(c))
+
+
+def Sha256(c):
+    return F.sha2(_c(c), 256)
+
+
+# ---------------------------------------------------------------- aggregates
+# KsqlFunctionRegistry.cs:80-92 (§2.4)
+def Sum(c):
+    return F.sum(_c(c))
+
+
+def Count():
+    return F.count(F.lit(1))
+
+
+def Max(c):
+    return F.max(_c(c))
+
+
+def Min(c):
+    return F.min(_c(c))
+
+
+def Avg(c):
+    return F.avg(_c(c))
+
+
+def EarliestByOffset(c, order_col):
+    """EARLIEST_BY_OFFSET — first value in offset order (the OHLC *open*
+    primitive, /root/reference/src/Extensions/OffsetAggregateExtensions.cs:26).
+    Batch has no Kafka offset; defined as min_by on (event_time, tiebreaker)
+    per SURVEY.md §7 risk register."""
+    return F.min_by(_c(c), _c(order_col))
+
+
+def LatestByOffset(c, order_col):
+    """LATEST_BY_OFFSET — OHLC *close* (OffsetAggregateExtensions.cs:40)."""
+    return F.max_by(_c(c), _c(order_col))
+
+
+def CollectList(c):
+    return F.collect_list(_c(c))
+
+
+def CollectSet(c):
+    return F.collect_set(_c(c))
+
+
+def CountDistinct(c):
+    return F.count_distinct(_c(c))
+
+
+def ApproxCountDistinct(c, rsd=0.05):
+    """100 TB-scale variant of COUNT_DISTINCT (HyperLogLog++)."""
+    return F.approx_count_distinct(_c(c), rsd)
+
+
+def Histogram(c):
+    """HISTOGRAM(col) → MAP<value, count> (KsqlFunctionRegistry.cs:90).
+
+    Implemented as a re-aggregable expression: map built from the grouped
+    counts must be assembled by the caller via two-level groupBy, or use
+    this single-pass form (map_from_entries over collect_list of pairs is
+    not partial-agg friendly; prefer aggregate-then-pivot at scale).
+    """
+    col = _c(c)
+    return F.map_from_entries(
+        F.array_sort(
+            F.transform(
+                F.array_distinct(F.collect_list(col)),
+                lambda v: F.struct(
+                    v.alias("key"),
+                    F.aggregate(
+                        F.filter(F.collect_list(col), lambda x: x == v),
+                        F.lit(0),
+                        lambda acc, _: acc + 1,
+                    ).alias("value"),
+                ),
+            )
+        )
+    )
+
+
+def TopK(c, k):
+    """TOPK(col, k) → ARRAY of the k largest (KsqlFunctionRegistry.cs:91)."""
+    return F.slice(F.sort_array(F.collect_list(_c(c)), asc=False), 1, k)
+
+
+def TopKDistinct(c, k):
+    return F.slice(F.sort_array(F.collect_set(_c(c)), asc=False), 1, k)

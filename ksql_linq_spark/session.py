@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this engine.
+
+The reference (synthaicode/Ksql.Linq) boots a KsqlContext that connects to
+ksqlDB + Kafka (src/Context/KsqlContext.Lifecycle.cs:210-298).  Here the
+"context boot" is just building a SparkSession with scale-appropriate
+defaults:
+
+- UTC session timezone (oracle comparisons + deterministic date math),
+- AQE on (runtime re-planning, skew-join handling at scale),
+- shuffle partitions sized to cores locally; on a real cluster AQE
+  coalesces from the configured initial number,
+- Arrow enabled for the Pandas-UDF paths (vectorized python boundary).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "ksql_linq_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver parquet stores event time as TIMESTAMP(NANOS) which Spark
+        # rejects; read as raw long nanos (sources.read_table converts)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,99 @@
+"""Source adapters (SURVEY.md §2.1).
+
+Batch path: parquet (the driver's data) with nanosecond-timestamp
+normalization.  Spark cannot read parquet INT64(TIMESTAMP(NANOS)) columns
+natively — ``spark.sql.legacy.parquet.nanosAsLong`` reads them as raw
+nanos, and :func:`read_table` converts to Spark's native microsecond
+TIMESTAMP by integer ``DIV 1000`` (floor — matching DuckDB's ns→µs read
+truncation, so oracle comparisons agree to the microsecond).
+
+Streaming sources (rate/file/kafka) for the Structured Streaming path
+live in :func:`read_stream`; Kafka needs its connector jar on the
+classpath so it is import-try gated.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# columns stored as TIMESTAMP(NANOS) in the driver parquet, per table
+_NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # locked static conf — fall back to whatever the session has
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table; normalize ns timestamps to µs TIMESTAMP."""
+    _ensure_nanos_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, []):
+        f = dict(zip(df.schema.names, df.schema.fields))[col]
+        if isinstance(f.dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
+
+
+def read_stream_from_table(
+    spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based streaming source over a driver table (test/dev path).
+
+    S1 analog when no Kafka is available: replays the parquet file through
+    Structured Streaming with the same ns normalization.
+    """
+    _ensure_nanos_conf(spark)
+    batch = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
+    for col in _NANOS_TS_COLS.get(name, []):
+        f = dict(zip(df.schema.names, df.schema.fields))[col]
+        if isinstance(f.dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame | None:
+    """S1 Kafka topic source — requires the spark-sql-kafka connector jar.
+
+    Reference: [KsqlTopic] consumer binding
+    (/root/reference/src/Core/Attributes/KsqlTopicAttribute.cs:8-30).
+    Returns None when the connector is not on the classpath.
+    """
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception:
+        return None
+
+
+def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
+    """S2 Kafka topic sink (EventSet.AddAsync analog for streams)."""
+    return (
+        df.selectExpr("CAST(key AS STRING) AS key", "to_json(struct(*)) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )

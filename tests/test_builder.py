@@ -1,0 +1,102 @@
+"""Query-DSL semantics contract tests (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksql_linq_spark.query.builder import StreamProcessingException, from_df
+from ksql_linq_spark.sources import read_table
+
+
+@pytest.fixture()
+def orders(spark, sf_dir):
+    return read_table(spark, sf_dir, "orders")
+
+
+@pytest.fixture()
+def customer(spark, sf_dir):
+    return read_table(spark, sf_dir, "customer")
+
+
+def test_stage_order_enforced(orders):
+    q = from_df(orders).select("o_orderkey")
+    with pytest.raises(StreamProcessingException):
+        q.where(F.col("o_orderkey") > 0)  # Where after Select
+
+
+def test_join_after_where_rejected(orders, customer):
+    q = from_df(orders).where(F.col("o_custkey") > 0)
+    with pytest.raises(StreamProcessingException):
+        q.join(customer, on=F.col("o_custkey") == F.col("c_custkey"))
+
+
+def test_join_limit_two_tables(orders, customer, spark, sf_dir):
+    nation = read_table(spark, sf_dir, "nation")
+    q = from_df(orders).join(customer, on=F.col("o_custkey") == F.col("c_custkey"))
+    with pytest.raises(StreamProcessingException):
+        q.join(nation, on=F.col("c_nationkey") == F.col("n_nationkey"))
+    # non-strict allows n-way (Spark superset)
+    q2 = (
+        from_df(orders, strict=False)
+        .join(customer, on=F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, on=F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    assert q2.to_df().count() > 0
+
+
+def test_unsupported_join_types_rejected(orders, customer):
+    for how in ("right", "full", "cross"):
+        with pytest.raises(StreamProcessingException):
+            from_df(orders).join(
+                customer, on=F.col("o_custkey") == F.col("c_custkey"), how=how
+            )
+
+
+def test_where_after_groupby_is_having(orders):
+    q = (
+        from_df(orders)
+        .group_by("o_custkey")
+        .where(F.count(F.lit(1)) >= 2)
+        .select(F.count(F.lit(1)).alias("n"))
+    )
+    rows = q.to_list()
+    assert rows and all(r["n"] >= 2 for r in rows)
+
+
+def test_having_requires_groupby(orders):
+    with pytest.raises(StreamProcessingException):
+        from_df(orders).having(F.count(F.lit(1)) > 1)
+
+
+def test_having_banned_with_tumbling(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    q = from_df(ev).group_by("event_type").tumbling("ts", "1 minute")
+    with pytest.raises(StreamProcessingException):
+        q.having(F.count(F.lit(1)) > 1)
+
+
+def test_orderby_max_five_columns(orders):
+    cols = [F.col(c) for c in orders.columns[:6]]
+    with pytest.raises(StreamProcessingException):
+        from_df(orders).select("*").order_by(*cols)
+
+
+def test_aggregate_classifies_as_table(orders):
+    q = from_df(orders).group_by("o_custkey").select(F.count(F.lit(1)).alias("n"))
+    assert q.is_table
+    q2 = from_df(orders).select("o_orderkey")
+    assert not q2.is_table
+
+
+def test_tumbling_groupby_select(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    q = (
+        from_df(ev)
+        .group_by("event_type")
+        .tumbling("ts", "1 minute")
+        .select(F.count(F.lit(1)).alias("n"))
+    )
+    df = q.to_df()
+    assert "window" in df.columns
+    assert df.count() > 0

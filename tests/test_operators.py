@@ -1,0 +1,106 @@
+"""Operator unit tests: OHLC, calendar windows, entity layer."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksql_linq_spark.entity import Column, Entity
+from ksql_linq_spark.operators.ohlc import ohlc_bars
+from ksql_linq_spark.operators.windows import (
+    bucket_end,
+    bucket_start,
+    parse_timeframe,
+    timeframe_seconds,
+)
+from ksql_linq_spark.sources import read_table
+
+
+def test_ohlc_semantics(spark):
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 5), 10.0),
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 30), 30.0),
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 55), 20.0),
+        ("A", dt.datetime(2024, 1, 1, 0, 1, 10), 99.0),
+        ("B", dt.datetime(2024, 1, 1, 0, 0, 10), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, price double")
+    out = {
+        (r["symbol"], r["bucket_start"]): r
+        for r in ohlc_bars(df, ["symbol"], "ts", "price", "1m").collect()
+    }
+    a = out[("A", dt.datetime(2024, 1, 1, 0, 0))]
+    assert (a["open"], a["high"], a["low"], a["close"]) == (10.0, 30.0, 10.0, 20.0)
+    b = out[("B", dt.datetime(2024, 1, 1, 0, 0))]
+    assert (b["open"], b["close"]) == (5.0, 5.0)
+    assert ("A", dt.datetime(2024, 1, 1, 0, 1)) in out
+
+
+def test_timeframe_parsing():
+    assert parse_timeframe("5m") == (5, "m")
+    assert parse_timeframe("1wk") == (1, "wk")
+    assert timeframe_seconds("1h") == 3600
+    assert timeframe_seconds("1mo") is None
+    with pytest.raises(ValueError):
+        parse_timeframe("5x")
+
+
+def test_bucket_start_fixed_matches_window(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    cmp = ev.select(
+        bucket_start("ts", "5m").alias("b"),
+        F.window("ts", "5 minutes").start.alias("w"),
+    ).filter(F.col("b") != F.col("w"))
+    assert cmp.count() == 0
+
+
+def test_bucket_week_anchor(spark):
+    # 2024-01-03 is a Wednesday
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 3, 12, 0),)], "ts timestamp"
+    )
+    monday = df.select(bucket_start("ts", "1wk").alias("b")).first()["b"]
+    assert monday == dt.datetime(2024, 1, 1)  # Monday anchor (default)
+    sunday = df.select(bucket_start("ts", "1wk", week_anchor="sunday").alias("b")).first()["b"]
+    assert sunday == dt.datetime(2023, 12, 31)  # preceding Sunday
+
+
+def test_bucket_month(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 15, 7, 30),)], "ts timestamp"
+    )
+    r = df.select(
+        bucket_start("ts", "1mo").alias("s"), bucket_end("ts", "1mo").alias("e")
+    ).first()
+    assert r["s"] == dt.datetime(2024, 3, 1)
+    assert r["e"] == dt.datetime(2024, 4, 1)
+
+
+def test_entity_schema_and_keys():
+    e = Entity(
+        "ticks",
+        [
+            Column("symbol", "string", key_order=0),
+            Column("broker", "string", key_order=1),
+            Column("ts", "timestamp", timestamp=True),
+            Column("price", "decimal(18,2)"),
+        ],
+        topic="ticks_topic",
+    )
+    assert e.key_columns == ["symbol", "broker"]
+    assert e.timestamp_column == "ts"
+    assert e.schema.fieldNames() == ["symbol", "broker", "ts", "price"]
+    assert e.schema["price"].dataType.simpleString() == "decimal(18,2)"
+
+
+def test_entity_rejects_duplicate_timestamp():
+    with pytest.raises(ValueError):
+        Entity(
+            "bad",
+            [
+                Column("a", "timestamp", timestamp=True),
+                Column("b", "timestamp", timestamp=True),
+            ],
+        )

@@ -1,0 +1,131 @@
+"""Local approximation of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
+twin on DuckDB at the given SF, sorts columns by name and rows by value,
+and compares cell-by-cell (exact; floats reported with max abs diff).
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+from ksql_linq_spark.session import build_session
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+        return v
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def cmp_rows(a, b):
+    """Return (n_mismatch, max_float_diff)."""
+    bad, fdiff = 0, 0.0
+    for ra, rb in zip(a, b):
+        for va, vb in zip(ra, rb):
+            if va == vb:
+                continue
+            if isinstance(va, float) and isinstance(vb, float):
+                if math.isnan(va) and math.isnan(vb):
+                    continue
+                d = abs(va - vb)
+                fdiff = max(fdiff, d)
+                if d > 0:
+                    bad += 1
+            else:
+                bad += 1
+    return bad, fdiff
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = build_session("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only check, {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        sc, sr = norm_rows(scols, srows)
+        dc, dr = norm_rows(dcols, drows)
+        if sc != dc:
+            print(f"FAIL  {name}: columns differ spark={sc} duck={dc}")
+            failures.append(name)
+            continue
+        if len(sr) != len(dr):
+            print(f"FAIL  {name}: rowcount spark={len(sr)} duck={len(dr)}")
+            failures.append(name)
+            continue
+        bad, fdiff = cmp_rows(sr, dr)
+        if bad:
+            print(f"FAIL  {name}: {bad} cell mismatches, max float diff {fdiff:.3e}")
+            for ra, rb in list(zip(sr, dr))[:2000]:
+                if ra != rb:
+                    print(f"      spark={ra}\n      duck ={rb}")
+                    break
+            failures.append(name)
+        else:
+            print(f"PASS  {name}: {len(sr)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
