@@ -668,3 +668,435 @@ def calendar_week_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "event_type", bucket_start("ts", "1wk").alias("week_start")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ======================================================================
+# Training-data pipeline operators (build-brief extensions):
+# text analysis, dedup family, similarity search
+# ======================================================================
+
+# DuckDB twins of text.normalize_text / text.tokens (regexp_replace needs
+# the 'g' flag in DuckDB; Spark replaces all matches by default)
+_DK_NORM = (
+    "regexp_replace(regexp_replace(lower(trim(text)), '[.,!?;:]', '', 'g'),"
+    " '\\s+', ' ', 'g')"
+)
+_DK_TOKS = (
+    "list_filter(string_split_regex(trim({src}), '\\s+'), x -> x != '')"
+)
+_DK_SHINGLES = f"""
+  toks AS (
+    SELECT doc_id, {_DK_TOKS.format(src=_DK_NORM)} AS t FROM documents),
+  sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) - 2 > 0
+                THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' ')))
+                ELSE [array_to_string(t, ' ')] END AS sh
+    FROM toks)
+"""
+
+
+@q(
+    "text_quality_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars, text,
+             {_DK_TOKS.format(src='text')} AS t,
+             {_DK_TOKS.format(src='lower(text)')} AS tl
+      FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS n_punct,
+           CASE WHEN length(text) > 0
+                THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(t) > 0
+                THEN len(list_filter(tl, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) / len(t)
+                ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN len(t) > 0
+                THEN list_reduce(list_prepend(0::BIGINT, list_transform(t, w -> length(w))), (a, b) -> a + b) / len(t)
+                ELSE 0.0 END AS mean_word_len
+    FROM toks
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) + quality features."""
+    from .operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
+        TX.punct_count("text").alias("n_punct"),
+        TX.punct_ratio("text").alias("punct_ratio"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+        TX.mean_word_length("text").alias("mean_word_len"),
+    )
+
+
+def _lang_hits_sql(lang_words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in lang_words)
+    return f"len(list_filter(tl, x -> x IN ({inlist})))"
+
+
+@q("text_language_id", oracle=None)  # oracle attached below (built from STOPWORDS)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit argmax) vs the labeled lang col."""
+    from .operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.detect_language("text").alias("detected_lang"),
+    )
+
+
+def _build_lang_oracle() -> str:
+    from .operators.text import STOPWORDS
+
+    hits = ",\n             ".join(
+        f"{_lang_hits_sql(ws)} AS h_{lang}" for lang, ws in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    # fold order: a later language replaces only on strictly-greater hits,
+    # so the FIRST language attaining the running max wins
+    case = "CASE WHEN " + " + ".join(f"h_{l}" for l in langs) + " = 0 THEN 'und' "
+    case += "".join(
+        f"WHEN h_{l} >= {' AND h_' + l + ' >= '.join(['1'] + [f'h_{o}' for o in langs if o != l])} THEN '{l}' "
+        for l in langs
+    )
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN h_{l} > 0 AND h_{l} >= greatest({', '.join('h_' + o for o in langs)}) "
+            f"AND {' AND '.join(f'h_{p} < h_{l}' for p in langs[:langs.index(l)]) or 'TRUE'} THEN '{l}'"
+            for l in langs
+        )
+        + " ELSE 'und' END"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_DK_TOKS.format(src='lower(text)')} AS tl FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+             {hits}
+      FROM toks)
+    SELECT doc_id, lang AS labeled_lang, {case} AS detected_lang FROM hits
+    """
+
+
+ORACLES["text_language_id"] = _build_lang_oracle()
+
+
+@q(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_DK_NORM}) AS fp FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@q(
+    "dedup_exact",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT min(doc_id) AS doc_id
+          FROM documents GROUP BY md5({_DK_NORM})) k
+      ON d.doc_id = k.doc_id
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id", "lang", "source", "n_chars")
+
+
+@q(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_DK_SHINGLES},
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    mh AS (
+      SELECT doc_id, i, min(md5(i::VARCHAR || s)) AS m
+      FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
+      GROUP BY doc_id, i)
+    SELECT doc_id, list(m ORDER BY i) AS sig
+    FROM mh GROUP BY doc_id
+    """,
+)
+def dedup_minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures(d, num_hashes=8, shingle_n=3)
+
+
+@q(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_DK_SHINGLES},
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    mh AS (
+      SELECT doc_id, i, min(md5(i::VARCHAR || s)) AS m
+      FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
+      GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b AS band_idx,
+             md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS band_hash
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_n=3)
+
+
+@q(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DK_TOKS.format(src=_DK_NORM)} AS t FROM documents),
+    th AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM th),
+    votes AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hh CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+      GROUP BY doc_id, i)
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, bits=32)
+
+
+@q(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DK_SHINGLES},
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           inter / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.02
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, shingle_n=3, threshold=0.02)
+
+
+@q(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                 i -> a.e[i] * b.e[i])), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                    i -> a.e[i] * a.e[i])), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                    i -> b.e[i] * b.e[i])), (x, y) -> x + y))) AS cos
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
+    """,
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_cosine_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, threshold=0.4)
+
+
+@q(
+    "similarity_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT v.vec_id,
+           list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+               i -> v.e[i] * q.e[i])), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                  i -> v.e[i] * v.e[i])), (x, y) -> x + y))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                  i -> q.e[i] * q.e[i])), (x, y) -> x + y))) AS cos
+    FROM v, q
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return brute_force_topk(e, qvec, k=10)
+
+
+@q("similarity_lsh_ann")  # ANN: recall<1 by design — rows-only driver check
+def similarity_lsh_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_topk(e, qvec, k=10, num_planes=8)
+
+
+# ======================================================================
+# W2 multi-timeframe cascade + W8 gap-fill (batch twins of the streaming
+# operators; the oracle for the cascade is the CASCADE INVARIANT — bars
+# composed from the 1 s hub must equal bars computed from raw ticks)
+# ======================================================================
+
+
+@q(
+    "cascade_5m_via_hub",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+           round(arg_min(value, ts), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(arg_max(value, ts), 6) AS close,
+           count(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def cascade_5m_via_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5m bars built by composing 1 s hub partials — must equal direct
+    aggregation of the raw stream (HubSelectPolicy partial-agg rewrite)."""
+    from .operators.cascade import CascadePlan, build_hub, rollup_tier
+
+    ev = _t(spark, sf_dir, "events")
+    plan = CascadePlan(
+        base_name="bars", keys=["event_type"], ts_col="ts",
+        price_col="value", timeframes=["5m"],
+    )
+    hub = build_hub(plan, ev)
+    t5 = rollup_tier(plan, hub, "5m")
+    return t5.select(
+        "event_type",
+        "bucket_start",
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        F.col("cnt"),
+    )
+
+
+@q(
+    "cascade_1h_avg_decomposition",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*) AS avg_price,
+           count(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def cascade_1h_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG -> SUM/CNT decomposition across two aggregation hops
+    (HubSelectPolicy.cs:38-90): avg computed from composed partials must
+    equal the direct average.  Decimal carrier keeps the double sums
+    order-insensitive across the two hops."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vdec", F.col("value").cast("decimal(18,6)")
+    )
+    hub = ev.groupBy(
+        "event_type", bucket_start("ts", "1s").alias("b1s")
+    ).agg(F.sum("vdec").alias("sum_v"), F.count(F.lit(1)).alias("cnt"))
+    return (
+        hub.groupBy("event_type", bucket_start("b1s", "1h").alias("bucket_start"))
+        .agg(F.sum("sum_v").alias("sum_v"), F.sum("cnt").alias("cnt"))
+        .select(
+            "event_type",
+            "bucket_start",
+            (F.col("sum_v").cast("double") / F.col("cnt")).alias("avg_price"),
+            "cnt",
+        )
+    )
+
+
+@q(
+    "gapfill_15m_close",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+             round(arg_max(value, ts), 6) AS close
+      FROM events WHERE event_type IN ('purchase', 'error')
+        AND ts < TIMESTAMP '2024-01-03 00:00:00'
+      GROUP BY 1, 2),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(min(bucket_start), max(bucket_start),
+                                    INTERVAL 15 MINUTE)) AS bucket_start
+      FROM bars GROUP BY event_type)
+    SELECT s.event_type, s.bucket_start,
+           last_value(b.close IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+           (b.close IS NULL) AS is_synthetic
+    FROM spine s LEFT JOIN bars b
+      ON s.event_type = b.event_type AND s.bucket_start = b.bucket_start
+    """,
+)
+def gapfill_15m_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 continuation, batch analog: per-key time spine + carry-forward
+    (reference RowMonitor.cs:749-787 synthetic rows)."""
+    from .operators.gapfill import gap_fill_bars
+    from .operators.ohlc import ohlc_bars
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .filter(F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    )
+    bars = ohlc_bars(ev, ["event_type"], "ts", "value", "15m").withColumn(
+        "close", F.round("close", 6)
+    )
+    filled = gap_fill_bars(
+        bars.select("event_type", "bucket_start", "close"),
+        keys=["event_type"],
+        bucket_col="bucket_start",
+        timeframe="15m",
+        ohlc=("close", "close", "close", "close"),
+    )
+    return filled.select("event_type", "bucket_start", "close", "is_synthetic")

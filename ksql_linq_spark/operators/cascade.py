@@ -1,0 +1,197 @@
+"""Multi-timeframe OHLC cascade: 1 s hub + per-timeframe rollups.
+
+The reference's flagship planner (SURVEY.md §2.5 W2): one bar declaration
+fans out into a 1 s "hub" pre-aggregate plus N timeframe tables that
+re-aggregate the hub, not the raw ticks
+(/root/reference/src/Query/Analysis/DerivationPlanner.cs:13-100 — :41
+auto-inserts the 1 s tier, :91 marks InputHint=hub;
+DerivedTumblingPipeline.cs:37-220 renders each tier).
+
+The correctness heart is the partial-aggregate rewrite
+(/root/reference/src/Query/Hub/Analysis/HubSelectPolicy.cs:38-90): the hub
+must carry RE-AGGREGABLE partials —
+  open  -> min_by(open, first_ts)   (carrier: first event-time per bucket)
+  close -> max_by(close, last_ts)
+  high/low -> max/min                (compose trivially)
+  avg   -> sum + count               (avg does NOT compose; emit the pair)
+Higher tiers combine hub rows exactly; nothing re-reads the raw stream.
+
+Scale: raw ticks are touched ONCE (the 1 s shuffle); each higher tier
+shuffles only hub rows (≈ keys × seconds), orders of magnitude smaller.
+This is the identical physical strategy the reference uses via chained
+CSAS/CTAS — re-expressed as chained DataFrames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .windows import bucket_start, parse_timeframe, timeframe_seconds
+
+
+@dataclass
+class CascadePlan:
+    """DerivationPlanner.Plan twin: the ordered tier list for one declaration."""
+
+    base_name: str
+    keys: list[str]
+    ts_col: str
+    price_col: str
+    timeframes: list[str]  # normalized + sorted, 1 s hub implied
+    week_anchor: str = "monday"
+    grace_seconds: dict[str, int] = field(default_factory=dict)  # default 1 s/tier
+
+    def __post_init__(self):
+        # normalize + sort by duration, calendar frames last
+        # (KsqlQueryModel.NormalizeTimeframes, :126-135)
+        def sort_key(tf: str):
+            s = timeframe_seconds(tf)
+            return (0, s) if s is not None else (1, {"wk": 1, "mo": 2}[parse_timeframe(tf)[1]])
+
+        self.timeframes = sorted(dict.fromkeys(self.timeframes), key=sort_key)
+
+    @property
+    def hub_name(self) -> str:
+        return f"{self.base_name}_1s_rows"  # DerivationPlanner.cs:58
+
+    def tier_name(self, tf: str) -> str:
+        return f"{self.base_name}_{tf}_live"  # {base}_{tf}_live convention
+
+
+def build_hub(plan: CascadePlan, ticks: DataFrame) -> DataFrame:
+    """Tier 0: raw ticks -> 1 s pre-aggregate with re-aggregable partials.
+
+    Columns: keys..., bucket_start, open, high, low, close, sum_v, cnt,
+    first_ts, last_ts.  first/last_ts are the min_by/max_by carriers for
+    open/close composition; sum_v+cnt replace avg (HubSelectPolicy AVG
+    decomposition).
+    """
+    ts, price = F.col(plan.ts_col), F.col(plan.price_col)
+    return ticks.groupBy(
+        *[F.col(k) for k in plan.keys],
+        bucket_start(plan.ts_col, "1s").alias("bucket_start"),
+    ).agg(
+        F.min_by(price, ts).alias("open"),
+        F.max(price).alias("high"),
+        F.min(price).alias("low"),
+        F.max_by(price, ts).alias("close"),
+        F.sum(price).alias("sum_v"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(ts).alias("first_ts"),
+        F.max(ts).alias("last_ts"),
+    )
+
+
+def rollup_tier(plan: CascadePlan, hub: DataFrame, tf: str) -> DataFrame:
+    """Tier N: hub rows -> one timeframe's bars by partial-agg composition."""
+    return (
+        hub.groupBy(
+            *[F.col(k) for k in plan.keys],
+            bucket_start("bucket_start", tf, plan.week_anchor).alias("bucket_start"),
+        )
+        .agg(
+            F.min_by("open", "first_ts").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "last_ts").alias("close"),
+            F.sum("sum_v").alias("sum_v"),
+            F.sum("cnt").alias("cnt"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .withColumn("avg_price", F.col("sum_v") / F.col("cnt"))
+    )
+
+
+def build_cascade(plan: CascadePlan, ticks: DataFrame) -> dict[str, DataFrame]:
+    """Plan + render every tier: {entity_name: DataFrame}, hub first
+    (DerivedTumblingPipeline ordering, :54-87)."""
+    hub = build_hub(plan, ticks)
+    out: dict[str, DataFrame] = {plan.hub_name: hub}
+    for tf in plan.timeframes:
+        out[plan.tier_name(tf)] = rollup_tier(plan, hub, tf)
+    return out
+
+
+def start_streaming_cascade(
+    plan: CascadePlan,
+    tick_stream: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 10,
+):
+    """Streaming deployment: each tier is its own checkpointed query.
+
+    Tier 0 aggregates the tick stream into the 1 s hub (append mode on
+    watermark close) and persists it; higher tiers re-read the hub files
+    as a stream — materialization between tiers is exactly how the
+    reference chains CSAS/CTAS through Kafka topics.
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    grace = f"{plan.grace_seconds.get('1s', 1)} seconds"
+    ts, price = F.col(plan.ts_col), F.col(plan.price_col)
+    hub_stream = (
+        tick_stream.withWatermark(plan.ts_col, grace)
+        .groupBy(
+            *[F.col(k) for k in plan.keys],
+            F.window(plan.ts_col, "1 second").alias("w"),
+        )
+        .agg(
+            F.min_by(price, ts).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, ts).alias("close"),
+            F.sum(price).alias("sum_v"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(ts).alias("first_ts"),
+            F.max(ts).alias("last_ts"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "*")
+        .drop("w")
+    )
+    queries = [
+        hub_stream.writeStream.format("parquet")
+        .option("path", f"{sink_dir}/{plan.hub_name}")
+        .option("checkpointLocation", f"{checkpoint_dir}/{plan.hub_name}")
+        .outputMode("append")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    ]
+    hub_read = tick_stream.sparkSession.readStream.schema(
+        hub_stream.schema
+    ).parquet(f"{sink_dir}/{plan.hub_name}")
+    for tf in plan.timeframes:
+        secs = timeframe_seconds(tf)
+        if secs is None:
+            continue  # calendar tiers are batch rollups over the hub table
+        g = f"{plan.grace_seconds.get(tf, 1)} seconds"
+        tier = (
+            hub_read.withWatermark("bucket_start", g)
+            .groupBy(
+                *[F.col(k) for k in plan.keys],
+                F.window("bucket_start", f"{secs} seconds").alias("w"),
+            )
+            .agg(
+                F.min_by("open", "first_ts").alias("open"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+                F.max_by("close", "last_ts").alias("close"),
+                F.sum("sum_v").alias("sum_v"),
+                F.sum("cnt").alias("cnt"),
+            )
+            .select(F.col("w.start").alias("bucket_start"), "*")
+            .drop("w")
+        )
+        queries.append(
+            tier.writeStream.format("parquet")
+            .option("path", f"{sink_dir}/{plan.tier_name(tf)}")
+            .option("checkpointLocation", f"{checkpoint_dir}/{plan.tier_name(tf)}")
+            .outputMode("append")
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )
+    return queries

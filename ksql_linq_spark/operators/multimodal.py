@@ -1,0 +1,170 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design per the build brief: media travels as opaque ``binary`` columns
+with a typed metadata struct; decode / feature-extract / resize /
+frame-sample run as Arrow-batched Pandas iterators (``mapInPandas``) so
+the Python boundary is per-batch, not per-row.  The decode step itself is
+STUBBED (image/audio codecs are not in this container): set
+``ksql_linq_spark.operators.multimodal.DECODER`` to a real codec hook in
+production, or pass ``fake=True`` for a deterministic fake used by tests.
+
+Spark-side realities this module gets right for 100 TB:
+- media schema: content BINARY + media_type STRING + meta MAP — splittable
+  parquet, no driver materialization;
+- mapInPandas with a bounded ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  keeps executor memory flat regardless of blob sizes;
+- feature extraction emits fixed-width arrays (embedding-ready), so the
+  downstream similarity operators apply unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+# production hook: replace with a real codec (PIL/librosa/pyav), signature
+# (content: bytes, media_type: str) -> dict with width/height/duration/...
+DECODER: Callable[[bytes, str], dict[str, Any]] | None = None
+
+
+def _fake_decode(content: bytes, media_type: str) -> dict[str, Any]:
+    """Deterministic stand-in decode: metadata derived from content hash."""
+    h = hashlib.md5(content or b"").digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "n_frames": 1 + h[2] % 32 if media_type == "video" else 1,
+        "duration_ms": int.from_bytes(h[3:5], "big") if media_type != "image" else 0,
+    }
+
+
+def decode_metadata(df: DataFrame, fake: bool = False) -> DataFrame:
+    """content BINARY -> typed decode metadata columns (width/height/...).
+
+    Arrow-batched; raises NotImplementedError when no decoder is wired
+    and ``fake`` is False.
+    """
+    decoder = DECODER or (_fake_decode if fake else None)
+    if decoder is None:
+        raise NotImplementedError(
+            "no media decoder in this environment: set multimodal.DECODER "
+            "or call with fake=True (deterministic test decoder)"
+        )
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                decoder(c, m)
+                for c, m in zip(pdf["content"], pdf["media_type"])
+            ]
+            for k in ("width", "height", "n_frames", "duration_ms"):
+                pdf[k] = [m[k] for m in metas]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def extract_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFrame:
+    """content BINARY -> fixed-width feature vector (array<float>).
+
+    Stub featurizer: md5-seeded deterministic vector.  Real deployments
+    swap the inner function for a model forward pass; the Spark plumbing
+    (schema, Arrow batching, partition preservation) is identical.
+    """
+    if not fake and DECODER is None:
+        raise NotImplementedError(
+            "no media featurizer in this environment: call with fake=True"
+        )
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "content"]
+        + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def featurize(content: bytes) -> list[float]:
+        h = hashlib.md5(content or b"").digest()
+        return [((h[i % 16] / 255.0) * 2 - 1) for i in range(dim)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["features"] = [featurize(c) for c in pdf["content"]]
+            yield pdf.drop(columns=["content"])
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
+    """video rows -> one row per sampled frame (frame_idx, frame BINARY).
+
+    Stub: frame bytes are content-hash slices; a real decoder yields
+    actual frames.  flatMap shape (mapInPandas emitting >1 row per input)
+    is the part that matters for the engine.
+    """
+    if not fake and DECODER is None:
+        raise NotImplementedError("no video decoder: call with fake=True")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, mtype in zip(
+                pdf["media_id"], pdf["content"], pdf["media_type"]
+            ):
+                if mtype != "video":
+                    continue
+                n = _fake_decode(content, mtype)["n_frames"]
+                for i in range(0, n, every_n):
+                    fr = hashlib.md5((content or b"") + bytes([i])).digest()
+                    rows.append((int(mid), i, fr))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resize_stub(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Image resize stub: passes bytes through, stamps target dims in meta."""
+    if not fake and DECODER is None:
+        raise NotImplementedError("no image codec: call with fake=True")
+    return df.withColumn(
+        "meta",
+        F.map_concat(
+            F.coalesce(F.col("meta"), F.create_map().cast("map<string,string>")),
+            F.create_map(
+                F.lit("resized_to"), F.lit(f"{width}x{height}"),
+            ),
+        ),
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine` / :func:`dot` — pure Column expressions (F.zip_with +
+  F.aggregate): JVM-side fold, deterministic left-to-right order.
+- :func:`brute_force_topk` — exact cosine top-k against one query vector:
+  one projection + one ORDER BY LIMIT k (Spark's TakeOrdered — no full
+  sort at scale).
+- :func:`random_projection_buckets` — sign-LSH bucketing: deterministic
+  pseudo-random hyperplanes derived from md5 (engine-portable, no RNG
+  state).  ANN = search only the query's bucket (or multi-probe its
+  neighbors).  This is the 100 TB path: bucket key shuffles once,
+  candidate sets are bucket-bounded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dbl(v) -> Column:
+    c = F.col(v) if isinstance(v, str) else v
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine to ``query_vec`` (ties broken by id)."""
+    q = F.transform(
+        F.array(*[F.lit(float(x)) for x in query_vec]), lambda x: x.cast("double")
+    )
+    scored = df.select(
+        F.col(id_col),
+        cosine(_dbl(vec_col), q).alias("cos"),
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplane(plane_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 bytes.
+
+    Component j = (md5(f"{plane_idx}:{j}")[:8] as uint32) / 2^31 - 1.0
+    (uniform in [-1, 1)); reproducible in any engine/language.
+    """
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{plane_idx}:{j}".encode()).hexdigest()[:8]
+        out.append(int(h, 16) / 2**31 - 1.0)
+    return out
+
+
+def random_projection_buckets(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, bucket STRING): sign-LSH bucket of each vector.
+
+    bucket = bitstring of sign(v . h_p) for p in 0..num_planes-1.
+    Cosine-similar vectors collide with high probability; 2^num_planes
+    buckets bound candidate-set size.
+    """
+    v = _dbl(vec_col)
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(x) for x in _hyperplane(p, dim)])) >= 0, "1").otherwise("0")
+        for p in range(num_planes)
+    ]
+    return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's sign-LSH bucket.
+
+    Recall < 1.0 by construction; increase by multi-probing (flip one
+    bit) — here the 1-bit-flip neighborhood is included.
+    """
+    dim = len(query_vec)
+    planes = [_hyperplane(p, dim) for p in range(num_planes)]
+    qbits = ["1" if sum(q * h for q, h in zip(query_vec, pl)) >= 0 else "0" for pl in planes]
+    probes = {"".join(qbits)}
+    for i in range(num_planes):  # multi-probe: hamming-1 neighbors
+        flipped = qbits.copy()
+        flipped[i] = "0" if flipped[i] == "1" else "1"
+        probes.add("".join(flipped))
+    bucketed = random_projection_buckets(df, dim, num_planes, vec_col, id_col)
+    cand = df.join(
+        bucketed.filter(F.col("bucket").isin(*probes)).select(id_col), on=id_col
+    )
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)

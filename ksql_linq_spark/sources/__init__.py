@@ -51,11 +51,21 @@ def read_stream_from_table(
     Structured Streaming with the same ns normalization.
     """
     _ensure_nanos_conf(spark)
-    batch = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    batch = spark.read.parquet(path)
+    if os.path.isfile(path):
+        # the streaming file source requires a directory: expose the file
+        # through a symlink dir (dev/test-only path; real deployments
+        # stream from directories/Kafka anyway)
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+        os.symlink(path, os.path.join(d, f"{name}.parquet"))
+        path = d
     df = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        .parquet(path)
     )
     for col in _NANOS_TS_COLS.get(name, []):
         f = dict(zip(df.schema.names, df.schema.fields))[col]

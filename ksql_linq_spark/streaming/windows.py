@@ -1,0 +1,103 @@
+"""Structured-Streaming window semantics (SURVEY.md §2.5).
+
+- W1/W3: tumbling & hopping windowed aggregation with grace→watermark
+  (/root/reference — grace default 1 s: src/Query/Analysis/DerivationPlanner.cs:45)
+- W5: EMIT CHANGES → outputMode("update"); EMIT FINAL → watermark-closed
+  outputMode("append")
+  (/root/reference/src/Query/Builders/Core/RoleTraits.cs:10-22)
+- W7: duplicate-drop → dropDuplicatesWithinWatermark
+  (/root/reference/src/Window/WindowAggregator.cs:36-124 dedup-key path)
+- J2: stream-stream equi-join WITHIN Δ (default 300 s when unspecified:
+  /root/reference/src/Query/Builders/Statements/KsqlCreateStatementBuilder.cs:362-376)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_GRACE = "1 seconds"  # DerivationPlanner.cs:45
+DEFAULT_JOIN_WITHIN_SECONDS = 300  # KsqlCreateStatementBuilder.cs:370
+
+
+class EmitMode:
+    CHANGES = "update"  # EMIT CHANGES — every trigger re-emits updated bars
+    FINAL = "append"  # EMIT FINAL — only watermark-closed windows
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    aggs: list[Column],
+    size: str,
+    advance: str | None = None,
+    grace: str = DEFAULT_GRACE,
+    emit: str = EmitMode.FINAL,
+    dedup_keys: list[str] | None = None,
+) -> tuple[DataFrame, str]:
+    """Tumbling (advance=None) or hopping windowed aggregate.
+
+    Returns (aggregated unbounded DataFrame, outputMode) — caller attaches
+    the sink.  Late rows beyond ``grace`` are dropped by the watermark
+    (W4); ``dedup_keys`` drops duplicates within the watermark first (W7).
+    """
+    s = stream.withWatermark(ts_col, grace)
+    if dedup_keys:
+        s = s.dropDuplicatesWithinWatermark(dedup_keys)
+    win = F.window(ts_col, size, advance) if advance else F.window(ts_col, size)
+    out = s.groupBy(*[F.col(k) for k in keys], win.alias("window")).agg(*aggs)
+    # windowstart/windowend pseudo-columns (W6) surfaced as plain columns
+    out = out.select(
+        *[F.col(k) for k in keys],
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(c) for c in out.columns if c not in set(keys) | {"window"}],
+    )
+    return out, emit
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    within_seconds: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by |tsR - tsL| <= Δ.
+
+    Δ defaults to the reference's 300 s; both sides get a Δ watermark so
+    Spark can expire join state (state size ≈ Δ × input rate — bounded at
+    any scale).
+    """
+    within = within_seconds or DEFAULT_JOIN_WITHIN_SECONDS
+    lw = left.withWatermark(left_ts, f"{within} seconds")
+    rw = right.withWatermark(right_ts, f"{within} seconds")
+    cond = None
+    for k in on:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else cond & c
+    bound = (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {within} SECONDS")) & (
+        rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within} SECONDS")
+    )
+    return lw.join(rw, cond & bound, how)
+
+
+def stream_static_join(
+    stream: DataFrame, static: DataFrame, on, how: str = "inner", broadcast: bool = True
+) -> DataFrame:
+    """J3 stream-table join: the static side is broadcast per micro-batch."""
+    s = F.broadcast(static) if broadcast else static
+    return stream.join(s, on, how)
+
+
+def start_memory_sink(df: DataFrame, name: str, output_mode: str):
+    """Test/dev sink: materialize a streaming frame into an in-memory table."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )

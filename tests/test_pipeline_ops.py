@@ -1,0 +1,165 @@
+"""Training-data pipeline operator tests: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksql_linq_spark.operators import multimodal
+from ksql_linq_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ksql_linq_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    random_projection_buckets,
+)
+from ksql_linq_spark.operators.text import (
+    detect_language,
+    fingerprint,
+    quality_score,
+    shingles,
+    token_count,
+)
+from ksql_linq_spark.sources import read_table
+
+
+@pytest.fixture()
+def docs_with_dups(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog today"),
+        (2, "The quick brown fox jumps over the lazy dog today"),  # exact dup
+        (3, "the quick  brown fox jumps over the lazy dog today."),  # norm dup
+        (4, "The quick brown fox jumps over the lazy cat today"),  # near dup
+        (5, "completely different text about spark query engines here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(docs_with_dups):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs_with_dups).collect())
+    assert kept == [1, 4, 5]  # 2 and 3 collapse into 1
+
+
+def test_minhash_identical_signatures(docs_with_dups):
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(docs_with_dups).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert sigs[1] != sigs[5]
+
+
+def test_minhash_lsh_finds_near_dups(docs_with_dups):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs_with_dups).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_near_dup_distance(docs_with_dups):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs_with_dups).collect()}
+    assert fps[1] == fps[2] == fps[3]
+    ham_near = bin(fps[1] ^ fps[4]).count("1")
+    ham_far = bin(fps[1] ^ fps[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard(docs_with_dups):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_with_dups, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs  # near dup shares most trigrams
+    assert not any(5 in p for p in pairs)
+
+
+def test_brute_force_topk_self_first(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    top = brute_force_topk(emb, qvec, k=3).collect()
+    assert top[0]["vec_id"] == 7  # self-similarity = 1.0
+    assert abs(top[0]["cos"] - 1.0) < 1e-9
+    assert top[0]["cos"] >= top[1]["cos"] >= top[2]["cos"]
+
+
+def test_lsh_buckets_deterministic(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings").limit(50)
+    b1 = {r["vec_id"]: r["bucket"] for r in random_projection_buckets(emb, 64).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in random_projection_buckets(emb, 64).collect()}
+    assert b1 == b2
+    assert all(len(v) == 8 and set(v) <= {"0", "1"} for v in b1.values())
+
+
+def test_lsh_ann_contains_self(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    ids = [r["vec_id"] for r in lsh_topk(emb, qvec, k=5).collect()]
+    assert ids[0] == 3  # query's own bucket always probed
+
+
+def test_text_features(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog, in a house of cards!")], "doc_id long, text string"
+    )
+    r = df.select(
+        token_count("text").alias("n"),
+        detect_language("text").alias("lang"),
+        fingerprint("text").alias("fp"),
+        quality_score("text").alias("q"),
+    ).first()
+    assert r["n"] == 10
+    assert r["lang"] == "en"
+    assert len(r["fp"]) == 32
+    assert 0.0 <= r["q"] <= 1.0
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    sh = df.select(shingles("text", 3).alias("s")).first()["s"]
+    assert sorted(sh) == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    sh2 = short.select(shingles("text", 3).alias("s")).first()["s"]
+    assert sh2 == ["a b"]  # shorter than n -> whole text as one shingle
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", b"imgbytes-1", {"src": "cam0"}),
+        (2, "video", b"vidbytes-2", {"src": "cam1"}),
+        (3, "audio", b"audbytes-3", None),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_multimodal_decode_stub_raises_without_decoder(media):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_metadata(media).collect()
+
+
+def test_multimodal_decode_fake(media):
+    out = multimodal.decode_metadata(media, fake=True)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(out.columns) >= {"media_id", "width", "height", "n_frames", "duration_ms"}
+    assert rows[1]["n_frames"] == 1  # images are single-frame
+    assert rows[2]["n_frames"] >= 1
+    # deterministic: same content -> same metadata
+    again = {r["media_id"]: r for r in multimodal.decode_metadata(media, fake=True).collect()}
+    assert rows[1]["width"] == again[1]["width"]
+
+
+def test_multimodal_features_fixed_width(media):
+    out = multimodal.extract_features(media, dim=16, fake=True)
+    rows = out.collect()
+    assert "content" not in out.columns
+    assert all(len(r["features"]) == 16 for r in rows)
+    assert all(-1.0 <= x <= 1.0 for r in rows for x in r["features"])
+
+
+def test_multimodal_frame_sampling(media):
+    frames = multimodal.sample_frames(media, every_n=5, fake=True).collect()
+    assert frames, "video should yield frames"
+    assert all(r["frame_idx"] % 5 == 0 for r in frames)
+    assert {r["media_id"] for r in frames} == {2}  # only the video row

@@ -1,0 +1,203 @@
+"""Structured Streaming semantics tests (memory sink, synchronous drain)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksql_linq_spark.sources import read_stream_from_table
+from ksql_linq_spark.streaming.consume import Consumer, ErrorAction, RetryPolicy
+from ksql_linq_spark.streaming.windows import (
+    EmitMode,
+    start_memory_sink,
+    stream_static_join,
+    stream_stream_join,
+    windowed_aggregate,
+)
+
+
+@pytest.fixture()
+def event_stream(spark, sf_dir):
+    return read_stream_from_table(spark, sf_dir, "events")
+
+
+def _drain(query):
+    query.processAllAvailable()
+    query.stop()
+
+
+def test_tumbling_final_matches_batch(spark, sf_dir, event_stream):
+    agg, mode = windowed_aggregate(
+        event_stream,
+        keys=["event_type"],
+        ts_col="ts",
+        aggs=[F.count(F.lit(1)).alias("n")],
+        size="1 hour",
+        grace="1 seconds",
+        emit=EmitMode.FINAL,
+    )
+    assert mode == "append"
+    q = start_memory_sink(agg, "t_final", mode)
+    _drain(q)
+    got = {
+        (r["event_type"], r["window_start"]): r["n"]
+        for r in spark.sql("SELECT * FROM t_final").collect()
+    }
+    from ksql_linq_spark.sources import read_table
+
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.window("ts", "1 hour").start.alias("ws"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp = {(r["event_type"], r["ws"]): r["n"] for r in batch.collect()}
+    # EMIT FINAL drops windows still open at watermark; everything emitted
+    # must match the batch answer exactly
+    assert got, "no windows closed"
+    for k, v in got.items():
+        assert exp[k] == v
+
+
+def test_update_mode_emits_changes(spark, event_stream):
+    agg, mode = windowed_aggregate(
+        event_stream,
+        keys=["event_type"],
+        ts_col="ts",
+        aggs=[F.count(F.lit(1)).alias("n")],
+        size="1 hour",
+        emit=EmitMode.CHANGES,
+    )
+    assert mode == "update"
+    q = start_memory_sink(agg, "t_changes", mode)
+    _drain(q)
+    assert spark.sql("SELECT count(*) FROM t_changes").first()[0] > 0
+
+
+def test_dedup_within_watermark(spark):
+    rows = [
+        (1, "a", dt.datetime(2024, 1, 1, 0, 0, 1)),
+        (1, "a", dt.datetime(2024, 1, 1, 0, 0, 2)),  # dup key
+        (2, "b", dt.datetime(2024, 1, 1, 0, 0, 3)),
+    ]
+    src = spark.createDataFrame(rows, "k long, v string, ts timestamp")
+    tmp = tempfile.mkdtemp()
+    src.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(src.schema).parquet(f"{tmp}/in")
+    agg, mode = windowed_aggregate(
+        stream,
+        keys=["k"],
+        ts_col="ts",
+        aggs=[F.count(F.lit(1)).alias("n")],
+        size="1 minute",
+        emit=EmitMode.CHANGES,
+        dedup_keys=["k"],
+    )
+    q = start_memory_sink(agg, "t_dedup", mode)
+    _drain(q)
+    got = {r["k"]: r["n"] for r in spark.sql("SELECT * FROM t_dedup").collect()}
+    assert got == {1: 1, 2: 1}
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_stream_join_within(spark):
+    left = [(1, dt.datetime(2024, 1, 1, 0, 0, 0)), (2, dt.datetime(2024, 1, 1, 1, 0, 0))]
+    right = [
+        (1, dt.datetime(2024, 1, 1, 0, 2, 0)),   # within 300s
+        (2, dt.datetime(2024, 1, 1, 1, 10, 0)),  # outside 300s
+    ]
+    tmp = tempfile.mkdtemp()
+    ldf = spark.createDataFrame(left, "k long, lts timestamp")
+    rdf = spark.createDataFrame(right, "k long, rts timestamp")
+    ldf.write.mode("overwrite").parquet(f"{tmp}/l")
+    rdf.write.mode("overwrite").parquet(f"{tmp}/r")
+    ls = spark.readStream.schema(ldf.schema).parquet(f"{tmp}/l")
+    rs = spark.readStream.schema(rdf.schema).parquet(f"{tmp}/r")
+    joined = stream_stream_join(ls, rs, on=["k"], left_ts="lts", right_ts="rts")
+    q = start_memory_sink(joined, "t_ssj", "append")
+    _drain(q)
+    ks = [r["k"] for r in spark.sql("SELECT * FROM t_ssj").collect()]
+    assert ks == [1]  # default WITHIN 300 s keeps only the close pair
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_static_join(spark, sf_dir, event_stream):
+    from ksql_linq_spark.sources import read_table
+
+    dim = spark.createDataFrame(
+        [("click", "web"), ("purchase", "commerce")], "event_type string, cat string"
+    )
+    joined = stream_static_join(event_stream, dim, on="event_type")
+    q = start_memory_sink(joined.groupBy("cat").count(), "t_sst", "complete")
+    _drain(q)
+    got = {r["cat"]: r["count"] for r in spark.sql("SELECT * FROM t_sst").collect()}
+    batch = read_table(spark, sf_dir, "events")
+    exp_click = batch.filter(F.col("event_type") == "click").count()
+    assert got["web"] == exp_click
+
+
+def test_consumer_retry_and_dlq(spark):
+    tmp = tempfile.mkdtemp()
+    src = spark.createDataFrame([(1, "ok"), (2, "boom"), (3, "ok")], "id long, v string")
+    src.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(src.schema).parquet(f"{tmp}/in")
+
+    seen: list[int] = []
+    attempts: dict[int, int] = {}
+
+    def action(row):
+        attempts[row["id"]] = attempts.get(row["id"], 0) + 1
+        if row["v"] == "boom":
+            raise ValueError("poison record")
+        seen.append(row["id"])
+
+    consumer = Consumer(
+        "events",
+        on_error=ErrorAction.DLQ,
+        retry=RetryPolicy(max_attempts=2, backoff_seconds=0.01),
+        dlq_path=f"{tmp}/dlq",
+    )
+    q = consumer.start(stream, action, checkpoint=f"{tmp}/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(seen) == [1, 3]
+    assert attempts[2] == 2  # retried then dead-lettered
+    dlq = spark.read.parquet(f"{tmp}/dlq")
+    rows = dlq.collect()
+    assert len(rows) == 1
+    assert rows[0]["error_type"] == "ValueError"
+    assert rows[0]["source"] == "events"
+    assert len(rows[0]["error_fingerprint"]) == 16
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_gap_fill(spark):
+    from ksql_linq_spark.operators.gapfill import streaming_gap_fill
+
+    tmp = tempfile.mkdtemp()
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 0, 0), 10.0),
+        ("A", dt.datetime(2024, 1, 1, 0, 3), 13.0),  # 2-bucket gap
+        ("B", dt.datetime(2024, 1, 1, 0, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, close double")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(df.schema).parquet(f"{tmp}/in")
+    filled = streaming_gap_fill(stream, "k", "bucket", "close", "1m")
+    q = start_memory_sink(filled, "t_gap", "append")
+    _drain(q)
+    got = sorted(
+        (r["k"], r["bucket"], r["close"], r["is_synthetic"])
+        for r in spark.sql("SELECT * FROM t_gap").collect()
+    )
+    assert got == [
+        ("A", dt.datetime(2024, 1, 1, 0, 0), 10.0, False),
+        ("A", dt.datetime(2024, 1, 1, 0, 1), 10.0, True),
+        ("A", dt.datetime(2024, 1, 1, 0, 2), 10.0, True),
+        ("A", dt.datetime(2024, 1, 1, 0, 3), 13.0, False),
+        ("B", dt.datetime(2024, 1, 1, 0, 0), 5.0, False),
+    ]
+    shutil.rmtree(tmp, ignore_errors=True)
