@@ -1100,3 +1100,241 @@ def gapfill_15m_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         ohlc=("close", "close", "close", "close"),
     )
     return filled.select("event_type", "bucket_start", "close", "is_synthetic")
+
+
+# ======================================================================
+# W9/W10 market-schedule gating + remaining §2.7 function families +
+# §2.6 set-op / rollup supersets
+# ======================================================================
+
+
+@q(
+    "calendar_session_gate",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS session_day,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events
+    WHERE isodow(ts) BETWEEN 1 AND 5
+      AND ts >= CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 9 HOUR
+      AND ts <  CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 17 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def calendar_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 TimeFrame gating: broadcast interval join against a weekday
+    9-17h schedule dim == the equivalent direct session predicate."""
+    from .operators.calendar import in_session_join, make_daily_schedule
+
+    ev = _t(spark, sf_dir, "events").withColumn("market", F.lit("X"))
+    sched = make_daily_schedule(
+        spark, ["X"], "2024-01-01", "2024-01-31", open_hour=9, close_hour=17
+    )
+    gated = in_session_join(ev, sched, row_key="market", ts_col="ts")
+    return gated.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("session_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+    )
+
+
+@q(
+    "json_functions",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           json_array_length('[1,2,3]') AS arr_len
+    FROM events
+    """,
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 JSON registry over the events.props JSON column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        KF.JsonExtractString("props", "$.k").alias("k_str"),
+        KF.JsonExtractString("props", "$.k").cast("int").alias("k_int"),
+        KF.JsonArrayLength(F.lit("[1,2,3]")).alias("arr_len"),
+    )
+
+
+@q(
+    "array_functions",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')[1:6] AS w
+      FROM documents)
+    SELECT doc_id,
+           len(w) AS n,
+           list_contains(w, 'data') AS has_data,
+           w[2:3] AS mid,
+           array_to_string(w, '-') AS joined,
+           list_sort(list_distinct(w)) AS dwords,
+           list_sort(list_intersect(w, ['data', 'query', 'table'])) AS known,
+           list_sort(list_distinct(list_concat(w, ['zzz']))) AS plus,
+           list_aggregate(w, 'max') AS wmax,
+           list_aggregate(w, 'min') AS wmin
+    FROM t
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 array registry (ArrayLength/Contains/Slice/Join/Distinct/
+    Intersect/Union/Sort/Max/Min) over tokenized text."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.slice(tokens("text"), 1, 6)
+    return d.select(
+        "doc_id",
+        KF.ArrayLength(w).alias("n"),
+        KF.ArrayContains(w, "data").alias("has_data"),
+        KF.ArraySlice(w, 2, 2).alias("mid"),
+        KF.ArrayJoin(w, "-").alias("joined"),
+        KF.ArraySort(KF.ArrayDistinct(w)).alias("dwords"),
+        KF.ArraySort(
+            KF.ArrayIntersect(KF.ArrayDistinct(w), F.array(F.lit("data"), F.lit("query"), F.lit("table")))
+        ).alias("known"),
+        KF.ArraySort(KF.ArrayUnion(w, F.array(F.lit("zzz")))).alias("plus"),
+        KF.ArrayMax(w).alias("wmax"),
+        KF.ArrayMin(w).alias("wmin"),
+    )
+
+
+@q(
+    "url_crypto_functions",
+    oracle="""
+    WITH u AS (
+      SELECT p_partkey,
+             'https://shop.example.com/parts/' || regexp_replace(p_brand, '[ #]', '', 'g') ||
+             '?size=' || p_size AS url,
+             p_name
+      FROM part)
+    SELECT p_partkey,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '://([^/]+)', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           md5(p_name) AS h_md5,
+           sha256(p_name) AS h_sha256
+    FROM u
+    """,
+)
+def url_crypto_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 URL + crypto registries (UrlExtract* via parse_url; Md5/Sha256).
+    DuckDB has no parse_url — the oracle uses equivalent regexes."""
+    pt = _t(spark, sf_dir, "part")
+    u = pt.select(
+        "p_partkey",
+        "p_name",
+        F.concat(
+            F.lit("https://shop.example.com/parts/"),
+            F.regexp_replace(F.col("p_brand"), "[ #]", ""),
+            F.lit("?size="),
+            F.col("p_size").cast("string"),
+        ).alias("url"),
+    )
+    return u.select(
+        "p_partkey",
+        F.lower(KF.UrlExtractProtocol("url")).alias("proto"),
+        KF.UrlExtractHost("url").alias("host"),
+        KF.UrlExtractPath("url").alias("path"),
+        KF.UrlExtractQuery("url").alias("query"),
+        KF.Md5("p_name").alias("h_md5"),
+        KF.Sha256("p_name").alias("h_sha256"),
+    )
+
+
+@q(
+    "geo_distance",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id,
+             (user_id % 180) - 90 + 0.5 AS lat,
+             ((event_id % 360) - 180) + 0.5 AS lon
+      FROM events)
+    SELECT event_id,
+           round(2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(51.5 - lat) / 2), 2) +
+             cos(radians(lat)) * cos(radians(51.5)) *
+             pow(sin(radians(-0.1 - lon) / 2), 2))), 6) AS dist_km
+    FROM pts
+    """,
+)
+def geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 GeoDistance (haversine, UDF-free column math) to London."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("user_id") % 180) - 90 + 0.5).alias("lat"),
+        ((F.col("event_id") % 360) - 180 + 0.5).alias("lon"),
+    )
+    return pts.select(
+        "event_id",
+        F.round(KF.GeoDistance("lat", "lon", F.lit(51.5), F.lit(-0.1)), 6).alias(
+            "dist_km"
+        ),
+    )
+
+
+@q(
+    "setops_union_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def setops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 set-op superset (reference has none; Spark union/except)."""
+    od = _t(spark, sf_dir, "orders")
+    a = od.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = od.filter(F.col("o_totalprice") > 250000).select("o_custkey")
+    c = od.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return a.union(b).distinct().exceptAll(c.distinct())
+
+
+@q(
+    "rollup_aggregation",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 superset: ROLLUP grouping sets (absent in reference, free in
+    Spark — subtotal rows compose the same partial aggregates)."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec2dbl(F.col("o_totalprice"))).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@q("approx_count_distinct")  # HLL sketch — engine-specific, rows-only check
+def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 at 100 TB: approx_count_distinct (HyperLogLog++) — the scale
+    path for COUNT_DISTINCT; compared rows-only (sketch estimates are
+    engine-specific by construction)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        KF.ApproxCountDistinct("user_id", 0.02).alias("approx_users")
+    )

@@ -1,0 +1,125 @@
+"""Market-schedule gating (TimeFrame) — SURVEY.md §2.5 W9/W10.
+
+Reference semantics: ``TimeFrame<TSchedule>((r, s) => r.Broker == s.Broker
+&& s.Open <= r.Ts && r.Ts < s.Close, dayKey)`` joins each row against a
+schedule table and keeps rows inside a trading session
+(/root/reference/src/Query/Dsl/KsqlQueryable.cs:127-184); at runtime
+``IsInSession`` binary-searches sorted intervals refreshed daily
+(/root/reference/src/Runtime/Heartbeat/MarketScheduleProvider.cs:40-59).
+
+Spark-first design: the schedule is a small dimension → **broadcast
+range join** (no shuffle of the fact side, the 100 TB-safe plan); session
+alignment for bars = gate first, bucket after.  Inclusivity of the
+open/close bounds mirrors the reference's boundary-prop parsing
+(open inclusive, close exclusive by default).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCHEDULE_COLUMNS = ("market_key", "open_time", "close_time")
+
+
+@dataclass
+class SessionBounds:
+    open_inclusive: bool = True
+    close_inclusive: bool = False  # s.Open <= r.Ts && r.Ts < s.Close
+
+
+def in_session_join(
+    rows: DataFrame,
+    schedule: DataFrame,
+    row_key: str,
+    ts_col: str,
+    schedule_key: str = "market_key",
+    open_col: str = "open_time",
+    close_col: str = "close_time",
+    bounds: SessionBounds = SessionBounds(),
+) -> DataFrame:
+    """Keep rows whose ts falls inside any session of their market.
+
+    Broadcast the schedule (tiny: markets × days) and semi-join, so each
+    fact row is tested against its market's intervals executor-side —
+    the Spark twin of the reference's in-process interval search.
+    """
+    ts = rows[ts_col]
+    lo = (
+        (ts >= F.col(f"__s.{open_col}"))
+        if bounds.open_inclusive
+        else (ts > F.col(f"__s.{open_col}"))
+    )
+    hi = (
+        (ts <= F.col(f"__s.{close_col}"))
+        if bounds.close_inclusive
+        else (ts < F.col(f"__s.{close_col}"))
+    )
+    s = F.broadcast(schedule).alias("__s")
+    return rows.join(
+        s,
+        on=(rows[row_key] == F.col(f"__s.{schedule_key}")) & lo & hi,
+        how="leftsemi",
+    )
+
+
+def session_tag_join(
+    rows: DataFrame,
+    schedule: DataFrame,
+    row_key: str,
+    ts_col: str,
+    schedule_key: str = "market_key",
+    open_col: str = "open_time",
+    close_col: str = "close_time",
+    session_id_col: str | None = None,
+) -> DataFrame:
+    """Inner-join variant that carries the matched session's columns
+    (for session-anchored bars: group by session_open instead of a fixed
+    bucket — W10 'bars aligned to exchange sessions')."""
+    s = F.broadcast(schedule).alias("__s")
+    out = rows.join(
+        s,
+        on=(rows[row_key] == F.col(f"__s.{schedule_key}"))
+        & (rows[ts_col] >= F.col(f"__s.{open_col}"))
+        & (rows[ts_col] < F.col(f"__s.{close_col}")),
+        how="inner",
+    )
+    keep = [rows[c] for c in rows.columns] + [
+        F.col(f"__s.{open_col}").alias("session_open"),
+        F.col(f"__s.{close_col}").alias("session_close"),
+    ]
+    if session_id_col:
+        keep.append(F.col(f"__s.{session_id_col}").alias("session_id"))
+    return out.select(*keep)
+
+
+def make_daily_schedule(
+    spark,
+    markets: list[str],
+    start_date: str,
+    end_date: str,
+    open_hour: int = 9,
+    close_hour: int = 17,
+    trading_days: tuple[int, ...] = (1, 2, 3, 4, 5),  # ISO Mon..Fri
+) -> DataFrame:
+    """Helper: synthesize a weekday-sessions schedule dim (the reference's
+    daily-refresh provider analog, for tests and examples)."""
+    days = (
+        spark.sql(
+            f"SELECT explode(sequence(to_date('{start_date}'), to_date('{end_date}'), "
+            "interval 1 day)) AS d"
+        )
+        .filter(F.dayofweek(F.col("d")).isin([(x % 7) + 1 for x in trading_days]))
+    )
+    mk = spark.createDataFrame([(m,) for m in markets], "market_key string")
+    return mk.crossJoin(days).select(
+        "market_key",
+        (F.col("d").cast("timestamp") + F.expr(f"INTERVAL {open_hour} HOURS")).alias(
+            "open_time"
+        ),
+        (F.col("d").cast("timestamp") + F.expr(f"INTERVAL {close_hour} HOURS")).alias(
+            "close_time"
+        ),
+    )
