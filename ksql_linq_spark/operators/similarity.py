@@ -25,7 +25,27 @@ def _dbl(v) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None, cast_elements: bool = False) -> Column:
+    """Dot product.  With ``dim`` known statically the fold is unrolled
+    into a left-associative Add chain over element_at — bitwise identical
+    to the F.aggregate fold (same order, same 0.0 seed) but eligible for
+    whole-stage codegen instead of interpreted higher-order eval.
+
+    ``cast_elements`` casts each element to double INSIDE the chain
+    (for float arrays).  Never wrap the input in an array-level
+    F.transform(cast) instead: CollapseProject will inline that
+    interpreted transform into every element_at reference (2*dim
+    evaluations per pair when the expression lands in a join condition)
+    — that is a ~100x regression at n^2 pair counts."""
+    if dim is not None:
+        def elem(c: Column, i: int) -> Column:
+            e = F.element_at(c, i)
+            return e.cast("double") if cast_elements else e
+
+        expr = F.lit(0.0)
+        for i in range(1, dim + 1):
+            expr = expr + elem(a, i) * elem(b, i)
+        return expr
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -33,12 +53,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None, cast_elements: bool = False) -> Column:
+    return F.sqrt(dot(a, a, dim, cast_elements))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def brute_force_topk(
@@ -48,13 +68,17 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact top-k by cosine to ``query_vec`` (ties broken by id)."""
+    """Exact top-k by cosine to ``query_vec`` (ties broken by id).
+
+    dim is statically known from the query vector, so the dot products
+    are unrolled codegen chains (see :func:`dot`)."""
+    dim = len(query_vec)
     q = F.transform(
         F.array(*[F.lit(float(x)) for x in query_vec]), lambda x: x.cast("double")
     )
     scored = df.select(
         F.col(id_col),
-        cosine(_dbl(vec_col), q).alias("cos"),
+        cosine(_dbl(vec_col), q, dim).alias("cos"),
     )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
 
@@ -87,7 +111,7 @@ def random_projection_buckets(
     """
     v = _dbl(vec_col)
     bits = [
-        F.when(dot(v, F.array(*[F.lit(x) for x in _hyperplane(p, dim)])) >= 0, "1").otherwise("0")
+        F.when(dot(v, F.array(*[F.lit(x) for x in _hyperplane(p, dim)]), dim) >= 0, "1").otherwise("0")
         for p in range(num_planes)
     ]
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
