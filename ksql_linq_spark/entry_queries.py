@@ -1344,3 +1344,158 @@ def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         KF.ApproxCountDistinct("user_id", 0.02).alias("approx_users")
     )
+
+
+# ======================================================================
+# §2.6 O3/O4 + §2.5 session superset + text token counting + multimodal
+# ======================================================================
+
+
+@q(
+    "orderby_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 20
+    """,
+)
+def orderby_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: Skip → OFFSET via the Query DSL (the reference warns and drops
+    Skip — DMLQueryGenerator.cs:377-381; Spark supports it natively)."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        from_df(od)
+        .select("o_orderkey", "o_totalprice")
+        .order_by(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .skip(20)
+        .take(10)
+        .to_df()
+    )
+
+
+@q(
+    "retention_latest_n",
+    oracle="""
+    SELECT event_id, event_type, ts
+    FROM (
+      SELECT event_id, event_type, ts,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) x
+    WHERE rn <= 5
+    """,
+)
+def retention_latest_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 `Limit(count)` retention: newest 5 rows per event_type
+    (EventSetExtensions.cs:35-60 analog, rank-and-filter form)."""
+    from .runtime import limit_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return limit_retention(
+        ev, keys=["event_type"], ts_col="ts", n=5, tiebreakers=["event_id"]
+    ).select("event_id", "event_type", "ts")
+
+
+@q(
+    "session_window_counts",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '90 seconds'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    g AS (
+      SELECT event_type, ts,
+             sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM d)
+    SELECT event_type,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '90 seconds' AS session_end,
+           count(*) AS cnt
+    FROM g GROUP BY event_type, grp
+    """,
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 session-window superset (reference emits only TUMBLING/
+    HOPPING): F.session_window, 90 s gap.  The oracle is the classic
+    gaps-and-islands rewrite; Spark merges events up to and INCLUDING a
+    gap-sized spacing, so the oracle breaks on diff > gap (strict)."""
+    from .operators.windows import session_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return session_window_agg(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        gap="90 seconds",
+        aggs=[F.count(F.lit(1)).alias("cnt")],
+    ).select("event_type", "session_start", "session_end", "cnt")
+
+
+@q(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DK_TOKS.format(src='text')}) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (training-data pipeline op): whitespace tokens +
+    BPE-ish regex pieces, both pure JVM expressions."""
+    from .operators.text import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+@q(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS width,
+           64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS height,
+           CASE WHEN doc_id % 3 = 2
+                THEN 1 + ('0x' || substr(md5(text), 5, 2))::INT % 32
+                ELSE 1 END AS n_frames,
+           CASE WHEN doc_id % 3 = 0 THEN 0
+                ELSE ('0x' || substr(md5(text), 7, 4))::BIGINT
+           END AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end through the driver's value gate:
+    binary content column -> Arrow-batched mapInPandas decode
+    (deterministic fake: metadata from the content md5) -> typed columns.
+    The oracle reproduces the md5-derived fields byte-for-byte in SQL,
+    so the WHOLE mapInPandas path (schema, batching, binary transport)
+    is value-checked, not just row-counted."""
+    from .operators.multimodal import decode_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    return decode_metadata(media, fake=True).select(
+        "media_id", "media_type", "width", "height", "n_frames",
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    )

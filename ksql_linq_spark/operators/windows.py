@@ -86,6 +86,25 @@ def bucket_end(ts: Column | str, tf: str, week_anchor: str = "monday") -> Column
     return start + F.expr(f"INTERVAL {n} MONTHS")
 
 
+def session_window_agg(df, keys: list, ts_col: str, gap: str, aggs: list):
+    """Session windows (SURVEY.md §2.5 "superset" row: the reference emits
+    only TUMBLING/HOPPING; Spark has native sessionization).
+
+    Two events merge into one session when they are strictly closer than
+    ``gap``; the window ends ``gap`` after the last event.  Works in batch
+    and streaming (with a watermark) — F.session_window is a dynamic-gap
+    merge the engine executes with a single shuffle on the session keys.
+    """
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(*keys, w)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("session_window.start"))
+        .withColumn("session_end", F.col("session_window.end"))
+        .drop("session_window")
+    )
+
+
 def tumbling_window(ts: Column | str, tf: str, week_anchor: str = "monday") -> Column:
     """window-struct-compatible bucket: struct(start, end) for any timeframe.
 

@@ -164,3 +164,32 @@ class HoppingWindowReader:
         if limit:
             df = df.limit(limit)
         return df.collect()
+
+
+def limit_retention(
+    df: DataFrame,
+    keys: list,
+    ts_col: str,
+    n: int,
+    tiebreakers: list | None = None,
+) -> DataFrame:
+    """O4 `Limit(count)` retention helper: keep the newest ``n`` rows per
+    key by ``ts_col`` (reference deletes older rows client-side via
+    RemoveAsync — /root/reference/src/Extensions/EventSetExtensions.cs:35-60
+    with EntityModel.BarTimeSelector).
+
+    Spark-native: rank within key partitions and keep rank <= n; as a
+    retention job, write the survivors back with replaceWhere/overwrite.
+    One shuffle on the keys; at scale run per partition-date so the
+    window never spans the full history.  ``tiebreakers`` make the cut
+    deterministic when ``ts_col`` has duplicates.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).desc()] + [F.col(t).desc() for t in (tiebreakers or [])]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -104,3 +104,38 @@ def test_entity_rejects_duplicate_timestamp():
                 Column("b", "timestamp", timestamp=True),
             ],
         )
+
+
+def test_session_window_agg(spark):
+    from ksql_linq_spark.operators.windows import session_window_agg
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 0)),
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 50)),   # merges (< 90s gap)
+        ("A", dt.datetime(2024, 1, 1, 0, 2, 21)),   # 91s -> new session
+        ("B", dt.datetime(2024, 1, 1, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = session_window_agg(
+        df, keys=["k"], ts_col="ts", gap="90 seconds",
+        aggs=[F.count(F.lit(1)).alias("cnt")],
+    ).collect()
+    sessions = {(r["k"], r["session_start"]): r for r in out}
+    s1 = sessions[("A", dt.datetime(2024, 1, 1, 0, 0, 0))]
+    assert s1["cnt"] == 2
+    assert s1["session_end"] == dt.datetime(2024, 1, 1, 0, 2, 20)  # last+gap
+    assert ("A", dt.datetime(2024, 1, 1, 0, 2, 21)) in sessions
+    assert sessions[("B", dt.datetime(2024, 1, 1, 0, 0, 0))]["cnt"] == 1
+
+
+def test_limit_retention(spark):
+    from ksql_linq_spark.runtime import limit_retention
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 0, 0, i), i) for i in range(10)
+    ] + [("B", dt.datetime(2024, 1, 1), 0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long")
+    out = limit_retention(df, keys=["k"], ts_col="ts", n=3, tiebreakers=["id"])
+    kept = sorted(r["id"] for r in out.filter(F.col("k") == "A").collect())
+    assert kept == [7, 8, 9]
+    assert out.filter(F.col("k") == "B").count() == 1
