@@ -744,14 +744,13 @@ def _lang_hits_sql(lang_words: list[str]) -> str:
 
 @q("text_language_id", oracle=None)  # oracle attached below (built from STOPWORDS)
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (stopword-hit argmax) vs the labeled lang col."""
-    from .operators import text as TX
+    """Language-ID heuristic (stopword-hit argmax) vs the labeled lang col,
+    via the scalable explode + broadcast-stopword-join + pivot dataflow."""
+    from .operators.text import language_id_table
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        TX.detect_language("text").alias("detected_lang"),
+    return language_id_table(d, extra_cols=["lang"]).select(
+        "doc_id", F.col("lang").alias("labeled_lang"), "detected_lang"
     )
 
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, shingles
+from .text import fingerprint, shingle_rows, shingles
 
 _MOD32 = 2**32
 
@@ -68,9 +68,7 @@ def minhash_signatures(
     near-dup detection the reference delegates to Kafka (no equivalent
     op exists there; brief-mandated training-data extension).
     """
-    ex = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
-    )
+    ex = shingle_rows(df, text_col, id_col, shingle_n)
     h = ex.select(
         F.col(id_col),
         _md5_half(F.col("s"), 1).alias("h1"),
@@ -210,9 +208,15 @@ def ngram_jaccard_pairs(
     pairing — the skew guard at scale (bucket pair count is quadratic
     in document frequency).
     """
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
-    ex = sh.select(
-        F.col(id_col).alias("id"), F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    from pyspark.sql.window import Window
+
+    sh_rows = shingle_rows(df, text_col, id_col, shingle_n)
+    # set size per doc from a window over the same doc_id partitioning the
+    # distinct() above just produced — no extra shuffle
+    ex = sh_rows.select(
+        F.col(id_col).alias("id"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("sz"),
+        F.col("s"),
     )
     buckets = (
         ex.groupBy("s")

@@ -57,8 +57,12 @@ def norm(a: Column, dim: int | None = None, cast_elements: bool = False) -> Colu
     return F.sqrt(dot(a, a, dim, cast_elements))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+def cosine(
+    a: Column, b: Column, dim: int | None = None, cast_elements: bool = False
+) -> Column:
+    return dot(a, b, dim, cast_elements) / (
+        norm(a, dim, cast_elements) * norm(b, dim, cast_elements)
+    )
 
 
 def brute_force_topk(
@@ -70,15 +74,16 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine to ``query_vec`` (ties broken by id).
 
-    dim is statically known from the query vector, so the dot products
-    are unrolled codegen chains (see :func:`dot`)."""
-    dim = len(query_vec)
+    Linear (one cosine per row), so the interpreted fold is fine here —
+    unrolled chains only pay off at n^2 pair counts (see :func:`dot`);
+    for a per-row projection the janino compile cost of a 190-term
+    expression exceeds the eval saving."""
     q = F.transform(
         F.array(*[F.lit(float(x)) for x in query_vec]), lambda x: x.cast("double")
     )
     scored = df.select(
         F.col(id_col),
-        cosine(_dbl(vec_col), q, dim).alias("cos"),
+        cosine(_dbl(vec_col), q).alias("cos"),
     )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
 
@@ -109,9 +114,11 @@ def random_projection_buckets(
     Cosine-similar vectors collide with high probability; 2^num_planes
     buckets bound candidate-set size.
     """
+    # per-row linear scan: the fold is cheaper than compiling an
+    # 8*dim-term unrolled expression (see brute_force_topk note)
     v = _dbl(vec_col)
     bits = [
-        F.when(dot(v, F.array(*[F.lit(x) for x in _hyperplane(p, dim)]), dim) >= 0, "1").otherwise("0")
+        F.when(dot(v, F.array(*[F.lit(x) for x in _hyperplane(p, dim)])) >= 0, "1").otherwise("0")
         for p in range(num_planes)
     ]
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))

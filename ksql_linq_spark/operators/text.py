@@ -34,8 +34,17 @@ def _c(x) -> Column:
 
 
 def tokens(text) -> Column:
-    """Whitespace tokenization (empty-token free, both-ends trimmed)."""
-    return F.filter(F.split(F.trim(_c(text)), "\\s+"), lambda t: t != "")
+    """Whitespace tokenization (empty-token free, both-ends trimmed).
+
+    After trim(), split on \\s+ can only yield an empty token for
+    fully-blank input, so that one case is a when() guard instead of an
+    interpreted F.filter higher-order lambda over every token of every
+    row — this function sits under nearly every text operator, so it
+    must stay whole-stage-codegen."""
+    c = F.trim(_c(text))
+    return F.when(c == "", F.array().cast("array<string>")).otherwise(
+        F.split(c, "\\s+")
+    )
 
 
 def token_count(text) -> Column:
@@ -112,6 +121,44 @@ def detect_language(text) -> Column:
     return best
 
 
+def language_id_table(df, text_col: str = "text", id_col: str = "doc_id",
+                      extra_cols: list[str] | None = None):
+    """Scalable language-ID: (id, [extra_cols...], detected_lang).
+
+    Same semantics as :func:`detect_language` (stopword-hit argmax with
+    multiplicity, first language wins ties, 'und' on zero hits), but as
+    a dataflow: explode tokens once, broadcast-join the tiny
+    (word, lang) stopword dim, count hits per (doc, lang), pivot, then
+    one argmax CASE — all whole-stage codegen.  detect_language's
+    expression form re-runs the interpreted tokenizer once per language
+    per row; use this for any corpus-sized scan.
+    """
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(w, lang) for lang, ws in STOPWORDS.items() for w in ws],
+        "w string, lang_sw string",
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    )
+    langs = list(STOPWORDS)
+    hits = (
+        toks.join(F.broadcast(dim), "w")
+        .groupBy(id_col)
+        .pivot("lang_sw", langs)
+        .count()
+    )
+    joined = df.select(id_col, *(extra_cols or [])).join(hits, id_col, "left")
+    hcols = {l: F.coalesce(F.col(l), F.lit(0)) for l in langs}
+    best = F.lit("und")
+    best_hits = F.lit(0).cast("long")
+    for lang in langs:
+        take = hcols[lang] > best_hits
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_hits = F.when(take, hcols[lang]).otherwise(best_hits)
+    return joined.select(id_col, *(extra_cols or []), best.alias("detected_lang"))
+
+
 def normalize_text(text) -> Column:
     """Dedup normalization: lowercase, collapse whitespace, strip punct."""
     c = F.lower(F.trim(_c(text)))
@@ -125,10 +172,16 @@ def fingerprint(text) -> Column:
 
 
 def shingles(text, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct), the MinHash/Jaccard input.
+    """Word n-gram shingle set (distinct), the MinHash/Jaccard input,
+    as one array Column.
 
-    Built with sequence+transform over the token array — one projection,
-    no explode until the caller wants one.
+    WARNING — scale trap: the token subexpression sits INSIDE the
+    transform lambda, and Spark does not hoist loop-invariant
+    subexpressions out of higher-order-function lambdas, so the whole
+    tokenize+normalize regex chain re-evaluates PER SHINGLE (~token
+    count times per row) in interpreted mode.  Fine for small/ad-hoc
+    use; every hot path should use :func:`shingle_rows` (codegen'd
+    explode + window form, one evaluation per row) instead.
     """
     t = tokens(normalize_text(text))
     k = F.size(t) - (n - 1)
@@ -141,3 +194,39 @@ def shingles(text, n: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array(F.array_join(t, " ")))
+
+
+def shingle_rows(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
+    """DISTINCT word n-gram shingles as exploded rows (id, s).
+
+    posexplode the token array (tokenization runs ONCE per document),
+    then assemble each shingle from window lead()s over (id, pos) —
+    every expression whole-stage-codegen, no interpreted higher-order
+    lambdas.  The window shuffle is on ``id_col``, the same key every
+    downstream consumer (minhash groupBy, jaccard set-size) needs, so
+    the exchange is reused rather than added.  Equivalent output to
+    ``explode(shingles(...))`` + distinct; documents shorter than ``n``
+    tokens contribute their whole token string (concat_ws skips the
+    null leads).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    n_tok = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    assembled = toks.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
+        leads[-1].isNotNull().alias("full"),
+        n_tok.alias("n_tok"),
+    )
+    return (
+        assembled.filter(F.col("full") | ((F.col("pos") == 0) & (F.col("n_tok") < n)))
+        .select(id_col, "s")
+        .distinct()
+    )
