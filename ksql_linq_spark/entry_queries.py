@@ -940,10 +940,10 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import embedding_cosine_pairs
+    from .operators.dedup import embedding_cosine_pairs_blocked
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(e, threshold=0.4, dim=64)
+    return embedding_cosine_pairs_blocked(e, threshold=0.4)
 
 
 @q(

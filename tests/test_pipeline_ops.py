@@ -163,3 +163,29 @@ def test_multimodal_frame_sampling(media):
     assert frames, "video should yield frames"
     assert all(r["frame_idx"] % 5 == 0 for r in frames)
     assert {r["media_id"] for r in frames} == {2}  # only the video row
+
+
+def test_embedding_cosine_blocked_matches_expr(spark):
+    from ksql_linq_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_blocked,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    expr = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_cosine_pairs(df, threshold=0.5, dim=4).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_cosine_pairs_blocked(df, threshold=0.5).collect()
+    }
+    assert expr == blocked  # bit-exact, not approx
+    assert (1, 4) in blocked and abs(blocked[(1, 4)] - 1.0) < 1e-12
+    assert (1, 3) not in blocked
