@@ -1498,3 +1498,123 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "media_type", "width", "height", "n_frames",
         F.col("duration_ms").cast("long").alias("duration_ms"),
     )
+
+
+# ======================================================================
+# Skew handling, context/DSL round-trip, composed training-data pipeline
+# ======================================================================
+
+
+@q(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           max(value) AS hi
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over the (skewed, low-cardinality)
+    event_type key — identical results to a plain GROUP BY, but the
+    stage-1 shuffle spreads each hot key over 16 salt buckets
+    (operators/skew.py; decimal carrier keeps the re-combined sum
+    bit-exact across both stages and engines)."""
+    from .operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": (F.count, F.sum, F.lit(1)),
+            "total_dec": (F.sum, F.sum, _dec2dbl(F.col("value"), 18, 6)),
+            "hi": (F.max, F.max, F.col("value")),
+        },
+        salt_col="event_id",
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type", "n", F.col("total_dec").cast("double").alias("total"), "hi"
+    )
+
+
+@q(
+    "context_derived_view",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    """,
+)
+def context_derived_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KsqlContext-analog round-trip: register entities as views,
+    attach a derived entity via to_query() using the fluent DSL (From ->
+    Join -> Where -> GroupBy -> Select with stage validation), then read
+    the derived view back from the catalog — the batch collapse of the
+    reference's OnModelCreating + CSAS lifecycle (SURVEY.md §3.1)."""
+    from .context import SparkKsqlContext
+
+    ctx = SparkKsqlContext(spark)
+    ctx.register_parquet_dir(sf_dir, ["orders", "customer"])
+    ctx.to_query(
+        "building_priority_totals",
+        lambda c: c.from_("orders")
+        .join(c.table("customer"), on=F.col("o_custkey") == F.col("c_custkey"),
+              broadcast=True)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .group_by("o_orderpriority")
+        .select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec2dbl(F.col("o_totalprice"))).cast("double").alias("total"),
+        ),
+    )
+    return ctx.table("building_priority_totals").select(
+        "o_orderpriority", "n", "total"
+    )
+
+
+@q(
+    "pipeline_quality_dedup",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             md5({_DK_NORM}) AS fp,
+             len({_DK_TOKS.format(src='text')}) AS n_tokens
+      FROM documents
+      WHERE n_chars >= 100),
+    kept AS (
+      SELECT s.* FROM scored s
+      JOIN (SELECT min(doc_id) AS doc_id FROM scored GROUP BY fp) k
+        ON s.doc_id = k.doc_id)
+    SELECT lang,
+           count(*) AS docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens
+    FROM kept
+    GROUP BY lang
+    """,
+)
+def pipeline_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline (C4-style): length filter ->
+    exact dedup (keep lowest doc_id per normalized fingerprint) ->
+    per-language doc/token budget.  One scan, one dedup shuffle, one
+    agg shuffle — the composition pattern every corpus build runs."""
+    from .operators.dedup import exact_dedup
+    from .operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    kept = exact_dedup(d)
+    return (
+        kept.select("lang", token_count("text").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+        )
+    )

@@ -139,3 +139,38 @@ def test_limit_retention(spark):
     kept = sorted(r["id"] for r in out.filter(F.col("k") == "A").collect())
     assert kept == [7, 8, 9]
     assert out.filter(F.col("k") == "B").count() == 1
+
+
+def test_salted_agg_matches_plain(spark):
+    from ksql_linq_spark.operators.skew import salted_agg
+
+    rows = [("hot", float(i), i) for i in range(100)] + [("cold", 1.0, 1000)]
+    df = spark.createDataFrame(rows, "k string, v double, id long")
+    out = {
+        r["k"]: r
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            aggs={
+                "n": (F.count, F.sum, F.lit(1)),
+                "hi": (F.max, F.max, F.col("v")),
+                "lo": (F.min, F.min, F.col("v")),
+            },
+            salt_col="id",
+            salt_buckets=8,
+        ).collect()
+    }
+    assert out["hot"]["n"] == 100 and out["hot"]["hi"] == 99.0 and out["hot"]["lo"] == 0.0
+    assert out["cold"]["n"] == 1
+
+
+def test_salted_join_matches_plain(spark):
+    from ksql_linq_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [("a", i) for i in range(50)] + [("b", 99)], "k string, id long"
+    )
+    right = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, tag long")
+    out = salted_join(left, right, on="k", salt_buckets=4, left_salt_col="id")
+    plain = left.join(right, on="k")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
