@@ -1151,7 +1151,8 @@ def calendar_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
-           json_array_length('[1,2,3]') AS arr_len
+           json_array_length('[1,2,3]') AS arr_len,
+           list_contains(json_extract_string('[1,2,3]', '$[*]'), '2') AS has_2
     FROM events
     """,
 )
@@ -1163,6 +1164,7 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         KF.JsonExtractString("props", "$.k").alias("k_str"),
         KF.JsonExtractString("props", "$.k").cast("int").alias("k_int"),
         KF.JsonArrayLength(F.lit("[1,2,3]")).alias("arr_len"),
+        KF.JsonArrayContains(F.lit("[1,2,3]"), 2).alias("has_2"),
     )
 
 

@@ -310,6 +310,31 @@ def JsonKeys(c):
     return F.json_object_keys(_c(c))
 
 
+def JsonArrayContains(c, v):
+    """JSON_ARRAY_CONTAINS (KsqlFunctionRegistry.cs:111): membership test
+    on a JSON array string; elements compared as strings."""
+    return F.array_contains(
+        F.from_json(_c(c), "array<string>"), F.lit(v).cast("string")
+    )
+
+
+def JsonConcat(a, b):
+    """JSON_CONCAT (:112): shallow merge of two JSON objects (right wins
+    on duplicate keys — dropped from the left first, since map_concat
+    rejects duplicates under the default dedup policy), re-serialized."""
+    right = F.from_json(_c(b), "map<string,string>")
+    left = F.map_filter(
+        F.from_json(_c(a), "map<string,string>"),
+        lambda k, _v: ~F.map_contains_key(right, k),
+    )
+    return F.to_json(F.map_concat(left, right))
+
+
+def JsonRecords(c):
+    """JSON_RECORDS (:113): JSON object -> MAP<key, stringified value>."""
+    return F.from_json(_c(c), "map<string,string>")
+
+
 # ---------------------------------------------------------------- url
 # KsqlFunctionRegistry.cs:131-134
 def UrlExtractHost(c):
@@ -449,3 +474,13 @@ def TopK(c, k):
 
 def TopKDistinct(c, k):
     return F.slice(F.sort_array(F.collect_set(_c(c)), asc=False), 1, k)
+
+
+# ------------------------------------------------------- custom mappings
+def RegisterCustomMapping(spark, name, fn, return_type="string"):
+    """RegisterCustomMapping analog (KsqlFunctionRegistry.cs:245-248) —
+    the reference's ENTIRE UDF surface is name->template registration;
+    Spark's is spark.udf.register.  Prefer pandas_udf for hot paths
+    (row-at-a-time Python UDFs are the slow path, ~10-100x behind
+    Arrow-batched ones)."""
+    return spark.udf.register(name, fn, return_type)

@@ -174,3 +174,21 @@ def test_salted_join_matches_plain(spark):
     out = salted_join(left, right, on="k", salt_buckets=4, left_salt_col="id")
     plain = left.join(right, on="k")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_json_functions(spark):
+    import ksql_linq_spark.functions as KF
+
+    df = spark.createDataFrame(
+        [('{"a":"1","b":"2"}', '{"b":"9","c":"3"}')], "j1 string, j2 string"
+    )
+    row = df.select(
+        KF.JsonArrayContains(F.lit('["x","y"]'), "y").alias("has"),
+        KF.JsonConcat("j1", "j2").alias("merged"),
+        KF.JsonRecords("j1").alias("rec"),
+    ).first()
+    assert row["has"] is True
+    import json
+
+    assert json.loads(row["merged"]) == {"a": "1", "b": "9", "c": "3"}
+    assert row["rec"] == {"a": "1", "b": "2"}
