@@ -101,3 +101,49 @@ def start_memory_sink(df: DataFrame, name: str, output_mode: str):
         .outputMode(output_mode)
         .start()
     )
+
+
+def keyed_table_sink(df: DataFrame, path: str, keys: list[str], checkpoint: str):
+    """Materialize an update-mode (EMIT CHANGES) aggregate as a keyed
+    TABLE: each micro-batch upserts its changed rows by key.
+
+    This is the reference's Table semantics — a changelog compacted into
+    a keyed store readable at rest (its Streamiz/RocksDB table cache,
+    /root/reference/src/Cache/Core/TableCache.cs:43-180) — landed as a
+    parquet table Spark reads back directly (SURVEY.md §2.1 S9: no cache
+    subsystem needed).
+
+    Local implementation: read-merge-rewrite per batch (fine for test
+    scale; single-writer).  On a cluster this exact foreachBatch body
+    becomes a Delta/Iceberg MERGE INTO keyed ON the same columns —
+    partition the table by a key prefix or bucket date so the merge
+    touches only affected files.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    spark = df.sparkSession
+    schema = df.schema
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(keys)  # one row per key per batch
+        if os.path.exists(path):
+            current = spark.read.schema(schema).parquet(path)
+            merged = current.join(
+                batch.select(*keys), on=keys, how="left_anti"
+            ).unionByName(batch)
+        else:
+            merged = batch
+        staged = tempfile.mkdtemp(prefix="keyed_sink_")
+        merged.write.mode("overwrite").parquet(staged)
+        materialized = spark.read.parquet(staged)
+        materialized.write.mode("overwrite").parquet(path)
+        shutil.rmtree(staged, ignore_errors=True)
+
+    return (
+        df.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -201,3 +201,73 @@ def test_streaming_gap_fill(spark):
         ("B", dt.datetime(2024, 1, 1, 0, 0), 5.0, False),
     ]
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_keyed_table_sink_upserts(spark, sf_dir, event_stream):
+    """Update-mode aggregate materialized as a keyed TABLE must converge
+    to the batch answer (the reference's table-cache read semantics)."""
+    from ksql_linq_spark.sources import read_table
+    from ksql_linq_spark.streaming.windows import keyed_table_sink
+
+    out_dir = tempfile.mkdtemp(prefix="keyed_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="keyed_ckpt_")
+    try:
+        agg = event_stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.max("value").alias("hi")
+        )
+        q = keyed_table_sink(agg, f"{out_dir}/t", ["event_type"], ckpt)
+        _drain(q)
+        got = {
+            r["event_type"]: (r["n"], r["hi"])
+            for r in spark.read.parquet(f"{out_dir}/t").collect()
+        }
+        want = {
+            r["event_type"]: (r["n"], r["hi"])
+            for r in read_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("hi"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_hopping_window_final(spark):
+    """W3 hopping + EMIT FINAL: each event counted in size/advance windows."""
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 10)),
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 40)),
+        ("A", dt.datetime(2024, 1, 1, 0, 10, 0)),  # advances watermark far
+    ]
+    src = spark.createDataFrame(rows, "k string, ts timestamp")
+    import os
+
+    d = tempfile.mkdtemp(prefix="hop_src_")
+    try:
+        src.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(src.schema).parquet(d)
+        agg, mode = windowed_aggregate(
+            stream,
+            keys=["k"],
+            ts_col="ts",
+            aggs=[F.count(F.lit(1)).alias("n")],
+            size="60 seconds",
+            advance="30 seconds",
+            grace="1 seconds",
+            emit=EmitMode.FINAL,
+        )
+        q = start_memory_sink(agg, "hop_final", mode)
+        _drain(q)
+        got = {
+            (r["window_start"].minute, r["window_start"].second): r["n"]
+            for r in spark.sql("SELECT * FROM hop_final").collect()
+            if r["window_start"].minute == 0 or (r["window_start"].minute == 59)
+        }
+        # event at :10 lands in [59:30,0:30) and [0:00,1:00); :40 in [0:00,1:00) and [0:30,1:30)
+        assert got.get((59, 30)) == 1
+        assert got.get((0, 0)) == 2
+        assert got.get((0, 30)) == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
