@@ -69,6 +69,15 @@ class SparkKsqlContext:
     def entity(self, name: str) -> Entity:
         return self._entities[name]
 
+    def entity_set(self, name: str, path: str | None = None,
+                   is_stream: bool = False) -> "EventSet":
+        """Typed EventSet<T> handle for one registered entity.
+
+        ``path`` is the writable storage location (required for add());
+        reads go through the catalog view either way.
+        """
+        return EventSet(self, self._entities[name], path=path, is_stream=is_stream)
+
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Plain loader used by __spark_entry__ / bench: name -> DataFrame."""
@@ -78,3 +87,83 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         if os.path.exists(p):
             out[name] = spark.read.parquet(p)
     return out
+
+
+class EventSet:
+    """Typed per-entity handle — EventSet<T> analog
+    (/root/reference/src/EntitySets/EventSet.cs:22-635).
+
+    Batch collapse of the reference's surface:
+    - ``add(rows)``        ≙ AddAsync: append typed rows to the entity's
+      storage (produce).
+    - ``to_list(...)``     ≙ ToListAsync: materialize a TABLE; raises on
+      stream-mode entities (EventSet.cs:128-129 guard) and on the DLQ
+      (:125-126).
+    - ``map(fn)``          ≙ Map: eager transform into a derived frame.
+    - ``for_each_batch``   ≙ ForEachAsync: streaming consume with retry /
+      DLQ policy (delegates to streaming.consume.Consumer).
+    - ``on_error(action)`` ≙ OnError: Skip / Retry / DLQ per entity;
+      banned on the DLQ stream itself (EventSetExtensions.cs:21-23).
+    """
+
+    DLQ_NAME = "dlq"
+
+    def __init__(self, ctx: "SparkKsqlContext", entity: Entity,
+                 path: str | None = None, is_stream: bool = False):
+        self._ctx = ctx
+        self._entity = entity
+        self._path = path
+        self._is_stream = is_stream
+        self._error_action = None
+
+    @property
+    def df(self) -> DataFrame:
+        return self._ctx.table(self._entity.name)
+
+    def add(self, rows: list) -> None:
+        """Append rows (validated against the entity schema)."""
+        if self._path is None:
+            raise ValueError(f"entity {self._entity.name!r} has no storage path")
+        batch = self._ctx.spark.createDataFrame(rows, self._entity.schema)
+        batch.write.mode("append").parquet(self._path)
+        # refresh the catalog view over the storage
+        self._ctx.spark.read.schema(self._entity.schema).parquet(
+            self._path
+        ).createOrReplaceTempView(self._entity.name)
+
+    def to_list(self, limit: int | None = None):
+        if self._is_stream:
+            raise RuntimeError(
+                f"ToListAsync is not supported on stream entities "
+                f"({self._entity.name}); consume with for_each_batch instead"
+            )
+        if self._entity.name == self.DLQ_NAME:
+            raise RuntimeError("ToListAsync is not supported on the DLQ stream")
+        df = self.df
+        if limit is not None:
+            df = df.limit(limit)
+        return df.collect()
+
+    def map(self, fn: Callable[[DataFrame], DataFrame]) -> DataFrame:
+        return fn(self.df)
+
+    def on_error(self, action) -> "EventSet":
+        if self._entity.name == self.DLQ_NAME:
+            raise RuntimeError("OnError(DLQ) is not allowed on the DLQ stream")
+        self._error_action = action
+        return self
+
+    def for_each(self, stream_df: DataFrame, action, checkpoint: str,
+                 **consumer_kw):
+        """ForEachAsync: streaming consume with this entity's error
+        action (retry / DLQ policy handled by streaming.consume.Consumer)."""
+        from .streaming.consume import Consumer, ErrorAction
+
+        consumer = Consumer(
+            source_name=self._entity.name,
+            on_error=self._error_action or ErrorAction.DLQ,
+            **consumer_kw,
+        )
+        return consumer.start(
+            stream_df, action, checkpoint, query_name=self._entity.name
+        )

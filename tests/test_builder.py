@@ -100,3 +100,37 @@ def test_tumbling_groupby_select(spark, sf_dir):
     df = q.to_df()
     assert "window" in df.columns
     assert df.count() > 0
+
+
+def test_eventset_add_to_list_guards(spark, tmp_path):
+    from ksql_linq_spark.context import SparkKsqlContext
+    from ksql_linq_spark.entity import Column, Entity
+
+    ctx = SparkKsqlContext(spark)
+    ent = Entity(
+        "trades",
+        [
+            Column("id", "long", key_order=0),
+            Column("sym", "string"),
+            Column("px", "double"),
+        ],
+    )
+    ctx.register_entity(ent)
+    es = ctx.entity_set("trades", path=str(tmp_path / "trades"))
+    es.add([(1, "A", 10.0), (2, "B", 20.0)])
+    es.add([(3, "A", 30.0)])
+    rows = {r["id"]: r["px"] for r in es.to_list()}
+    assert rows == {1: 10.0, 2: 20.0, 3: 30.0}
+    assert es.map(lambda df: df.filter(df.sym == "A")).count() == 2
+
+    stream_es = ctx.entity_set("trades", is_stream=True)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="stream"):
+        stream_es.to_list()
+
+    dlq_ent = Entity("dlq", [Column("k", "string")])
+    ctx.register_entity(dlq_ent)
+    dlq_es = ctx.entity_set("dlq")
+    with _pytest.raises(RuntimeError, match="DLQ"):
+        dlq_es.on_error(None)
