@@ -78,11 +78,11 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entry_mod.queries()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
