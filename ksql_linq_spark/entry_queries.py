@@ -1620,3 +1620,96 @@ def pipeline_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("tokens"),
         )
     )
+
+
+@q(
+    "moving_average_window",
+    oracle="""
+    SELECT event_id, event_type,
+           round(avg(value) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+             AS ma4,
+           lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+             AS prev_value
+    FROM events
+    """,
+)
+def moving_average_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window superset (reference pull queries have no window
+    functions): 4-row moving average + lag per key, deterministic order
+    via (ts, event_id)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.avg("value").over(w.rowsBetween(-3, 0)), 6).alias("ma4"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+
+
+@q(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             md5({_DK_NORM}) AS fp,
+             CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.25 END
+               AS q
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id)
+               AS rn
+      FROM scored)
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked dedup (corpus-pipeline variant of exact dedup):
+    keep the best-quality doc per fingerprint, not the lowest id —
+    rank within fingerprint partitions by (quality desc, id)."""
+    from pyspark.sql.window import Window
+
+    from .operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    q_ = F.when(F.col("n_chars").between(100, 20000), 1.0).otherwise(0.25)
+    scored = d.select(
+        "doc_id", "lang", "n_chars", fingerprint(F.col("text")).alias("fp"),
+        q_.alias("q"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("q").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@q(
+    "cube_aggregation",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 superset: CUBE grouping sets (rollup's sibling — all key
+    combinations from the same partial aggregates)."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )

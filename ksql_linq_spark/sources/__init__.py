@@ -107,3 +107,33 @@ def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: st
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def avro_decode(df: DataFrame, value_col: str, json_schema: str) -> DataFrame | None:
+    """S1 Avro value decode (the reference's Schema-Registry Avro path,
+    /root/reference/src/Mapping/MappingRegistry.cs:46-257 →
+    spark-avro ``from_avro``).  Returns None when the spark-avro package
+    is not on the classpath (it is not baked into this container —
+    deployments add ``--packages org.apache.spark:spark-avro_2.13:<ver>``).
+    Confluent wire format note: strip the 5-byte magic+schema-id prefix
+    (``substring(value, 6, length-5)``) before decoding."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+
+        out = df.withColumn("_decoded", from_avro(F.col(value_col), json_schema))
+        out.schema  # force analysis so a missing jar fails here
+        return out
+    except Exception:
+        return None
+
+
+def avro_encode(df: DataFrame, struct_col: str) -> DataFrame | None:
+    """S2 Avro value encode (``to_avro``); None when spark-avro is absent."""
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        out = df.withColumn("_encoded", to_avro(F.col(struct_col)))
+        out.schema
+        return out
+    except Exception:
+        return None
