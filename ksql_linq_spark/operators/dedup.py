@@ -167,27 +167,32 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     fingerprint is 1 iff sum over tokens of (+1 if token-hash bit j else -1)
     is positive.
     """
-    from .text import tokens, normalize_text
+    from .text import normalize_text, tokens
 
-    toks = df.select(
+    # explode tokens (tokenizer runs once per row), hash each token, then
+    # 32 codegen'd sign-vote SUM aggregates with map-side partials — the
+    # earlier form ran 32 interpreted F.aggregate folds per row
+    th = df.select(
         F.col(id_col),
-        F.transform(
-            tokens(normalize_text(F.col(text_col))),
-            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-        ).alias("h"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    ).select(
+        F.col(id_col), _md5_half(F.col("tok"), 1).alias("h")
     )
-    # unrolled per-bit vote expressions (bits is small + static): each is
-    # one JVM-side fold over the token-hash array, no Python per row
-    def _vote(mask):
-        # closure, not default-arg: pyspark lambdas must match exact arity
-        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
-
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << j).cast("long")) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = th.groupBy(id_col).agg(*votes)
     fp = F.lit(0).cast("long")
     for j in range(bits):
-        mask = F.lit(1 << j).cast("long")
-        vote = F.aggregate(F.col("h"), F.lit(0).cast("long"), _vote(mask))
-        fp = fp.bitwiseOR(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
-    return toks.select(F.col(id_col), fp.alias("simhash"))
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
