@@ -195,3 +195,32 @@ def start_streaming_cascade(
             .start()
         )
     return queries
+
+
+def write_bar_tables(
+    tiers: dict[str, DataFrame],
+    base_dir: str,
+    partition_by_date: bool = True,
+    mode: str = "overwrite",
+) -> dict[str, str]:
+    """Materialize cascade tiers as parquet bar tables, partitioned by
+    bucket DATE so TimeBucket reads (runtime.py) and incremental rebuild
+    jobs partition-prune: a read of one day touches one directory, not
+    the table.  At 100 TB add bucketBy(keys) so tier re-rollups become
+    shuffle-free co-partitioned scans.
+
+    Returns {tier_name: path}.
+    """
+    out: dict[str, str] = {}
+    for name, df in tiers.items():
+        path = f"{base_dir}/{name}"
+        w = df
+        writer = None
+        if partition_by_date:
+            w = df.withColumn("bucket_date", F.to_date("bucket_start"))
+            writer = w.write.partitionBy("bucket_date")
+        else:
+            writer = w.write
+        writer.mode(mode).parquet(path)
+        out[name] = path
+    return out

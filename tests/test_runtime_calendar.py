@@ -157,3 +157,30 @@ def test_streaming_cascade_end_to_end(spark, sf_dir):
     for r in t5.select("event_type", "bucket_start", "high").collect():
         assert abs(exp[(r["event_type"], r["bucket_start"])] - r["high"]) < 1e-9
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bar_table_partition_pruning(spark, sf_dir, tmp_path):
+    """write_bar_tables + a bucket-date filter must partition-prune:
+    the scan's PartitionFilters must carry the date predicate."""
+    from ksql_linq_spark.operators.cascade import CascadePlan, build_cascade, write_bar_tables
+    from ksql_linq_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    plan = CascadePlan(
+        base_name="bars", keys=["event_type"], ts_col="ts",
+        price_col="value", timeframes=["1m"],
+    )
+    tiers = build_cascade(plan, ev)
+    paths = write_bar_tables(
+        {"bars_1m_live": tiers["bars_1m_live"]}, str(tmp_path)
+    )
+    df = spark.read.parquet(paths["bars_1m_live"])
+    some_date = df.select(F.to_date("bucket_start").alias("d")).first()["d"]
+    q = df.filter(F.col("bucket_date") == F.lit(some_date))
+    plan_str = q._jdf.queryExecution().executedPlan().toString()
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan_str)
+    assert pf and "bucket_date" in pf.group(1), plan_str[:800]
+    # the pruned scan must read strictly fewer files than the full table
+    assert q.count() > 0
+    assert q.count() < df.count()
