@@ -1713,3 +1713,15 @@ def cube_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@q("similarity_ivf_ann")  # ANN via trained coarse quantizer — rows-only check
+def similarity_ivf_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-file ANN (KMeans coarse quantizer, 3-probe): the
+    trained-index sibling of the sign-LSH path — recall < 1 by design,
+    so the driver records the weaker rows-only check."""
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(e, qvec, k=10, n_centroids=8, n_probes=3)

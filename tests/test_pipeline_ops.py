@@ -189,3 +189,16 @@ def test_embedding_cosine_blocked_matches_expr(spark):
     assert expr == blocked  # bit-exact, not approx
     assert (1, 4) in blocked and abs(blocked[(1, 4)] - 1.0) < 1e-12
     assert (1, 3) not in blocked
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from ksql_linq_spark.operators.similarity import brute_force_topk, ivf_topk
+    from ksql_linq_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(e, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(e, qvec, k=10, n_centroids=8, n_probes=3).collect()]
+    # query vector itself always lands in its probed cell
+    assert 0 in approx
+    assert len(set(exact) & set(approx)) >= 5  # recall >= 0.5 on sf0.001
