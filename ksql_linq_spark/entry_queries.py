@@ -1725,3 +1725,33 @@ def similarity_ivf_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return ivf_topk(e, qvec, k=10, n_centroids=8, n_probes=3)
+
+
+@q(
+    "dsl_tumbling_counts",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           count(*) AS n,
+           max(value) AS hi
+    FROM events
+    WHERE value > 0
+    GROUP BY 1, 2
+    """,
+)
+def dsl_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregation THROUGH the fluent DSL (From -> Where ->
+    GroupBy -> Tumbling -> Select), proving the stage-validated builder
+    emits the same plan as the direct DataFrame form."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        from_df(ev)
+        .where(F.col("value") > 0)
+        .group_by("event_type")
+        .tumbling("ts", "10 minutes")
+        .select(F.count(F.lit(1)).alias("n"), F.max("value").alias("hi"))
+        .to_df()
+    )
+    return out.select(
+        "event_type", F.col("window.start").alias("window_start"), "n", "hi"
+    )

@@ -211,3 +211,35 @@ def test_bucket_start_floor_properties(spark, seconds, tf):
     for r in out:
         assert r["b"] <= r["ts"] < r["e"]  # ts inside its bucket
         assert r["bb"] == r["b"]  # flooring is idempotent
+
+
+@given(data=ticks)
+@settings(**SETTINGS)
+def test_cascade_invariant(spark, data):
+    """THE cascade correctness heart: bars rolled up from the 1 s hub
+    must equal bars computed directly from raw ticks, for every
+    composable aggregate (open/high/low/close/sum/count)."""
+    from ksql_linq_spark.operators.cascade import CascadePlan, build_cascade
+    from ksql_linq_spark.operators.ohlc import ohlc_bars
+
+    seen: dict[tuple, tuple] = {}
+    for k, s, v in data:
+        seen[(k, s)] = (k, BASE + dt.timedelta(seconds=s), float(v))
+    rows = list(seen.values())
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    plan = CascadePlan(
+        base_name="t", keys=["k"], ts_col="ts", price_col="v", timeframes=["5m"]
+    )
+    tiers = build_cascade(plan, df)
+    via_hub = {
+        (r["k"], r["bucket_start"]): (r["open"], r["high"], r["low"], r["close"], r["cnt"])
+        for r in tiers["t_5m_live"].collect()
+    }
+    direct = {
+        (r["k"], r["bucket_start"]): (r["open"], r["high"], r["low"], r["close"], r["volume"])
+        for r in ohlc_bars(
+            df, ["k"], "ts", "v", "5m",
+            extra_aggs=[F.count(F.lit(1)).alias("volume")],
+        ).collect()
+    }
+    assert via_hub == direct
