@@ -271,3 +271,39 @@ def test_hopping_window_final(spark):
         assert got.get((0, 30)) == 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_session_window(spark):
+    """Session windows in streaming mode: watermark-closed sessions land
+    in append mode with last_event + gap as the end."""
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 0)),
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 20)),
+        ("A", dt.datetime(2024, 1, 1, 1, 0, 0)),  # far ahead: closes session 1
+    ]
+    src = spark.createDataFrame(rows, "k string, ts timestamp")
+    d = tempfile.mkdtemp(prefix="sess_src_")
+    try:
+        src.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(src.schema).parquet(d)
+        agg = (
+            stream.withWatermark("ts", "5 seconds")
+            .groupBy("k", F.session_window("ts", "30 seconds"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "k",
+                F.col("session_window.start").alias("s"),
+                F.col("session_window.end").alias("e"),
+                "n",
+            )
+        )
+        q = start_memory_sink(agg, "sess_final", "append")
+        _drain(q)
+        got = {
+            (r["s"], r["e"]): r["n"]
+            for r in spark.sql("SELECT * FROM sess_final").collect()
+        }
+        s1 = (dt.datetime(2024, 1, 1, 0, 0, 0), dt.datetime(2024, 1, 1, 0, 0, 50))
+        assert got.get(s1) == 2  # merged pair, end = last + gap
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
