@@ -1755,3 +1755,25 @@ def dsl_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", F.col("window.start").alias("window_start"), "n", "hi"
     )
+
+
+@q(
+    "calendar_week_sunday_anchor",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts - INTERVAL 6 days) + INTERVAL 6 days
+                AS TIMESTAMP) AS week_start,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def calendar_week_sunday_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 with a NON-default anchor: Sunday-anchored weekly buckets
+    (reference default is Monday, anchor configurable —
+    /root/reference/src/Query/Dsl/KsqlQueryModel.cs:41)."""
+    from .operators.windows import bucket_start
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        bucket_start("ts", "1wk", week_anchor="sunday").alias("week_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
