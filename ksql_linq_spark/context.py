@@ -42,12 +42,17 @@ class SparkKsqlContext:
             df.createOrReplaceTempView(entity.name)
 
     def register_parquet_dir(self, data_dir: str, tables: list[str] | None = None) -> None:
-        """Register every driver table in ``data_dir`` as a temp view."""
+        """Register every driver table in ``data_dir`` as a temp view,
+        with the same nanosecond-timestamp normalization as
+        sources.read_table (events.ts is TIMESTAMP(NANOS) on disk — a raw
+        read would surface it as BIGINT and silently break time ops)."""
+        from .sources import read_table
+
         self.data_dir = data_dir
         for name in tables or TABLES:
             p = os.path.join(data_dir, f"{name}.parquet")
             if os.path.exists(p):
-                self.spark.read.parquet(p).createOrReplaceTempView(name)
+                read_table(self.spark, data_dir, name).createOrReplaceTempView(name)
 
     def to_query(self, name: str, fn: Callable[["SparkKsqlContext"], Query | DataFrame]) -> None:
         """ToQuery(...) — attach a derived entity defined by a query
