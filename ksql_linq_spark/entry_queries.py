@@ -1758,6 +1758,80 @@ def dsl_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "asof_join_prior_purchase",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts, value AS click_value
+        FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts AS purchase_ts, max(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts, c.click_value,
+           p.purchase_ts, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+    """,
+)
+def asof_join_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 superset: as-of join (nearest PRIOR event per key) — the join
+    family the reference rejects (only equality conjunctions,
+    /root/reference/src/Query/Builders/Statements/KsqlCreateStatementBuilder.cs:392).
+    One shuffle, no candidate expansion (operators/asof.py)."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(clicks, purchases, ["user_id"], "ts", "purchase_ts")
+
+
+@q(
+    "asof_join_next_error",
+    oracle="""
+    WITH purch AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), errs AS (
+        SELECT user_id, ts AS error_ts, max(event_id) AS error_id
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ), joined AS MATERIALIZED (
+        -- MATERIALIZED blocks DuckDB from pushing the tolerance predicate
+        -- into the ASOF condition ("Multiple ASOF JOIN inequalities")
+        SELECT p.event_id, p.user_id, p.ts, e.error_ts, e.error_id
+        FROM purch p ASOF JOIN errs e
+          ON p.user_id = e.user_id AND p.ts <= e.error_ts
+    )
+    SELECT * FROM joined WHERE error_ts <= ts + INTERVAL 14400 SECONDS
+    """,
+)
+def asof_join_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of FORWARD + tolerance + inner: first error within 4 hours
+    after each purchase (µs-exact tolerance boundary, matching DuckDB
+    INTERVAL arithmetic)."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("error_ts"))
+        .agg(F.max("event_id").alias("error_id"))
+    )
+    return asof_join(
+        purch, errs, ["user_id"], "ts", "error_ts",
+        direction="forward", tolerance=14400.0, how="inner",
+    )
+
+
+@q(
     "calendar_week_sunday_anchor",
     oracle="""
     SELECT CAST(date_trunc('week', ts - INTERVAL 6 days) + INTERVAL 6 days
