@@ -1,0 +1,84 @@
+"""Physical-plan audit gates.
+
+SCALING.md makes concrete claims about how operators execute (pushdown
+reaches the scan, dims broadcast, no row-at-a-time Python in any query).
+These tests pin those claims to the actual `explain()` output so a
+regression (e.g. a refactor that introduces a BatchEvalPython node or
+breaks column pruning) fails CI rather than silently costing 10-100x at
+cluster scale.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksql_linq_spark.sources import read_table
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "event_type")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,click)" in plan, plan
+
+
+def test_column_pruning_two_column_projection(spark, sf_dir):
+    df = read_table(spark, sf_dir, "events").select("event_id", "event_type")
+    plan = plan_of(df)
+    # the scan's ReadSchema must not include unused wide columns
+    readschema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert readschema, plan
+    assert "props" not in readschema[0] and "value" not in readschema[0], readschema[0]
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    df = cust.join(nat, cust.c_nationkey == nat.n_nationkey).groupBy("n_name").count()
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_flagship_plan_shape(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["ohlc_1m_bars"](spark, sf_dir)
+    plan = plan_of(df)
+    # map-side partial aggregation with min_by/max_by open/close carriers,
+    # and exactly ONE shuffle (the aggregate's own)
+    assert "partial_min_by" in plan and "partial_max_by" in plan, plan
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    # codegen stage markers appear once AQE finalizes
+    df.collect()
+    assert "*(" in plan_of(df, "simple")
+
+
+@pytest.mark.slow
+def test_no_rowwise_python_udf_in_any_registered_query(spark, sf_dir):
+    """Repo-wide gate: Python may appear only Arrow-batched (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas), never BatchEvalPython."""
+    import __spark_entry__ as m
+
+    offenders = {}
+    for name, fn in m.queries().items():
+        plan = plan_of(fn(spark, sf_dir), "extended")
+        if "BatchEvalPython" in plan:
+            offenders[name] = plan
+    assert not offenders, f"row-wise Python UDF in: {sorted(offenders)}"
