@@ -1336,6 +1336,78 @@ def rollup_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "grouping_sets_aggregation",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 superset: explicit GROUPING SETS (arbitrary set list — cube and
+    rollup's general form; one pass, shared partial aggregates)."""
+    od = _t(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@q(
+    "window_ranking",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           rank() OVER (PARTITION BY o_orderpriority
+                        ORDER BY CAST(floor(o_totalprice / 10000) AS INT) DESC)
+             AS price_band_rank,
+           dense_rank() OVER (PARTITION BY o_orderpriority
+                        ORDER BY CAST(floor(o_totalprice / 10000) AS INT) DESC)
+             AS price_band_dense,
+           row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey)
+             AS rn,
+           ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey)
+             AS quartile,
+           lead(o_orderkey) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey)
+             AS next_orderkey
+    FROM orders
+    """,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 superset: ranking window family (rank/dense_rank over a
+    banded key exercising tie semantics; row_number/ntile/lead over a
+    total order so results are engine-independent)."""
+    from pyspark.sql import Window
+
+    od = _t(spark, sf_dir, "orders")
+    band = F.floor(F.col("o_totalprice") / 10000).cast("int")
+    w_band = Window.partitionBy("o_orderpriority").orderBy(band.desc())
+    w_total = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w_band).alias("price_band_rank"),
+        F.dense_rank().over(w_band).alias("price_band_dense"),
+        F.row_number().over(w_total).alias("rn"),
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.lead("o_orderkey").over(w_total).alias("next_orderkey"),
+    )
+
+
 @q("approx_count_distinct")  # HLL sketch — engine-specific, rows-only check
 def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 at 100 TB: approx_count_distinct (HyperLogLog++) — the scale
