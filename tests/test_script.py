@@ -1,0 +1,81 @@
+"""Design-time export tests (ScriptCommand/AvroCommand parity)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ksql_linq_spark.context import SparkKsqlContext
+from ksql_linq_spark.entity import Column, Entity
+from ksql_linq_spark.script import (
+    avro_key_schema,
+    avro_value_schema,
+    create_table_ddl,
+    ddl_script,
+)
+
+
+def _entity():
+    return Entity(
+        "trades",
+        [
+            Column("broker", "string", nullable=False, key_order=0),
+            Column("symbol", "string", nullable=False, key_order=1),
+            Column("ts", "timestamp", timestamp=True),
+            Column("price", "decimal(18,4)"),
+            Column("qty", "long"),
+        ],
+        topic="trades_topic",
+        partitions=3,
+    )
+
+
+def test_create_table_ddl_is_executable(spark):
+    loc = tempfile.mkdtemp(prefix="ddl_")
+    try:
+        ddl = create_table_ddl(_entity(), location=loc)
+        spark.sql(ddl)
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql("SHOW TBLPROPERTIES trades").collect()
+        }
+        assert props["ksql.key.columns"] == "broker,symbol"
+        assert props["ksql.timestamp.column"] == "ts"
+        assert props["ksql.topic"] == "trades_topic"
+        assert dict(spark.table("trades").dtypes)["price"] == "decimal(18,4)"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS trades")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_avro_schemas():
+    ent = _entity()
+    key = avro_key_schema(ent)
+    # composite key in [KsqlKey] order, non-nullable
+    assert [f["name"] for f in key["fields"]] == ["broker", "symbol"]
+    assert all(f["type"] == "string" for f in key["fields"])
+    val = avro_value_schema(ent)
+    by_name = {f["name"]: f for f in val["fields"]}
+    assert by_name["ts"]["type"] == ["null", {"type": "long", "logicalType": "timestamp-millis"}]
+    assert by_name["price"]["type"][1]["logicalType"] == "decimal"
+    assert by_name["price"]["type"][1]["precision"] == 18
+    assert by_name["broker"]["type"] == "string"  # NOT NULL -> no union
+    assert by_name["qty"]["default"] is None
+
+
+def test_ddl_script_includes_derived_plan(spark, sf_dir):
+    ctx = SparkKsqlContext(spark)
+    ctx.register_parquet_dir(sf_dir)
+    ctx._entities["trades"] = _entity()
+    ctx.to_query(
+        "totals",
+        lambda c: c.from_("events")
+        .group_by("event_type")
+        .select(F.count(F.lit(1)).alias("n")),
+    )
+    text = ddl_script(ctx)
+    assert "CREATE TABLE IF NOT EXISTS trades" in text
+    assert "DERIVED ENTITY totals" in text
+    assert "Aggregate" in text  # analyzed plan made it into the comment block
