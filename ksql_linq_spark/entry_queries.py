@@ -1337,6 +1337,53 @@ def rollup_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dataset_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 800 THEN 'train'
+                WHEN b < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 1000 AS b
+          FROM documents)
+    """,
+)
+def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation: deterministic md5-bucket train/val/test
+    split — reproducible across engines/runs, no sampling state, new
+    data never reassigns old rows (operators/dataset.py)."""
+    from .operators.dataset import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", hash_split("doc_id"))
+
+
+@q(
+    "dataset_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, len({_DK_TOKS.format(src='text')}) AS tok
+        FROM documents
+    )
+    SELECT doc_id, lang, tok,
+           CAST(floor((sum(tok) OVER (PARTITION BY lang ORDER BY doc_id)
+                       - tok) / 2048.0) AS BIGINT) AS bin
+    FROM t
+    """,
+)
+def dataset_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation: greedy contiguous sequence packing into
+    2048-token bins per language (prefix-sum window, one shuffle)."""
+    from .operators.dataset import pack_sequences
+    from .operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("tok")
+    )
+    return pack_sequences(d, "tok", "doc_id", 2048, ["lang"])
+
+
+@q(
     "grouping_sets_aggregation",
     oracle="""
     SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -1,0 +1,82 @@
+"""Dataset-curation operators for training-data pipelines.
+
+Two ops a 100 TB corpus pipeline needs that are pure, deterministic
+column expressions (no state, no shuffle of their own — they ride the
+enclosing query's plan):
+
+- :func:`hash_split` — stable train/val/test assignment by hashing a key
+  column through md5.  Hash-based splitting is THE at-scale method: no
+  global sort, no sampling state, reproducible across runs/engines, and
+  adding data never reassigns existing rows.  (Random sampling with a
+  seed is engine-specific; md5 is bit-identical everywhere, so the split
+  is oracle-checkable.)
+- :func:`pack_sequences` — greedy contiguous packing of documents into
+  token-budget bins (sequence packing for LLM pretraining batches).
+  Bin id = floor((running_total - own_tokens) / budget) over a per-group
+  ordered window: each document goes to the bin where its prefix-sum
+  starts; a document straddling a boundary belongs to the bin it starts
+  in (standard streaming-packing semantics — bins can overflow by at
+  most one document, never underfill by more than a document).  One
+  window shuffle on the partition key; the cumulative sum is O(1) state
+  per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def split_bucket(key: Column | str, buckets: int = 1000) -> Column:
+    """Deterministic [0, buckets) bucket from md5 of the key's string form."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("int")
+        % buckets
+    )
+
+
+def hash_split(
+    key: Column | str,
+    fractions: dict[str, float] | None = None,
+    buckets: int = 1000,
+) -> Column:
+    """Split-name column, e.g. ``{"train": .8, "val": .1, "test": .1}``.
+    Boundaries are cumulative bucket thresholds, so fractions are exact
+    to 1/buckets granularity."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    b = split_bucket(key, buckets)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = b < int(round(cum * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])).alias(
+        "split"
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    partition_cols: list[str] | None = None,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Assign each row a contiguous token-budget bin id per partition
+    group.  ``order_col`` must be a total order within each group
+    (otherwise the cumulative sum — and thus binning — is
+    nondeterministic)."""
+    w = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
+    ).orderBy(order_col)
+    cum = F.sum(token_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bin_id = F.floor((cum - F.col(token_col)) / float(budget)).cast("long")
+    return df.withColumn(bin_col, bin_id)

@@ -202,3 +202,43 @@ def test_ivf_topk_recall(spark, sf_dir):
     # query vector itself always lands in its probed cell
     assert 0 in approx
     assert len(set(exact) & set(approx)) >= 5  # recall >= 0.5 on sf0.001
+
+
+def test_hash_split_deterministic_and_proportional(spark, sf_dir):
+    from ksql_linq_spark.operators.dataset import hash_split
+    from ksql_linq_spark.sources import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in d.select("doc_id", hash_split("doc_id")).collect()}
+    b = {r["doc_id"]: r["split"] for r in d.select("doc_id", hash_split("doc_id")).collect()}
+    assert a == b  # stable across runs
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train") / n
+    assert 0.7 < train < 0.9  # md5 buckets are uniform-ish even at 500 docs
+    # growing the corpus never reassigns existing rows
+    half = {r["doc_id"]: r["split"]
+            for r in d.limit(n // 2).select("doc_id", hash_split("doc_id")).collect()}
+    assert all(a[k] == v for k, v in half.items())
+
+
+def test_hash_split_validates_fractions(spark):
+    from ksql_linq_spark.operators.dataset import hash_split
+
+    try:
+        hash_split("x", {"train": 0.5, "test": 0.1})
+    except ValueError as e:
+        assert "sum to 1" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_pack_sequences_semantics(spark):
+    from ksql_linq_spark.operators.dataset import pack_sequences
+
+    rows = [("en", i, tok) for i, tok in enumerate([600, 600, 600, 600, 2500, 100])]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, tok long")
+    got = {r["doc_id"]: r["bin"] for r in pack_sequences(df, "tok", "doc_id", 1000, ["lang"]).collect()}
+    # doc0 starts at 0 -> bin 0; doc1 starts at 600 -> bin 0 (overflows it);
+    # doc2 starts at 1200 -> bin 1; doc3 at 1800 -> bin 1; the 2500-token doc
+    # starts at 2400 -> bin 2; doc5 starts at 4900 -> bin 4
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 4}
