@@ -243,3 +243,55 @@ def test_cascade_invariant(spark, data):
         ).collect()
     }
     assert via_hub == direct
+
+
+asof_events = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2]),                   # key
+        st.integers(min_value=0, max_value=50),    # ts (small range forces ties)
+        st.booleans(),                             # side: right row?
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(data=asof_events, direction=st.sampled_from(["backward", "forward"]),
+       strict=st.booleans())
+@settings(**SETTINGS)
+def test_asof_matches_bruteforce(spark, data, direction, strict):
+    from ksql_linq_spark.operators.asof import asof_join
+
+    lefts = [(k, t) for (k, t, is_r) in data if not is_r]
+    # dedup right rows per (key, ts) — the operator's documented contract
+    rights = sorted({(k, t) for (k, t, is_r) in data if is_r})
+    if not lefts or not rights:
+        return
+    l = spark.createDataFrame([(k, float(t)) for k, t in lefts], "k long, ts double")
+    r = spark.createDataFrame(
+        [(k, float(t), float(k * 1000 + t)) for k, t in rights],
+        "k long, rts double, rv double",
+    )
+    got = {
+        (row.k, row.ts, i): row.rv
+        for i, row in enumerate(
+            asof_join(l, r, ["k"], "ts", "rts", direction=direction, strict=strict)
+            .orderBy("k", "ts")
+            .collect()
+        )
+    }
+
+    def model(k, t):
+        if direction == "backward":
+            cand = [(rt, k * 1000 + rt) for rk, rt in rights
+                    if rk == k and (rt < t if strict else rt <= t)]
+            return max(cand)[1] if cand else None
+        cand = [(rt, k * 1000 + rt) for rk, rt in rights
+                if rk == k and (rt > t if strict else rt >= t)]
+        return min(cand)[1] if cand else None
+
+    want = {
+        (k, float(t), i): model(k, t)
+        for i, (k, t) in enumerate(sorted(lefts, key=lambda x: (x[0], x[1])))
+    }
+    assert got == want

@@ -34,6 +34,9 @@ def _entity():
 
 def test_create_table_ddl_is_executable(spark):
     loc = tempfile.mkdtemp(prefix="ddl_")
+    # a temp view named "trades" (left by other tests) would shadow the
+    # catalog table for SHOW TBLPROPERTIES / spark.table resolution
+    spark.catalog.dropTempView("trades")
     try:
         ddl = create_table_ddl(_entity(), location=loc)
         spark.sql(ddl)
