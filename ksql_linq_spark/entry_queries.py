@@ -1970,3 +1970,153 @@ def calendar_week_sunday_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         bucket_start("ts", "1wk", week_anchor="sunday").alias("week_start")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ======================================================================
+# Exact-moment statistics, heavy hitters, decontamination, stratified
+# sampling (SURVEY §2.4 supersets + build-brief training-data ops)
+# ======================================================================
+
+_MOM = """
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n_raw,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS DOUBLE) AS syy,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n_raw AS n,
+           sx / n AS mean,
+           CASE WHEN n_raw > 1
+                THEN (n * sxx - sx * sx) / (n * (n - 1.0)) END AS var_samp,
+           CASE WHEN n_raw > 1
+                THEN sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) END
+             AS stddev_samp,
+           CASE WHEN n_raw > 1
+                THEN (n * sxy - sx * sy) / (n * (n - 1.0)) END AS covar_samp,
+           CASE WHEN n_raw > 1 AND (n * sxx - sx * sx) > 0
+                 AND (n * syy - sy * sy) > 0
+                THEN (n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END
+             AS corr
+    FROM m
+"""
+
+
+@q("agg_moment_statistics", oracle=_MOM)
+def agg_moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stddev/var/covar/corr from exact decimal moments
+    (operators/stats.py) — superset; the reference registry has no
+    statistical aggregates (src/Query/Builders/Functions/
+    KsqlFunctionRegistry.cs)."""
+    from .operators.stats import moment_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return moment_stats(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice", scale=2
+    )
+
+
+@q(
+    "approx_heavy_hitters",
+    oracle="""
+    SELECT l_partkey, count(*) AS cnt
+    FROM lineitem
+    GROUP BY 1
+    HAVING count(*) >= ceil(0.0005 * (SELECT count(*) FROM lineitem))
+    """,
+)
+def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase frequent items (operators/sketch.py): local candidate
+    generation (pigeonhole superset, no shuffle) + exact recount of
+    candidates only — exact output, which is why it oracle-checks even
+    though the plan is the approximate-sketch shape."""
+    from .operators.sketch import heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem")
+    return heavy_hitters(li, "l_partkey", support=0.0005)
+
+
+@q(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT
+                       % 1000 < 800 THEN 'train'
+                  WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT
+                       % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    toks AS (
+      SELECT doc_id, split, {_DK_TOKS.format(src=_DK_NORM)} AS t FROM split),
+    sh AS (
+      SELECT doc_id, split,
+             CASE WHEN len(t) - 2 > 0
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS sh
+      FROM toks),
+    ev AS (SELECT doc_id, len(sh) AS total, unnest(sh) AS s
+           FROM sh WHERE split = 'test'),
+    tr AS (SELECT doc_id AS tid, unnest(sh) AS s FROM sh WHERE split = 'train'),
+    hits AS (
+      SELECT ev.doc_id,
+             count(DISTINCT ev.s) AS overlap,
+             count(DISTINCT tr.tid) AS train_docs
+      FROM ev JOIN tr USING (s) GROUP BY 1),
+    base AS (SELECT DISTINCT doc_id, total FROM ev)
+    SELECT base.doc_id, base.total,
+           coalesce(hits.overlap, 0) AS overlap,
+           coalesce(hits.train_docs, 0) AS train_docs,
+           coalesce(hits.overlap, 0) / base.total AS ratio
+    FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appx C style): per test-split
+    doc, the fraction of its word 3-gram shingles that appear anywhere
+    in the train split (operators/decontam.py), splits from the md5
+    hash_split."""
+    from .operators.dataset import hash_split
+    from .operators.decontam import contamination_report
+
+    d = _t(spark, sf_dir, "documents").withColumn("split", hash_split("doc_id"))
+    return contamination_report(
+        d.filter(F.col("split") == "train"),
+        d.filter(F.col("split") == "test"),
+        shingle_n=3,
+    )
+
+
+@q(
+    "dataset_stratified_sample",
+    oracle="""
+    SELECT lang, count(*) AS n
+    FROM (SELECT lang,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 1000 AS b
+          FROM documents)
+    WHERE b < CASE lang WHEN 'en' THEN 250 WHEN 'zh' THEN 500 ELSE 1000 END
+    GROUP BY 1
+    """,
+)
+def dataset_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: deterministic per-language md5-bucket
+    downsampling (keep 25% of en, 50% of zh, all others), then the
+    post-sample language histogram."""
+    from .operators.dataset import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.25, "zh": 0.5}, default_rate=1.0
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))

@@ -60,6 +60,37 @@ def hash_split(
     )
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its md5
+    bucket falls under its stratum's rate (e.g. rebalance a corpus by
+    language: ``{"en": 0.25}`` keeps a quarter of English docs and all
+    others).  Same hash discipline as :func:`hash_split` — no sampling
+    state, reproducible across engines/runs, appends never resample
+    existing rows, and filtering happens before any shuffle so
+    downstream stages only see the kept fraction."""
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    b = split_bucket(key, buckets)
+    expr = None
+    for name, r in rates.items():
+        cond = F.col(strata_col) == name
+        val = int(round(r * buckets))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    default = int(round(default_rate * buckets))
+    thr = expr.otherwise(default) if expr is not None else F.lit(default)
+    return df.filter(b < thr)
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -1,0 +1,80 @@
+"""Train/eval contamination detection via n-gram shingle overlap.
+
+Standard LLM benchmark-decontamination method (GPT-3 appendix C /
+PaLM-style): an eval document is contaminated when it shares word
+n-grams with any training document.  This reports, per eval doc, how
+much of its shingle set appears anywhere in the training split —
+the decision input for dropping eval docs (or quarantining train docs).
+
+Dataflow (all codegen'd, reusing :func:`~..operators.text.shingle_rows`'s
+explode+window shingling):
+
+    train shingles (distinct values)  ──┐
+                                        ├── inner join on shingle ──
+    eval shingles (id, s, set size) ────┘
+    → groupBy(eval id): overlap count / distinct train docs hit
+    → left join back onto eval ids (docs with zero overlap report 0)
+
+Scale notes: the join key is the shingle string — high cardinality,
+well distributed, so the shuffle is even.  Stop-shingles (boilerplate
+appearing in thousands of train docs) would blow up the join fan-out;
+``max_shingle_freq`` caps train-side document frequency before the
+join, the same skew guard ngram_jaccard_pairs uses.  The reference has
+no such operator (superset per the build brief's training-data list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import shingle_rows
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Per eval document: ``total`` distinct shingles, ``overlap`` of
+    them present in the train corpus, ``train_docs`` distinct training
+    documents sharing at least one shingle, and ``ratio`` =
+    overlap/total.  Every eval doc appears exactly once (zero rows for
+    clean docs)."""
+    ev = shingle_rows(eval_df, text_col, id_col, shingle_n)
+    ev = ev.select(
+        F.col(id_col),
+        F.col("s"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("total"),
+    )
+    tr = shingle_rows(train, text_col, id_col, shingle_n).withColumnRenamed(
+        id_col, "_train_id"
+    )
+    if max_shingle_freq is not None:
+        tr = (
+            tr.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+            )
+            .filter(F.col("_df") <= max_shingle_freq)
+            .drop("_df")
+        )
+    hits = (
+        ev.join(tr, "s")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("s").alias("overlap"),
+            F.countDistinct("_train_id").alias("train_docs"),
+        )
+    )
+    base = ev.select(id_col, "total").distinct()
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        "total",
+        F.coalesce("overlap", F.lit(0)).alias("overlap"),
+        F.coalesce("train_docs", F.lit(0)).alias("train_docs"),
+        (F.coalesce("overlap", F.lit(0)) / F.col("total")).alias("ratio"),
+    )

