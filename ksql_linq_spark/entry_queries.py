@@ -2120,3 +2120,73 @@ def dataset_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "lang", {"en": 0.25, "zh": 0.5}, default_rate=1.0
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+_DK_LSH_PAIRS = f"""
+    {_DK_SHINGLES},
+    {_DK_MINHASH_HALVES},
+    mh AS (SELECT doc_id, {_DK_MINHASH_MINS} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, [{", ".join(f"m{i}" for i in range(8))}] AS sig FROM mh),
+    banded AS (
+      SELECT doc_id, b AS band_idx,
+             md5(array_to_string(list_transform(sig[b*2+1 : b*2+2],
+                 x -> x::VARCHAR), '|')) AS band_hash
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id)"""
+
+
+@q(
+    "dedup_minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DK_LSH_PAIRS},
+    und AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und)
+      UNION
+      SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.node),
+    cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    """,
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → keepable clusters: connected components (min-label
+    propagation DataFrame loop, operators/graph.py) over the MinHash-LSH
+    candidate pairs; singletons cluster as themselves.  The iterative
+    step is the one operator family here that is NOT SQL-pushdownable —
+    the oracle uses a recursive CTE instead."""
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_n=3)
+    return dedup_clusters(d.select("doc_id"), pairs).select("doc_id", "cluster_id")
+
+
+@q(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS price_p25,
+           quantile_cont(l_extendedprice, 0.9) AS price_p90
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, verified bit-exact incl. interpolation) — superset;
+    reference registry has no percentile aggregate.  Scale note: exact
+    percentile sorts within groups; the approx_quantiles sketch
+    (operators/sketch.py) is the 100 TB path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("price_p25"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("price_p90"),
+    )

@@ -1,0 +1,91 @@
+"""Connected components → near-duplicate cluster assignment.
+
+LSH/Jaccard dedup produces *pairs*; curation needs *clusters* (keep one
+doc per component, drop the rest).  Pair→cluster is connected
+components, an inherently iterative computation Spark has no built-in
+for (GraphFrames is an external package), so this implements min-label
+propagation as a DataFrame loop:
+
+    label(v) ← min(label(v), min over neighbors label(u))   until fixpoint
+
+Each round is one join + one groupBy on the edge list — both
+partitioned by the same key, so AQE reuses the exchange — and
+``localCheckpoint`` truncates the growing lineage (the classic
+iterative-Spark trap: without it, round N replays rounds 1..N-1).
+Rounds needed = graph diameter.  Near-dup components are star/clique
+shaped (diameter ≤ ~4 even at 100 TB — dups of a doc are dups of each
+other), so label propagation beats the O(log n)-round star-contraction
+algorithms (Kiveris et al., "Connected Components in MapReduce", SoCC
+'14) on constant factors here; swap in star-contraction only if you
+feed this adversarial long-path graphs.
+
+The driver-side loop is control flow only (per-round scalar
+convergence count); all data movement is distributed.
+
+Reference: no graph/clustering operator exists in Ksql.Linq (its dedup
+story is key-equality upsert only) — superset per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component id =
+    min node id in the component.  Raises if not converged within
+    ``max_rounds`` (diameter bound exceeded — see module doc)."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            und.join(labels, und["u"] == labels["node"])
+            .groupBy(F.col("v").alias("node2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nmin", "label")).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster id per document: connected component over the near-dup
+    ``pairs`` for paired docs, self for singletons.  Downstream keep-one
+    policy is then ``filter(doc_id == cluster_id)`` (or join a quality
+    rank and keep the best per cluster)."""
+    cc = connected_components(pairs, src, dst)
+    return df.join(cc, df[id_col] == cc["node"], "left").select(
+        df["*"], F.coalesce("component", df[id_col]).alias("cluster_id")
+    )

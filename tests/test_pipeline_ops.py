@@ -325,3 +325,20 @@ def test_stratified_hash_sample(spark):
     assert k1 == k2
     with pytest.raises(ValueError, match="rate"):
         stratified_hash_sample(df, "doc_id", "lang", {"en": 1.5})
+
+
+def test_connected_components_and_clusters(spark):
+    from ksql_linq_spark.operators.graph import connected_components, dedup_clusters
+
+    # path 1-2-3-4, pair 5-6, singleton 7 (not in edges)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (5, 6)], "id_a long, id_b long"
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    cl = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, edges).collect()}
+    assert cl[7] == 7 and cl[4] == 1 and cl[6] == 5
+    # keep-one policy: exactly one survivor per cluster
+    survivors = {c for d, c in cl.items() if d == c}
+    assert survivors == {1, 5, 7}
