@@ -2190,3 +2190,49 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.25)).alias("price_p25"),
         F.percentile("l_extendedprice", F.lit(0.9)).alias("price_p90"),
     )
+
+
+@q(
+    "text_repetition_pii",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DK_TOKS.format(src=_DK_NORM)} AS t FROM documents),
+    occ AS (
+      SELECT doc_id,
+             CASE WHEN len(t) - 2 > 0
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))
+                  ELSE [array_to_string(t, ' ')] END AS sh
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM occ),
+    ps AS (SELECT doc_id, s, count(*) AS c FROM ex GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, sum(c) AS total, count(*) AS "distinct",
+             1.0::DOUBLE - count(*) / sum(c) AS dup_ratio,
+             max(c) / sum(c) AS top_fraction
+      FROM ps GROUP BY 1)
+    SELECT r.doc_id, r.total, r."distinct", r.dup_ratio, r.top_fraction,
+           len(regexp_extract_all(d.text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS emails,
+           len(regexp_extract_all(d.text,
+               '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) AS ipv4,
+           len(regexp_extract_all(d.text, '[0-9]+')) AS digit_runs
+    FROM rep r JOIN documents d ON r.doc_id = d.doc_id
+    """,
+)
+def text_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter inputs the reference lacks: Gopher-style
+    intra-document n-gram repetition (dup_ratio / top_fraction,
+    operators/text.repetition_stats) + PII-shaped substring counts
+    (pii_counts) for redaction policies."""
+    from .operators.text import pii_counts, repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    rep = repetition_stats(d, n=3)
+    pii = d.select("doc_id", pii_counts("text").alias("p"))
+    return rep.join(pii, "doc_id").select(
+        "doc_id", "total", "distinct", "dup_ratio", "top_fraction",
+        F.col("p.emails").alias("emails"),
+        F.col("p.ipv4").alias("ipv4"),
+        F.col("p.digit_runs").alias("digit_runs"),
+    )

@@ -196,19 +196,12 @@ def shingles(text, n: int = 3) -> Column:
     ).otherwise(F.array(F.array_join(t, " ")))
 
 
-def shingle_rows(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
-    """DISTINCT word n-gram shingles as exploded rows (id, s).
-
-    posexplode the token array (tokenization runs ONCE per document),
-    then assemble each shingle from window lead()s over (id, pos) —
-    every expression whole-stage-codegen, no interpreted higher-order
-    lambdas.  The window shuffle is on ``id_col``, the same key every
-    downstream consumer (minhash groupBy, jaccard set-size) needs, so
-    the exchange is reused rather than added.  Equivalent output to
-    ``explode(shingles(...))`` + distinct; documents shorter than ``n``
-    tokens contribute their whole token string (concat_ws skips the
-    null leads).
-    """
+def shingle_occurrence_rows(
+    df, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+):
+    """EVERY word n-gram occurrence as exploded rows (id, s) — the
+    multiset :func:`shingle_rows` is the distinct view of.  Input to
+    intra-document repetition stats, where multiplicity is the signal."""
     from pyspark.sql.window import Window
 
     toks = df.select(
@@ -225,8 +218,59 @@ def shingle_rows(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3)
         leads[-1].isNotNull().alias("full"),
         n_tok.alias("n_tok"),
     )
-    return (
-        assembled.filter(F.col("full") | ((F.col("pos") == 0) & (F.col("n_tok") < n)))
-        .select(id_col, "s")
-        .distinct()
+    return assembled.filter(
+        F.col("full") | ((F.col("pos") == 0) & (F.col("n_tok") < n))
+    ).select(id_col, "s")
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
+    """Gopher-style intra-document repetition filter inputs, per doc:
+    ``total``/``distinct`` n-gram occurrences, ``dup_ratio`` (fraction
+    of occurrences that are repeats — boilerplate/spam signal), and
+    ``top_fraction`` (share of the single most frequent n-gram).
+    Dataflow: occurrence rows → groupBy(doc, s) count → groupBy(doc)
+    rollup; both shuffles are doc-keyed and map-side combined."""
+    occ = shingle_occurrence_rows(df, text_col, id_col, n)
+    per_shingle = occ.groupBy(id_col, "s").agg(F.count(F.lit(1)).alias("c"))
+    return per_shingle.groupBy(id_col).agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("distinct"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_ratio"),
+        (F.max("c") / F.sum("c")).alias("top_fraction"),
     )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+_DIGIT_RUN_RE = "[0-9]+"
+
+
+def pii_counts(text) -> Column:
+    """Per-row counts of PII-shaped substrings (emails, IPv4s, digit
+    runs) as a struct — the inputs to a redaction/drop policy.  Patterns
+    are intersection-of-dialects regexes (same matches in Java regex and
+    RE2, so the counts are oracle-checkable)."""
+    c = _c(text)
+    return F.struct(
+        F.size(F.regexp_extract_all(c, F.lit(_EMAIL_RE), F.lit(0))).alias("emails"),
+        F.size(F.regexp_extract_all(c, F.lit(_IPV4_RE), F.lit(0))).alias("ipv4"),
+        F.size(F.regexp_extract_all(c, F.lit(_DIGIT_RUN_RE), F.lit(0))).alias(
+            "digit_runs"
+        ),
+    )
+
+
+def shingle_rows(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
+    """DISTINCT word n-gram shingles as exploded rows (id, s).
+
+    posexplode the token array (tokenization runs ONCE per document),
+    then assemble each shingle from window lead()s over (id, pos) —
+    every expression whole-stage-codegen, no interpreted higher-order
+    lambdas.  The window shuffle is on ``id_col``, the same key every
+    downstream consumer (minhash groupBy, jaccard set-size) needs, so
+    the exchange is reused rather than added.  Equivalent output to
+    ``explode(shingles(...))`` + distinct; documents shorter than ``n``
+    tokens contribute their whole token string (concat_ws skips the
+    null leads).
+    """
+    return shingle_occurrence_rows(df, text_col, id_col, n).distinct()

@@ -342,3 +342,29 @@ def test_connected_components_and_clusters(spark):
     # keep-one policy: exactly one survivor per cluster
     survivors = {c for d, c in cl.items() if d == c}
     assert survivors == {1, 5, 7}
+
+
+def test_repetition_stats_and_pii(spark):
+    from ksql_linq_spark.operators.text import pii_counts, repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),       # 3 occurrences of 1 trigram
+            (2, "all words here are unique ones"), # 4 distinct trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=3).collect()}
+    assert out[1]["total"] == 3 and out[1]["distinct"] == 1
+    assert abs(out[1]["dup_ratio"] - 2 / 3) < 1e-12
+    assert out[1]["top_fraction"] == 1.0
+    assert out[2]["dup_ratio"] == 0.0 and out[2]["total"] == 4
+
+    p = (
+        spark.createDataFrame(
+            [("mail a@b.co and c.d@e.org, ip 10.0.0.1, call 555 1234",)], "text string"
+        )
+        .select(pii_counts("text").alias("p"))
+        .collect()[0]["p"]
+    )
+    assert p["emails"] == 2 and p["ipv4"] == 1 and p["digit_runs"] >= 3
