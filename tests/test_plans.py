@@ -82,3 +82,30 @@ def test_no_rowwise_python_udf_in_any_registered_query(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders[name] = plan
     assert not offenders, f"row-wise Python UDF in: {sorted(offenders)}"
+
+
+def test_heavy_hitters_broadcasts_candidates(spark, sf_dir):
+    from ksql_linq_spark.operators.sketch import heavy_hitters
+
+    li = read_table(spark, sf_dir, "lineitem")
+    plan = plan_of(heavy_hitters(li, "l_partkey", support=0.0005))
+    # phase 2 must semi-join the tiny candidate list broadcast, not shuffle
+    # the fact side; phase 1 must be Arrow-batched (MapInPandas), and the
+    # only wide exchange is the candidate recount groupBy
+    assert "BroadcastExchange" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_moment_stats_partial_agg_single_shuffle(spark, sf_dir):
+    import re
+
+    from ksql_linq_spark.operators.stats import moment_stats
+
+    li = read_table(spark, sf_dir, "lineitem")
+    df = moment_stats(li, ["l_returnflag"], "l_quantity", "l_extendedprice", scale=2)
+    plan = plan_of(df)
+    # exact decimal moments still combine map-side: partial_sum before the
+    # exchange, and the groupBy's exchange is the plan's only one
+    assert "partial_sum" in plan, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
