@@ -2236,3 +2236,157 @@ def text_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.ipv4").alias("ipv4"),
         F.col("p.digit_runs").alias("digit_runs"),
     )
+
+
+# ======================================================================
+# TPC-H Q3-shape shipping priority: 3-way join + decimal-exact revenue
+# + deterministic top-10 (reference J1 multi-join superset; SURVEY §2.3)
+# ======================================================================
+
+
+@q(
+    "join_shipping_priority",
+    oracle="""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+                AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-k.
+
+    Scale plan: the filtered customer slice broadcasts (one mktsegment
+    ~1/5 of customers; the two join keys are all we carry, so the hint
+    holds far past sf100 — beyond that AQE demotes it to shuffle join
+    on its size estimate).  lineitem/orders join shuffles on orderkey
+    (both already clustered on it in a bucketed layout); top-10 is
+    TakeOrdered, never a global sort.
+    """
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = _dec2dbl(F.col("l_extendedprice") * (1 - F.col("l_discount")), 22, 6)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ======================================================================
+# TF-IDF top terms per document (training-data text analysis)
+# ======================================================================
+
+
+@q(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DK_TOKS.format(src=_DK_NORM)}) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq
+              FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, doc_freq,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS tfidf, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6)
+                     DESC, term) AS rnk
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n) s
+    WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus IDF + per-doc TF, top-3 terms each (operators/text.py:
+    tfidf_top_terms).  tfidf floats are products of one ln() and one
+    multiply — no cross-row float accumulation, so bit-exact across
+    engines; ties broken by term."""
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    )
+
+
+# ======================================================================
+# Fixed-width document chunking (RAG / context-window prep)
+# ======================================================================
+
+
+@q(
+    "dataset_doc_chunking",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, text,
+             unnest(range(0, greatest((len(text) - 1) // 256, 0) + 1))
+               AS chunk_id
+      FROM documents)
+    SELECT doc_id, chunk_id,
+           substring(text, CAST(chunk_id * 256 + 1 AS INT), 256) AS chunk,
+           len(substring(text, CAST(chunk_id * 256 + 1 AS INT), 256))
+             AS chunk_chars
+    FROM ex
+    """,
+)
+def dataset_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """256-char document chunks via per-row sequence explode
+    (operators/dataset.py:chunk_documents) — no shuffle, rides the scan."""
+    from .operators.dataset import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", chunk_chars=256
+    )
+
+
+# ======================================================================
+# Fixed-point embedding centroids per label (similarity preprocessing)
+# ======================================================================
+
+
+@q(
+    "embedding_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, embedding,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings),
+    fp AS (
+      SELECT label, i - 1 AS dim,
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS efp
+      FROM ex)
+    SELECT label, dim, count(*) AS n,
+           CAST(SUM(efp) AS BIGINT) AS sum_fp,
+           CAST(SUM(efp) AS DOUBLE) / (count(*) * 1000000.0) AS centroid
+    FROM fp GROUP BY 1, 2
+    """,
+)
+def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label per-dim centroids with exact fixed-point sums
+    (operators/similarity.py:embedding_centroids) — order-free integer
+    aggregation, bit-identical under any partitioning."""
+    from .operators.similarity import embedding_centroids
+
+    return embedding_centroids(
+        _t(spark, sf_dir, "embeddings"), "embedding", "label"
+    )

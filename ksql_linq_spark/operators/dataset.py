@@ -111,3 +111,31 @@ def pack_sequences(
     )
     bin_id = F.floor((cum - F.col(token_col)) / float(budget)).cast("long")
     return df.withColumn(bin_col, bin_id)
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_chars: int = 256,
+                    chunk_col: str = "chunk") -> DataFrame:
+    """Split each document into fixed-width character chunks (RAG /
+    context-window prep).  Pure per-row explode — no shuffle, rides the
+    scan; chunk count is data-derived (sequence over length), so the
+    operator streams documents of any size without driver involvement.
+    Empty/blank docs yield one empty chunk (chunk_id 0) so no document
+    is silently dropped."""
+    n_chunks = F.greatest(
+        (F.length(F.col(text_col)) - F.lit(1)) / F.lit(chunk_chars), F.lit(0)
+    ).cast("long")
+    ex = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias("chunk_id"),
+    )
+    chunk = F.expr(
+        f"substring({text_col}, CAST(chunk_id * {chunk_chars} + 1 AS INT), {chunk_chars})"
+    )
+    return ex.select(
+        id_col,
+        "chunk_id",
+        chunk.alias(chunk_col),
+        F.length(chunk).alias("chunk_chars"),
+    )

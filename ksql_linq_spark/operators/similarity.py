@@ -217,3 +217,29 @@ def ivf_topk(
     )[:n_probes]
     cand = assigned.filter(F.col("cell").isin(probe_cells)).drop("cell")
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def embedding_centroids(df: DataFrame, vec_col: str = "embedding",
+                        label_col: str = "label",
+                        scale: int = 1_000_000) -> DataFrame:
+    """Per-label, per-dimension centroid in fixed-point arithmetic.
+
+    Floats are quantized per element (floor(x * scale) as BIGINT) so the
+    cross-row sum is an EXACT integer aggregation — associative, order-
+    free, bit-identical on any engine/partitioning — then divided back
+    once at the end.  This is the scale-safe way to get deterministic
+    centroids: a double sum over a shuffled groupBy has partition-order-
+    dependent rounding.  One shuffle on (label, dim) with map-side
+    partial sums; output cardinality = labels x dims (tiny)."""
+    ex = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "e")
+    )
+    efp = F.floor(F.col("e").cast("double") * F.lit(float(scale))).cast("bigint")
+    return (
+        ex.groupBy(label_col, "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(efp).alias("sum_fp"))
+        .withColumn(
+            "centroid",
+            F.col("sum_fp").cast("double") / (F.col("n") * F.lit(float(scale))),
+        )
+    )

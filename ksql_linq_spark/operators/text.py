@@ -274,3 +274,49 @@ def shingle_rows(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3)
     null leads).
     """
     return shingle_occurrence_rows(df, text_col, id_col, n).distinct()
+
+
+def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 3, round_to: int | None = 6):
+    """Top-k TF-IDF terms per document (corpus-level IDF).
+
+    Dataflow (all codegen'd, three shuffles total, each on the key its
+    consumer needs):
+      1. posexplode normalized tokens (tokenize ONCE per row),
+      2. TF   = groupBy(id, term).count()          — shuffle on (id, term),
+      3. DF   = groupBy(term).count_distinct(id)   — shuffle on term,
+      4. score join TF x DF on term (both sides already term-clustered),
+         corpus size N joined as a 1-row broadcast (no collect),
+      5. row_number window per document, keep k.
+    At 100 TB the term-keyed exchanges are the natural partitioning; the
+    hot-term skew in DF is bounded because count_distinct's partial
+    aggregation dedups (id, term) map-side.  idf = ln(N/df) so corpus-
+    ubiquitous terms score 0; ties broken by term for determinism.
+
+    ``round_to`` rounds the score (and the ranking order) to that many
+    decimals: ln() is a transcendental whose last ulp differs across
+    math libraries (JVM vs libm), so cross-engine-exact consumers must
+    compare/rank on the rounded value, never the raw double.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("doc_freq")
+    )
+    n = df.select(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("doc_freq"))
+    if round_to is not None:
+        tfidf = F.round(tfidf, round_to)
+    w = Window.partitionBy(id_col).orderBy(tfidf.desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "tfidf", "rnk")
+    )

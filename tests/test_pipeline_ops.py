@@ -368,3 +368,67 @@ def test_repetition_stats_and_pii(spark):
         .collect()[0]["p"]
     )
     assert p["emails"] == 2 and p["ipv4"] == 1 and p["digit_runs"] >= 3
+
+
+def test_tfidf_top_terms(spark):
+    from ksql_linq_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry date"),
+        (3, "apple elderberry elderberry elderberry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, "text", "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every doc gets at most k rows, ranked 1..k
+    for doc, rs in by_doc.items():
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+    # doc 3: 'elderberry' (tf=3, df=1 -> idf=ln 3) must dominate
+    assert by_doc[3][0].term == "elderberry"
+    assert by_doc[3][0].tf == 3 and by_doc[3][0].doc_freq == 1
+    # scores are non-increasing within a doc
+    for rs in by_doc.values():
+        scores = [r.tfidf for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_chunk_documents_covers_text_exactly(spark):
+    from ksql_linq_spark.operators.dataset import chunk_documents
+
+    rows = [(1, "a" * 600), (2, "b" * 256), (3, "c"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_chars=256).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r.chunk)
+    # reassembled chunks round-trip the original text
+    assert "".join(by_doc[1]) == "a" * 600 and len(by_doc[1]) == 3
+    assert "".join(by_doc[2]) == "b" * 256 and len(by_doc[2]) == 1
+    assert by_doc[3] == ["c"]
+    # empty doc yields exactly one empty chunk, not zero rows
+    assert by_doc[4] == [""]
+    assert all(r.chunk_chars == len(r.chunk) for r in out)
+
+
+def test_embedding_centroids_exact(spark):
+    from ksql_linq_spark.operators.similarity import embedding_centroids
+
+    rows = [
+        (1, [1.0, -2.0], 0),
+        (2, [3.0, 4.0], 0),
+        (3, [0.5, 0.25], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        (r.label, r.dim): r
+        for r in embedding_centroids(df, "embedding", "label").collect()
+    }
+    assert out[(0, 0)].n == 2 and out[(0, 0)].sum_fp == 4_000_000
+    assert out[(0, 0)].centroid == 2.0
+    assert out[(0, 1)].centroid == 1.0
+    assert out[(1, 0)].centroid == 0.5
+    # floor quantization, not round: -2.0 stays exact, fractions floor
+    assert out[(1, 1)].sum_fp == 250_000

@@ -109,3 +109,25 @@ def test_moment_stats_partial_agg_single_shuffle(spark, sf_dir):
     # exchange, and the groupBy's exchange is the plan's only one
     assert "partial_sum" in plan, plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_shipping_priority_plan_broadcasts_dim_and_pushes_filters(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["join_shipping_priority"](spark, sf_dir)
+    plan = plan_of(df)
+    # the filtered customer slice must broadcast, not shuffle
+    assert "BroadcastHashJoin" in plan, plan
+    # date/segment predicates reach the parquet scans
+    assert "PushedFilters" in plan
+    assert "c_mktsegment" in plan and "l_shipdate" in plan, plan
+    # top-10 must be TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_chunking_plan_has_no_shuffle(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["dataset_doc_chunking"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
