@@ -2390,3 +2390,133 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_centroids(
         _t(spark, sf_dir, "embeddings"), "embedding", "label"
     )
+
+
+# ======================================================================
+# PIVOT / UNPIVOT (reshaping supersets; Spark pivot = groupBy.pivot with
+# explicit value list — no extra distinct-values job at scale; unpivot =
+# Expand node, zero shuffle)
+# ======================================================================
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "pivot_event_counts",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an EXPLICIT value list: without it Spark
+    runs a separate distinct-values collect job before planning — a
+    full extra scan at 100 TB.  Pivot-count cells with no rows are null;
+    coalesce to 0 for the portable count(CASE...) contract."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@q(
+    "unpivot_doc_metrics",
+    oracle=f"""
+    SELECT doc_id, 'bpe_tokens' AS metric,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT) AS value
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'n_chars', CAST(n_chars AS BIGINT) FROM documents
+    UNION ALL
+    SELECT doc_id, 'ws_tokens',
+           CAST(len({_DK_TOKS.format(src='text')}) AS BIGINT)
+    FROM documents
+    """,
+)
+def unpivot_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.unpivot (melt): wide per-doc metrics -> (doc_id, metric,
+    value) long form.  Compiles to a single Expand node — each input row
+    fans out to n_metrics rows in the same task, no shuffle, no union of
+    n scans (the UNION ALL oracle reads the table 3x; unpivot reads it
+    once — the at-scale win)."""
+    from .operators.text import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        token_count("text").cast("bigint").alias("ws_tokens"),
+        bpe_token_count("text").cast("bigint").alias("bpe_tokens"),
+    )
+    return d.unpivot(
+        ids=["doc_id"],
+        values=["n_chars", "ws_tokens", "bpe_tokens"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ======================================================================
+# Character-entropy quality score (training-data text analysis):
+# Shannon entropy of the per-doc character distribution
+# ======================================================================
+
+
+@q(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(lower(text), '')) AS c
+      FROM documents),
+    freq AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+    per AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+             count(*) AS distinct_chars,
+             list_sort(list(CAST(cnt AS DOUBLE))) AS cs
+      FROM freq GROUP BY 1)
+    SELECT doc_id, n, distinct_chars,
+           round(ln(CAST(n AS DOUBLE))
+                 - list_reduce(list_prepend(0.0,
+                     list_transform(cs, x -> x * ln(x))), (a, b) -> a + b)
+                   / n, 6) AS entropy
+    FROM per
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon char entropy H = ln(n) - (1/n)*sum(cnt*ln cnt): low-H docs
+    are repetitive/boilerplate, high-H near-random — a standard corpus
+    quality signal.  The float fold runs over the SORTED per-doc count
+    list (ascending, left-to-right) so both engines accumulate in the
+    identical order; the per-doc list is ~alphabet-sized so the
+    interpreted fold is off the hot path (the heavy lifting — char
+    explode + two groupBys — is all codegen).  round(6) absorbs the
+    cross-libm ln() ulp."""
+    d = _t(spark, sf_dir, "documents")
+    ch = d.select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("c"))
+    freq = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    per = freq.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.array_sort(F.collect_list(F.col("cnt").cast("double"))).alias("cs"),
+    )
+    s = F.aggregate(
+        F.col("cs"), F.lit(0.0), lambda acc, x: acc + x * F.log(x)
+    )
+    return per.select(
+        "doc_id",
+        "n",
+        "distinct_chars",
+        F.round(F.log(F.col("n").cast("double")) - s / F.col("n"), 6).alias(
+            "entropy"
+        ),
+    )

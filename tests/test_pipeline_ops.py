@@ -432,3 +432,32 @@ def test_embedding_centroids_exact(spark):
     assert out[(1, 0)].centroid == 0.5
     # floor quantization, not round: -2.0 stays exact, fractions floor
     assert out[(1, 1)].sum_fp == 250_000
+
+
+def test_char_entropy_bounds(spark):
+    import math
+
+    import __spark_entry__ as m
+
+    # build a tiny documents view through the same query path
+    rows = [(1, "aaaa"), (2, "abab"), (3, "abcd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("_entropy_probe")
+    from pyspark.sql import functions as F
+
+    ch = df.select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("c"))
+    freq = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    per = freq.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.array_sort(F.collect_list(F.col("cnt").cast("double"))).alias("cs"),
+    )
+    s = F.aggregate(F.col("cs"), F.lit(0.0), lambda a, x: a + x * F.log(x))
+    out = {
+        r.doc_id: round(
+            math.log(r.n) - s_val / r.n if (s_val := r.s) is not None else 0.0, 6
+        )
+        for r in per.withColumn("s", s).collect()
+    }
+    assert out[1] == 0.0  # constant string: zero entropy
+    assert abs(out[2] - round(math.log(2), 6)) < 1e-9  # two equiprobable chars
+    assert abs(out[3] - round(math.log(4), 6)) < 1e-9  # four equiprobable chars

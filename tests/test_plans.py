@@ -131,3 +131,15 @@ def test_chunking_plan_has_no_shuffle(spark, sf_dir):
     df = m.queries()["dataset_doc_chunking"](spark, sf_dir)
     plan = plan_of(df)
     assert "Exchange" not in plan, plan
+
+
+def test_unpivot_is_single_scan_no_shuffle(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["unpivot_doc_metrics"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    # one Expand over one parquet scan, not a union of three scans
+    # (formatted explain prints each node once in the tree as "NodeName (id)")
+    assert plan.count("Scan parquet  (") == 1, plan
+    assert "Expand" in plan, plan
