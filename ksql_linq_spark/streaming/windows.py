@@ -71,6 +71,13 @@ def stream_stream_join(
     Δ defaults to the reference's 300 s; both sides get a Δ watermark so
     Spark can expire join state (state size ≈ Δ × input rate — bounded at
     any scale).
+
+    ``how``: "inner" or "leftOuter" — the reference's contract surface
+    (JoinLimitationEnforcer.cs: "Supported: INNER, LEFT OUTER").  For
+    leftOuter, unmatched left rows emit with null right columns once the
+    watermark passes their join window (never earlier — correctness over
+    latency).  The right side's key columns are dropped from the output
+    (one key column per KSQL join semantics).
     """
     within = within_seconds or DEFAULT_JOIN_WITHIN_SECONDS
     lw = left.withWatermark(left_ts, f"{within} seconds")
@@ -82,7 +89,10 @@ def stream_stream_join(
     bound = (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {within} SECONDS")) & (
         rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within} SECONDS")
     )
-    return lw.join(rw, cond & bound, how)
+    joined = lw.join(rw, cond & bound, how)
+    for k in on:
+        joined = joined.drop(rw[k])
+    return joined
 
 
 def stream_static_join(

@@ -307,3 +307,48 @@ def test_streaming_session_window(spark):
         assert got.get(s1) == 2  # merged pair, end = last + gap
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_join_emits_nulls(spark):
+    """LEFT OUTER stream-stream join (reference contract: INNER, LEFT
+    OUTER): unmatched left rows must emit with null right columns once
+    the watermark passes their join window.  Files feed one-per-batch so
+    the watermark actually advances across micro-batches."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    tmp = tempfile.mkdtemp()
+
+    def put(side, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/{side}")
+
+    # batch 1: k=1 matches within 300s, k=2 has no right row at all
+    put("l", [(1, t0), (2, t0)], "k long, lts timestamp")
+    put("r", [(1, t0 + dt.timedelta(seconds=60))], "k long, rts timestamp")
+    # batches 2-3: far-future rows push the watermark past k=2's window
+    for h in (2, 4):
+        ts = t0 + dt.timedelta(hours=h)
+        put("l", [(100 + h, ts)], "k long, lts timestamp")
+        put("r", [(100 + h, ts)], "k long, rts timestamp")
+
+    ls = (
+        spark.readStream.schema("k long, lts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/l")
+    )
+    rs = (
+        spark.readStream.schema("k long, rts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/r")
+    )
+    joined = stream_stream_join(
+        ls, rs, on=["k"], left_ts="lts", right_ts="rts", how="leftOuter"
+    )
+    assert joined.columns == ["k", "lts", "rts"]  # right key dropped
+    q = start_memory_sink(joined, "t_ssj_lo", "append")
+    _drain(q)
+    got = {r["k"]: r["rts"] for r in spark.sql("SELECT * FROM t_ssj_lo").collect()}
+    assert got[1] == t0 + dt.timedelta(seconds=60)  # matched pair
+    assert 2 in got and got[2] is None  # unmatched left row emitted with null
+    assert got[102] is not None and got[104] is not None
+    shutil.rmtree(tmp, ignore_errors=True)
