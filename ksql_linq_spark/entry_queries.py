@@ -2520,3 +2520,121 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy"
         ),
     )
+
+
+# ======================================================================
+# TPC-H Q5 shape: 6-table snowflake join with region gate
+# ======================================================================
+
+
+@q(
+    "join_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1 ORDER BY revenue DESC, n_name
+    """,
+)
+def join_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join (region->nation gate broadcast),
+    fact-side orderkey shuffle, local-supplier constraint
+    (c_nationkey = s_nationkey) applied as a join predicate.
+
+    Scale plan: region+nation are permanently broadcastable (25/5 rows x
+    any SF); supplier and customer grow with SF, so those joins are left
+    to Catalyst/AQE (sort-merge with skew split beyond the broadcast
+    threshold).  The only full-fact shuffle is lineitem x orders on
+    orderkey — co-located for free under an orderkey-bucketed layout.
+    """
+    nat_asia = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat_asia), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec2dbl(F.col("l_extendedprice") * (1 - F.col("l_discount")), 22, 6)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            sup,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ======================================================================
+# TPC-H Q18 shape: large-order customers (HAVING semi-join + re-agg)
+# ======================================================================
+
+
+@q(
+    "agg_large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+    GROUP BY 1, 2, 3 ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+)
+def agg_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate as a LEFT SEMI join
+    gate (P11 WHERE->HAVING + J-superset semi join), then re-aggregate.
+
+    Scale plan: the inner groupBy(l_orderkey) and the semi join shuffle
+    on the SAME key, so the exchange is reused; the HAVING filter is
+    highly selective, so AQE typically demotes the semi join to
+    broadcast at runtime from the actual filtered size — exactly the
+    decide-at-runtime behavior you want when selectivity is
+    data-dependent."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = _dec2dbl(F.col("l_quantity"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )

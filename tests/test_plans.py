@@ -143,3 +143,22 @@ def test_unpivot_is_single_scan_no_shuffle(spark, sf_dir):
     # (formatted explain prints each node once in the tree as "NodeName (id)")
     assert plan.count("Scan parquet  (") == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_q5_snowflake_broadcasts_dims(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["join_local_supplier_volume"](spark, sf_dir)
+    plan = plan_of(df)
+    # region/nation gate must broadcast; date filter reaches the orders scan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "o_orderdate" in plan and "PushedFilters" in plan, plan
+
+
+def test_q18_semi_join_gate(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["agg_large_orders"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
