@@ -168,3 +168,60 @@ def resize_stub(df: DataFrame, width: int, height: int, fake: bool = False) -> D
             ),
         ),
     )
+
+
+# production hook for resize; signature (content, media_type, w, h) -> bytes
+RESIZER: Callable[[bytes, str, int, int], bytes] | None = None
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """image rows -> re-encoded content at (width, height), meta updated.
+
+    Same Arrow plumbing contract as decode: per-batch Python, bounded by
+    arrow.maxRecordsPerBatch, schema preserved (MEDIA_SCHEMA + resized
+    content), so a resize stage slots into any media pipeline without a
+    schema migration.  Stub kernel: deterministic md5-stream bytes of
+    length width*height//64 standing in for the re-encoded image; wire
+    RESIZER to a real codec in production.  Non-image rows pass through
+    untouched (resize is an image-only transform)."""
+    resizer = RESIZER
+    if resizer is None:
+        if not fake:
+            raise NotImplementedError(
+                "no image codec in this container: set multimodal.RESIZER "
+                "or pass fake=True for the deterministic test kernel"
+            )
+
+        def resizer(content: bytes, media_type: str, w: int, h: int) -> bytes:
+            seed = hashlib.md5(
+                (content or b"") + f"|{w}x{h}".encode()
+            ).digest()
+            out, n = [], max(w * h // 64, 16)
+            while sum(len(c) for c in out) < n:
+                seed = hashlib.md5(seed).digest()
+                out.append(seed)
+            return b"".join(out)[:n]
+
+    schema = T.StructType(
+        list(MEDIA_SCHEMA.fields)
+        + [
+            T.StructField("out_width", T.IntegerType()),
+            T.StructField("out_height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            is_img = b["media_type"] == "image"
+            b = b.copy()
+            b.loc[is_img, "content"] = b.loc[is_img].apply(
+                lambda r: resizer(r["content"], r["media_type"], width, height),
+                axis=1,
+            )
+            b["out_width"] = [width if i else None for i in is_img]
+            b["out_height"] = [height if i else None for i in is_img]
+            yield b
+
+    return df.mapInPandas(run, schema)

@@ -461,3 +461,30 @@ def test_char_entropy_bounds(spark):
     assert out[1] == 0.0  # constant string: zero entropy
     assert abs(out[2] - round(math.log(2), 6)) < 1e-9  # two equiprobable chars
     assert abs(out[3] - round(math.log(4), 6)) < 1e-9  # four equiprobable chars
+
+
+def test_resize_images_plumbing(spark):
+    from ksql_linq_spark.operators import multimodal
+
+    rows = [
+        (1, "image", b"imgbytes-1", {"k": "v"}),
+        (2, "audio", b"audbytes-2", None),
+        (3, "image", b"imgbytes-3", None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.resize_images(df, 128, 96, fake=True).collect()}
+    assert len(out) == 3
+    # images re-encoded to the deterministic kernel's size, meta preserved
+    assert len(out[1].content) == 128 * 96 // 64
+    assert out[1].out_width == 128 and out[1].out_height == 96
+    assert out[1].meta == {"k": "v"}
+    # deterministic: same input -> same bytes
+    again = {r.media_id: r for r in multimodal.resize_images(df, 128, 96, fake=True).collect()}
+    assert again[1].content == out[1].content
+    # non-image passes through untouched
+    assert out[2].content == b"audbytes-2" and out[2].out_width is None
+    # unwired codec raises, per the stub contract
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        multimodal.resize_images(df, 10, 10, fake=False).collect()
