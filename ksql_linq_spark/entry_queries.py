@@ -2638,3 +2638,60 @@ def agg_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(20)
     )
+
+
+# ======================================================================
+# Corpus token frequency with Zipf rank (text-pipeline vocabulary audit)
+# ======================================================================
+
+
+@q(
+    "text_token_zipf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DK_TOKS.format(src=_DK_NORM)}) AS term
+      FROM documents),
+    freq AS (
+      SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+      FROM toks GROUP BY 1)
+    SELECT term, cnt, n_docs,
+           row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+           CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cnt
+    FROM freq
+    QUALIFY rank <= 100
+    """,
+)
+def text_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary with Zipf rank and cumulative token
+    coverage — the standard "how head-heavy is this corpus" audit.  All
+    integer arithmetic (counts + running count), so bit-exact with no
+    rounding.  The global-rank window runs over the POST-aggregation
+    vocabulary (one row per term), which is orders of magnitude smaller
+    than the corpus — the single-partition window is safe because its
+    input is vocabulary-sized, never corpus-sized; at 100 TB cap it with
+    a pre-filter (cnt above a support floor) the same way heavy_hitters
+    gates its recount."""
+    from .operators.text import normalize_text, tokens
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(normalize_text("text"))).alias("term")
+    )
+    freq = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("cnt"), F.col("term"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_cnt",
+            F.sum("cnt")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+        )
+        .where(F.col("rank") <= 100)
+    )
