@@ -2695,3 +2695,289 @@ def text_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= 100)
     )
+
+
+# ======================================================================
+# Cross-document duplicated n-gram fraction (RefinedWeb/CCNet-style
+# corpus boilerplate audit; training-data pipeline extension)
+# ======================================================================
+
+
+@q(
+    "text_dup_ngram_fraction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DK_TOKS.format(src=_DK_NORM)} AS t FROM documents),
+    occ AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) - 2 > 0
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks),
+    ps AS (SELECT doc_id, s, count(*) AS c FROM occ GROUP BY 1, 2),
+    dup AS (SELECT s FROM ps GROUP BY s HAVING count(*) >= 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN d.s IS NOT NULL THEN c ELSE 0 END)
+                AS BIGINT) AS dup_occ,
+           CAST(sum(CASE WHEN d.s IS NOT NULL THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(c) AS DOUBLE) AS dup_frac
+    FROM ps LEFT JOIN dup d USING (s)
+    GROUP BY 1
+    """,
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of 3-gram occurrences shared with ≥2 distinct
+    documents (operators/text.cross_doc_dup_stats) — the corpus-level
+    boilerplate signal intra-doc repetition_stats can't see.  dup_frac
+    is one BIGINT/BIGINT double division, bit-exact."""
+    from .operators.text import cross_doc_dup_stats
+
+    return cross_doc_dup_stats(
+        _t(spark, sf_dir, "documents"), n=3, min_docs=2
+    )
+
+
+# ======================================================================
+# Source-mixture upsampling with fractional epoch weights
+# ======================================================================
+
+
+@q(
+    "dataset_source_mixture",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 1000 AS b,
+             CAST(substr(source, 4) AS INT) % 3 AS m
+      FROM documents),
+    n AS (
+      SELECT doc_id, source,
+             CASE m WHEN 0 THEN 2 + CASE WHEN b < 500 THEN 1 ELSE 0 END
+                    WHEN 1 THEN 1
+                    ELSE CASE WHEN b < 500 THEN 1 ELSE 0 END END AS n
+      FROM b)
+    SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy
+    FROM n WHERE n > 0
+    """,
+)
+def dataset_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture materialization: sources with suffix % 3 == 0
+    get 2.5 epochs, == 1 one epoch, == 2 half an epoch
+    (operators/dataset.mixture_upsample).  Fractional copies decided by
+    the same md5 bucket as hash_split — no RNG, engine-portable."""
+    from .operators.dataset import mixture_upsample
+
+    d = _t(spark, sf_dir, "documents")
+    weights = {
+        f"src{i}": (2.5 if i % 3 == 0 else (1.0 if i % 3 == 1 else 0.5))
+        for i in range(20)
+    }
+    return mixture_upsample(d, "doc_id", "source", weights).select(
+        "doc_id", "source", F.col("copy").cast("bigint").alias("copy")
+    )
+
+
+# ======================================================================
+# TPC-H Q14-shape promo revenue share (conditional aggregate ratio)
+# ======================================================================
+
+
+@q(
+    "join_promo_revenue",
+    oracle="""
+    WITH s AS (
+      SELECT sum(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(22,6))
+                      ELSE CAST(0 AS DECIMAL(22,6)) END) AS promo,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(22,6))) AS total
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00')
+    SELECT CAST(promo AS DOUBLE) AS promo_revenue,
+           CAST(total AS DOUBLE) AS total_revenue,
+           100.0 * (CAST(promo AS DOUBLE) / CAST(total AS DOUBLE))
+             AS promo_pct
+    FROM s
+    """,
+)
+def join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact-dim join + conditional-aggregate ratio.
+
+    Scale plan: part carries only (p_partkey, p_type) after pruning and
+    broadcasts; lineitem is gated by the shipdate range BEFORE the join
+    (partition-prunable on a date-partitioned layout), so the join sees
+    one month of the fact table and zero shuffles.  The percentage is
+    computed in DOUBLE from two exact DECIMAL sums — same IEEE ops both
+    engines, bit-exact."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec2dbl(F.col("l_extendedprice") * (1 - F.col("l_discount")), 22, 6)
+    zero = F.lit(0).cast("decimal(22,6)")
+    s = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .alias("promo"),
+            F.sum(rev).alias("total"),
+        )
+    )
+    promo_d = F.col("promo").cast("double")
+    total_d = F.col("total").cast("double")
+    return s.select(
+        promo_d.alias("promo_revenue"),
+        total_d.alias("total_revenue"),
+        (F.lit(100.0) * (promo_d / total_d)).alias("promo_pct"),
+    )
+
+
+# ======================================================================
+# TPC-H Q12-shape priority pivot by line status (CASE-conditional counts)
+# ======================================================================
+
+
+@q(
+    "agg_priority_linestatus",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def agg_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact equi-join + CASE-pivot counts.  Both
+    sides shuffle on orderkey (co-located for free in a bucketed
+    layout); counts are all-integer, bit-exact.  The shipdate gate cuts
+    lineitem before the join — at 100 TB that's the partition filter."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ======================================================================
+# TPC-H Q19-shape disjunctive predicate revenue (OR-of-ANDs pushdown)
+# ======================================================================
+
+
+@q(
+    "filter_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def filter_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides.
+
+    Catalyst can't split a cross-table disjunction, so the scale move is
+    hand constraint-propagation: every disjunct implies
+    p_brand IN (...) AND p_size <= 15 on part and l_quantity BETWEEN 1
+    AND 30 on lineitem — those prefilters push to the scans (part
+    shrinks to 3 brands and broadcasts; lineitem drops ~40% of rows
+    before the join), and the full OR stays as the cheap residual."""
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#11", "Brand#13", "Brand#15")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    disj = (
+        ((brand == "Brand#11") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#13") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#15") & size.between(1, 15) & qty.between(20, 30))
+    )
+    rev = _dec2dbl(F.col("l_extendedprice") * (1 - F.col("l_discount")), 22, 6)
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(disj)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ======================================================================
+# TPC-H Q10-shape returned-item report (4-table join, top-20 customers)
+# ======================================================================
+
+
+@q(
+    "join_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def join_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last half-year.
+
+    Scale plan: lineitem gated to returnflag='R' and orders to the date
+    range before either join; the fact-fact join shuffles on orderkey,
+    the customer join on custkey (both natural bucketing keys), nation
+    broadcasts.  Top-20 is TakeOrdered — no global sort."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _dec2dbl(F.col("l_extendedprice") * (1 - F.col("l_discount")), 22, 6)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -91,6 +91,52 @@ def stratified_hash_sample(
     return df.filter(b < thr)
 
 
+def mixture_upsample(
+    df: DataFrame,
+    key: Column | str,
+    strata_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic source-mixture materialization with FRACTIONAL
+    epoch weights — the "2.5 epochs of Wikipedia, 0.5 of CommonCrawl"
+    knob every pretraining data recipe has.  A row with weight ``w``
+    is emitted ``floor(w)`` times, plus once more iff its md5 bucket
+    falls under ``frac(w)`` — so both up- and down-sampling are the
+    same op, reproducible across engines/runs (no RNG state), and
+    appends never change existing rows' copy counts.
+
+    Output = input columns + ``copy`` (1..n for that row).  The explode
+    is per-row with no shuffle of its own; at 100 TB the weight map is
+    a literal CASE expression (no join), so this rides the scan and
+    costs only the output volume it creates.
+    """
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {w}")
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+    b = split_bucket(key, buckets)
+
+    def parts(w: float) -> tuple[int, int]:
+        whole = int(w)
+        return whole, int(round((w - whole) * buckets))
+
+    expr = None
+    for name, w in weights.items():
+        whole, fb = parts(w)
+        n = F.lit(whole) + (b < fb).cast("int")
+        cond = F.col(strata_col) == name
+        expr = F.when(cond, n) if expr is None else expr.when(cond, n)
+    dwhole, dfb = parts(default_weight)
+    default = F.lit(dwhole) + (b < dfb).cast("int")
+    n_copies = expr.otherwise(default) if expr is not None else default
+    return df.withColumn("__n", n_copies).where(F.col("__n") > 0).select(
+        "*", F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("copy")
+    ).drop("__n")
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

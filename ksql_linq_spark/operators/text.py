@@ -276,6 +276,53 @@ def shingle_rows(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3)
     return shingle_occurrence_rows(df, text_col, id_col, n).distinct()
 
 
+def cross_doc_dup_stats(df, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, min_docs: int = 2):
+    """RefinedWeb/CCNet-style cross-document repetition audit, per doc:
+    ``total`` n-gram occurrences, ``dup_occ`` occurrences whose n-gram
+    appears in ≥ ``min_docs`` DISTINCT documents (corpus boilerplate:
+    headers, license blurbs, navigation chrome), and ``dup_frac`` —
+    the drop/trim signal.
+
+    Dataflow: occurrence rows → groupBy(doc, s) count (doc-keyed,
+    map-side combined) → shingle doc-frequency groupBy(s) over the
+    already-distinct (doc, s) pairs → join back on s → per-doc rollup.
+    The s-keyed exchange from the doc-frequency groupBy is reused by
+    the join (same key), so the whole op costs three shuffles.  At
+    100 TB, gate the join side with a support prefilter (n_docs ≥
+    min_docs reduces the duplicated-shingle dim to the boilerplate
+    tail, which is tiny and broadcastable) — the same recount pattern
+    sketch.heavy_hitters uses.
+
+    ``dup_frac`` is one BIGINT/BIGINT double division — no float
+    accumulation, bit-exact across engines.
+    """
+    occ = shingle_occurrence_rows(df, text_col, id_col, n)
+    ps = occ.groupBy(id_col, "s").agg(F.count(F.lit(1)).alias("c"))
+    dup_dim = (
+        ps.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("s")
+    )
+    marked = ps.join(dup_dim, "s", "left_semi").groupBy(id_col).agg(
+        F.sum("c").alias("dup_occ")
+    )
+    totals = ps.groupBy(id_col).agg(F.sum("c").alias("total"))
+    return (
+        totals.join(marked, id_col, "left")
+        .select(
+            id_col,
+            "total",
+            F.coalesce("dup_occ", F.lit(0)).alias("dup_occ"),
+            (
+                F.coalesce("dup_occ", F.lit(0)).cast("double")
+                / F.col("total").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
                     k: int = 3, round_to: int | None = 6):
     """Top-k TF-IDF terms per document (corpus-level IDF).

@@ -488,3 +488,65 @@ def test_resize_images_plumbing(spark):
 
     with _pytest.raises(Exception):
         multimodal.resize_images(df, 10, 10, fake=False).collect()
+
+
+def test_cross_doc_dup_stats(spark):
+    from ksql_linq_spark.operators.text import cross_doc_dup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),     # shares "the quick brown"
+            (2, "the quick brown cat sleeps"),    # with doc 1
+            (3, "completely different words here"),
+            (4, "tiny"),                          # shorter than n -> whole text
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cross_doc_dup_stats(docs, n=3).collect()}
+    # doc 1: 3 trigram occurrences, exactly 1 ("the quick brown") in >=2 docs
+    assert out[1]["total"] == 3 and out[1]["dup_occ"] == 1
+    assert out[1]["dup_frac"] == pytest.approx(1 / 3)
+    assert out[2]["dup_occ"] == 1
+    # doc 3 shares nothing
+    assert out[3]["dup_occ"] == 0 and out[3]["dup_frac"] == 0.0
+    # short doc contributes its whole text as one shingle
+    assert out[4]["total"] == 1 and out[4]["dup_occ"] == 0
+
+
+def test_mixture_upsample_counts(spark):
+    from ksql_linq_spark.operators.dataset import (
+        mixture_upsample,
+        split_bucket,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("src"),
+    )
+    out = mixture_upsample(df, "doc_id", "src", {"a": 2.5, "b": 0.0})
+    rows = out.groupBy("src").count().collect()
+    counts = {r["src"]: r["count"] for r in rows}
+    # b has weight 0 -> dropped entirely
+    assert "b" not in counts
+    # a: every row 2 or 3 copies; expected mean 2.5
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] in (2, 3) for r in per_doc)
+    # the fractional copy matches the md5 bucket exactly
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.where(F.col("src") == "a")
+        .select("doc_id", split_bucket("doc_id").alias("b"))
+        .collect()
+    }
+    for r in per_doc:
+        assert r["count"] == (3 if buckets[r["doc_id"]] < 500 else 2)
+
+
+def test_mixture_upsample_validates_weights(spark):
+    from ksql_linq_spark.operators.dataset import mixture_upsample
+
+    df = spark.range(1).select(F.col("id").alias("k"), F.lit("a").alias("s"))
+    with pytest.raises(ValueError):
+        mixture_upsample(df, "k", "s", {"a": -1.0})
+    with pytest.raises(ValueError):
+        mixture_upsample(df, "k", "s", {}, default_weight=-0.5)

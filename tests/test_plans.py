@@ -162,3 +162,51 @@ def test_q18_semi_join_gate(spark, sf_dir):
     plan = plan_of(df)
     assert "LeftSemi" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q14_promo_broadcasts_part_and_gates_shipdate(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["join_promo_revenue"](spark, sf_dir)
+    plan = plan_of(df)
+    # pruned part dim must broadcast; the month gate reaches the fact scan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "l_shipdate" in plan and "PushedFilters" in plan, plan
+    # part scan reads only the two needed columns
+    readschemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    part_rs = [l for l in readschemas if "p_partkey" in l]
+    assert part_rs and "p_retailprice" not in part_rs[0], plan
+
+
+def test_q19_disjunction_prefilters_reach_both_scans(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["filter_disjunctive_revenue"](spark, sf_dir)
+    plan = plan_of(df)
+    # hand constraint-propagation: brand IN-list on the part scan,
+    # quantity range on the lineitem scan, and the dim broadcasts
+    assert "In(p_brand" in plan, plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q10_returned_items_plan(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["join_returned_items"](spark, sf_dir)
+    plan = plan_of(df)
+    # returnflag + date gates reach the scans; nation broadcasts;
+    # top-20 is TakeOrdered, never a global sort
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert "o_orderdate" in plan and "PushedFilters" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_mixture_upsample_rides_the_scan_no_shuffle(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["dataset_source_mixture"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan  # the per-row explode
