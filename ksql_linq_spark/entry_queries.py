@@ -2981,3 +2981,200 @@ def join_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# ======================================================================
+# Exact-moment OLS trend per key (drift detection for quality gates)
+# ======================================================================
+
+
+@q(
+    "events_trend_slope",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(epoch_us(ts) // 1000000
+                      - epoch_us(TIMESTAMP '2024-01-01 00:00:00') // 1000000
+                      AS DECIMAL(18,0))) AS sx,
+             sum(CAST(CAST(epoch_us(ts) // 1000000
+                      - epoch_us(TIMESTAMP '2024-01-01 00:00:00') // 1000000
+                      AS DECIMAL(18,0))
+                      * CAST(epoch_us(ts) // 1000000
+                      - epoch_us(TIMESTAMP '2024-01-01 00:00:00') // 1000000
+                      AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(value AS DECIMAL(18,2))) AS sy,
+             sum(CAST(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))
+                      AS DECIMAL(38,4))) AS syy,
+             sum(CAST(CAST(epoch_us(ts) // 1000000
+                      - epoch_us(TIMESTAMP '2024-01-01 00:00:00') // 1000000
+                      AS DECIMAL(18,0))
+                      * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,2))) AS sxy
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS mx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS my,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM g)
+    SELECT event_type, n,
+           CASE WHEN mx > 0 THEN cxy / mx END AS slope,
+           CASE WHEN mx > 0
+                THEN (syd - (cxy / mx) * sxd) / CAST(n AS DOUBLE) END
+             AS intercept,
+           CASE WHEN mx > 0 AND my > 0
+                THEN (cxy * cxy) / (mx * my) END AS r2
+    FROM m
+    """,
+)
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key OLS trend (slope in units/second, intercept at the fixed
+    anchor, r²) from exact decimal moments (operators/stats.trend_fit):
+    the drift-detection primitive — bit-stable across engines and
+    partitionings, one map-side-combinable shuffle."""
+    from .operators.stats import trend_fit
+
+    ev = _t(spark, sf_dir, "events")
+    return trend_fit(
+        ev, ["event_type"], "ts", "value", t0="2024-01-01", y_scale=2
+    )
+
+
+# ======================================================================
+# Extended window analytics: lag / percent_rank / cume_dist / running
+# first-last (SURVEY §2.6 superset, completes the analytics family)
+# ======================================================================
+
+
+@q(
+    "window_analytics_extended",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS first_seen,
+           last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS running_last
+    FROM events
+    WHERE user_id % 20 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / percent_rank / cume_dist / running first-last over the
+    per-user event timeline.  percent_rank and cume_dist are single
+    INT/INT double divisions (bit-exact); (ts, event_id) is a unique
+    order key so every function is deterministic.  One window shuffle
+    on user_id serves all five functions."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("value").over(wr).alias("first_seen"),
+        F.last("value").over(wr).alias("running_last"),
+    )
+
+
+# ======================================================================
+# Corpus length-distribution histogram (per-language audit)
+# ======================================================================
+
+
+@q(
+    "corpus_length_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, len({_DK_TOKS.format(src='text')}) AS tok
+      FROM documents)
+    SELECT lang,
+           CAST(least(tok // 50, 20) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(min(tok) AS BIGINT) AS min_tok,
+           CAST(max(tok) AS BIGINT) AS max_tok,
+           CAST(sum(tok) AS BIGINT) AS sum_tok
+    FROM t GROUP BY 1, 2
+    """,
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language in fixed 50-token buckets
+    (capped at bucket 20) — the corpus-shape audit behind min/max-length
+    filters.  All-integer; one map-side-combined shuffle on the tiny
+    (lang, bucket) key space."""
+    from .operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    tok = token_count("text")
+    return (
+        d.select(
+            "lang",
+            F.least(F.floor(tok / 50), F.lit(20)).cast("bigint").alias("bucket"),
+            tok.alias("tok"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("tok").cast("bigint").alias("min_tok"),
+            F.max("tok").cast("bigint").alias("max_tok"),
+            F.sum("tok").cast("bigint").alias("sum_tok"),
+        )
+    )
+
+
+# ======================================================================
+# Quality-tier assignment via ntile deciles (curation bucketing)
+# ======================================================================
+
+
+@q(
+    "dataset_quality_deciles",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len({_DK_TOKS.format(src='text')}) AS tok
+      FROM documents),
+    tiers AS (
+      SELECT lang, ntile(10) OVER (ORDER BY tok, doc_id) AS tier, tok
+      FROM t)
+    SELECT tier, count(*) AS n_docs,
+           CAST(min(tok) AS BIGINT) AS min_tok,
+           CAST(max(tok) AS BIGINT) AS max_tok,
+           CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en
+    FROM tiers GROUP BY 1
+    """,
+)
+def dataset_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide decile tiers by token length (ntile over the unique
+    (tok, doc_id) order — deterministic), then per-tier composition.
+    The global ntile window is the small-data path; at 100 TB swap in
+    approx-quantile boundaries + a broadcast bucket join (the
+    agg_percentiles scale note) — same output contract."""
+    from pyspark.sql import Window
+
+    from .operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", token_count("text").alias("tok"))
+    tiers = t.select(
+        "lang",
+        "tok",
+        F.ntile(10).over(Window.orderBy("tok", "doc_id")).alias("tier"),
+    )
+    return tiers.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("tok").cast("bigint").alias("min_tok"),
+        F.max("tok").cast("bigint").alias("max_tok"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("n_en"),
+    )

@@ -83,3 +83,70 @@ def moment_stats(
             F.when((F.col("n") > 1) & (mx > 0) & (my > 0), corr).alias("corr"),
         ]
     return g.select(*out)
+
+
+def trend_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    y_col: str,
+    t0: str,
+    y_scale: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend of ``y_col`` over time —
+    slope (units/second), intercept (value at ``t0``), and r² — from
+    exact decimal moments, bit-stable across engines and partitionings
+    (same discipline as :func:`moment_stats`).
+
+    The regressor is integer seconds since the FIXED anchor ``t0``
+    (e.g. the corpus epoch), never a data-dependent origin: a constant
+    anchor keeps the op incremental (appending rows never re-centers
+    old moments) and keeps x² magnitudes bounded so the decimal(38)
+    sums hold ~1e12 rows of multi-year spans.  This is the drift-
+    detection primitive for data-quality gates ("is this source's
+    quality score trending down?") — the reference has no statistical
+    aggregates at all (src/Query/Builders/Functions/
+    KsqlFunctionRegistry.cs lists none).
+
+    One map-side-combinable groupBy — the same single shuffle a plain
+    avg would cost.
+
+    Pick ``y_scale`` = the data's NATIVE decimal scale (money → 2), not
+    "as precise as possible": the y² moment carries 2·y_scale fractional
+    digits, and once a summed moment's unscaled integer exceeds 2^53 the
+    decimal→double cast itself becomes a rounding step that engines
+    perform differently (observed: DuckDB int128-scaling vs JVM
+    BigDecimal differ by 1 ulp on DECIMAL(38,12) sums).  At the native
+    scale the casts are exact far longer and the outputs stay
+    bit-identical.
+    """
+    x = (
+        F.unix_seconds(F.col(ts_col))
+        - F.unix_seconds(F.lit(t0).cast("timestamp"))
+    ).cast("decimal(18,0)")
+    y = F.col(y_col).cast(f"decimal(18,{y_scale})")
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum(y).alias("_sy"),
+        F.sum((y * y).cast(f"decimal(38,{2 * y_scale})")).alias("_syy"),
+        F.sum((x * y).cast(f"decimal(38,{y_scale})")).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sy = F.col("_sy").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    mx = n * sxx - sx * sx
+    my = n * syy - sy * sy
+    cxy = n * sxy - sx * sy
+    slope = cxy / mx
+    return g.select(
+        *group_cols,
+        F.col("n"),
+        F.when(mx > 0, slope).alias("slope"),
+        F.when(mx > 0, (sy - slope * sx) / n).alias("intercept"),
+        F.when((mx > 0) & (my > 0), (cxy * cxy) / (mx * my)).alias("r2"),
+    )

@@ -550,3 +550,40 @@ def test_mixture_upsample_validates_weights(spark):
         mixture_upsample(df, "k", "s", {"a": -1.0})
     with pytest.raises(ValueError):
         mixture_upsample(df, "k", "s", {}, default_weight=-0.5)
+
+
+def test_trend_fit_matches_numpy_ols(spark):
+    import numpy as np
+
+    from ksql_linq_spark.operators.stats import trend_fit
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, xs, ys = [], [], []
+    for i in range(200):
+        x = i * 37  # seconds
+        y = round(3.25 + 0.5 * x + (17 * i % 23 - 11) * 0.01, 2)
+        rows.append(("k", t0 + datetime.timedelta(seconds=x), float(y)))
+        xs.append(x)
+        ys.append(y)
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = trend_fit(df, ["k"], "ts", "v", t0="2024-01-01", y_scale=2).collect()[0]
+    slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+    assert out["n"] == 200
+    assert out["slope"] == pytest.approx(slope, rel=1e-9)
+    assert out["intercept"] == pytest.approx(intercept, rel=1e-9)
+    assert 0.999 <= out["r2"] <= 1.0
+
+
+def test_trend_fit_degenerate_single_point(spark):
+    import datetime
+
+    from ksql_linq_spark.operators.stats import trend_fit
+
+    df = spark.createDataFrame(
+        [("k", datetime.datetime(2024, 1, 2), 5.0)], ["k", "ts", "v"]
+    )
+    out = trend_fit(df, ["k"], "ts", "v", t0="2024-01-01").collect()[0]
+    # mx == 0 -> undefined slope/intercept/r2, never a divide-by-zero NaN
+    assert out["slope"] is None and out["intercept"] is None and out["r2"] is None
