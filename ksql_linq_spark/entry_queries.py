@@ -3178,3 +3178,44 @@ def dataset_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tok").cast("bigint").alias("max_tok"),
         F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("n_en"),
     )
+
+
+# ======================================================================
+# Language-ID confusion matrix (labeler-quality audit)
+# ======================================================================
+
+
+def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-argmax language detector against
+    the labeled lang column, with per-label recall — the audit that
+    decides whether a cheap classifier is good enough to gate a corpus.
+    frac is one BIGINT/BIGINT double division (bit-exact); the matrix is
+    at most |langs|² rows, so the count shuffle is trivially small."""
+    from pyspark.sql import Window
+
+    from .operators.text import language_id_table
+
+    d = _t(spark, sf_dir, "documents")
+    m = (
+        language_id_table(d, extra_cols=["lang"])
+        .groupBy(F.col("lang").alias("labeled_lang"), "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("labeled_lang"))
+    return m.select(
+        "labeled_lang",
+        "detected_lang",
+        "n",
+        (F.col("n").cast("double") / tot.cast("double")).alias("frac"),
+    )
+
+
+QUERIES["text_langid_confusion"] = _langid_confusion
+ORACLES["text_langid_confusion"] = f"""
+    WITH pred AS ({{lang_oracle}})
+    SELECT labeled_lang, detected_lang, count(*) AS n,
+           CAST(count(*) AS DOUBLE)
+             / CAST(sum(count(*)) OVER (PARTITION BY labeled_lang)
+                    AS DOUBLE) AS frac
+    FROM pred GROUP BY 1, 2
+""".format(lang_oracle=_build_lang_oracle())

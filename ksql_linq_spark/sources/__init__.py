@@ -137,3 +137,77 @@ def avro_encode(df: DataFrame, struct_col: str) -> DataFrame | None:
         return out
     except Exception:
         return None
+
+
+# ----------------------------------------------------------------------
+# Text-format sources/sinks (SURVEY.md §2.1: the reference's WITH
+# (value_format='JSON') surface, KsqlWithOptions; CSV as the standard
+# interchange superset).  Explicit-schema discipline throughout: schema
+# inference is a full extra pass over the data — unacceptable at 100 TB
+# and nondeterministic under dirty rows — so every reader REQUIRES a
+# StructType and routes unparseable rows to a `_corrupt` column
+# (PERMISSIVE mode) instead of failing the job, mirroring the DLQ
+# policy of the streaming path.
+# ----------------------------------------------------------------------
+
+# Spark's default JSON/CSV timestampFormat carries MILLISECONDS only —
+# silently truncating parquet's microsecond timestamps on write.  Pin a
+# microsecond format on both sides so text formats round-trip exactly.
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt",
+) -> DataFrame:
+    """Read JSON-lines with an explicit schema; malformed lines land in
+    ``corrupt_col`` (null everywhere else) for DLQ routing rather than
+    aborting.  Timestamps must be ISO-8601 (what :func:`write_jsonl`
+    emits)."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("timestampFormat", _TS_FMT)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (ISO-8601 timestamps — round-trips through
+    :func:`read_jsonl`)."""
+    df.write.mode(mode).option("timestampFormat", _TS_FMT).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    corrupt_col: str = "_corrupt",
+) -> DataFrame:
+    """CSV with an explicit schema (never inferSchema — that is a full
+    extra scan); malformed rows land in ``corrupt_col``."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("timestampFormat", _TS_FMT)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True,
+              mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", str(header).lower()).option(
+        "timestampFormat", _TS_FMT
+    ).csv(path)

@@ -157,3 +157,39 @@ def keyed_table_sink(df: DataFrame, path: str, keys: list[str], checkpoint: str)
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def idempotent_append_sink(df: DataFrame, path: str, checkpoint: str):
+    """Exactly-once APPEND sink on top of an at-least-once foreachBatch.
+
+    Structured Streaming replays an in-flight micro-batch after a crash
+    with the SAME batchId (the checkpoint's WAL pins batch → offsets),
+    so writing each batch to its own ``batch_id=N`` subdirectory and
+    skipping directories that already exist makes the sink idempotent:
+    replayed batches become no-ops and readers never see duplicates.
+    This is the file-sink analog of the reference's manual-commit path
+    (SURVEY §2.8 C5, src/EntitySets/EventSet.cs:170-209) — Spark's
+    checkpoint replaces the Kafka offset commit, and the batch-id guard
+    replaces broker-side idempotence.
+
+    Readers: ``spark.read.parquet(path)`` sees every committed batch
+    (partition discovery on batch_id).  On a cluster the same guard is
+    one transactional commit in Delta/Iceberg (``txnAppId``/``txnVersion``);
+    the directory-exists check is the dependency-free parquet variant.
+    A batch directory is only visible after Spark's FileOutputCommitter
+    renames it atomically, so a crash mid-write leaves no torn reads.
+    """
+    import os
+
+    def append_once(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(path, f"batch_id={batch_id}")
+        if os.path.exists(target):
+            return  # replayed batch — already committed
+        batch_df.write.mode("errorifexists").parquet(target)
+
+    return (
+        df.writeStream.foreachBatch(append_once)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
