@@ -1,0 +1,70 @@
+"""Physical-layout management: bucketing for co-located joins/aggs.
+
+SCALING.md claims the big fact-fact joins (orderkey) and re-rollups
+"co-locate for free in a bucketed layout" — this module is that layout.
+``write_bucketed`` persists a table hash-bucketed (and bucket-sorted) on
+its join/agg key; any join between two tables bucketed on the same key
+with the same bucket count, and any groupBy on the bucket key, then
+executes with ZERO Exchange — at 100 TB this deletes the dominant cost
+of the pipeline (a full-fact shuffle) from every downstream query that
+reuses the key.  tests/test_plans.py::test_bucketed_* pins the
+no-shuffle plans.
+
+The reference has no analog: partitioning is fixed at Kafka-topic
+creation (SURVEY §2.1 S3 ``PARTITIONS``) and ksqlDB co-partitioning is a
+runtime requirement on topics; here the layout is a property of the
+stored table that Catalyst exploits automatically.
+
+Sizing rule: pick ``num_buckets`` so one bucket of the LARGEST co-
+bucketed table fits an executor's task comfortably (~128-512 MB) —
+bucket counts must match across join sides (Spark does not coalesce
+mismatched buckets by default), so choose for the biggest table and let
+small tables ride along.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` as a managed table hash-bucketed on ``keys``.
+
+    ``sort_cols`` (default: the bucket keys) pre-sorts within each
+    bucket file, so a later sort-merge join skips its Sort too when the
+    keys match.
+    """
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    if not keys:
+        raise ValueError("bucketing requires at least one key column")
+    # One file per bucket: repartition on the same hash the bucketer
+    # uses, so each write task holds exactly one bucket — the
+    # small-files guard (writer-task count would otherwise multiply
+    # into the file count).  Note the within-bucket sort still shows as
+    # a (cheap, shuffle-free) Sort before merge joins: since Spark 3.1
+    # the scan does not advertise bucket-sort order unless the legacy
+    # flag spark.sql.legacy.bucketedTableScanOutputOrdering is set; the
+    # sortBy still pays for itself via parquet min/max data skipping.
+    (
+        df.repartition(num_buckets, *keys)
+        .write.mode(mode)
+        .format(fmt)
+        .bucketBy(num_buckets, *keys)
+        .sortBy(*(sort_cols or keys))
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table — metadata (bucket spec) comes from the
+    catalog, which is what lets Catalyst elide the Exchange."""
+    return spark.table(table)

@@ -210,3 +210,52 @@ def test_mixture_upsample_rides_the_scan_no_shuffle(spark, sf_dir):
     plan = plan_of(df)
     assert "Exchange" not in plan, plan
     assert "Generate" in plan, plan  # the per-row explode
+
+
+def test_bucketed_join_and_agg_have_no_exchange(spark, sf_dir):
+    """Co-located layout gate: two tables bucketed on orderkey join and
+    re-aggregate with ZERO Exchanges — the 100 TB fact-fact strategy
+    SCALING.md commits to (operators/layout.py).  The remaining Sorts
+    are per-partition and shuffle-free (Spark >=3.1 hides bucket-sort
+    order behind a legacy flag)."""
+    from ksql_linq_spark.operators.layout import read_bucketed, write_bucketed
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(li, "t_li_bkt", ["l_orderkey"], 8)
+    write_bucketed(o, "t_o_bkt", ["o_orderkey"], 8)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            li_b = read_bucketed(spark, "t_li_bkt")
+            o_b = read_bucketed(spark, "t_o_bkt")
+            joined = li_b.join(
+                o_b, li_b.l_orderkey == o_b.o_orderkey
+            ).groupBy("l_orderkey").count()
+            plan = plan_of(joined)
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            # and a groupBy on the bucket key alone is shuffle-free
+            agg_plan = plan_of(
+                li_b.groupBy("l_orderkey").agg(F.sum("l_quantity"))
+            )
+            assert "Exchange" not in agg_plan, agg_plan
+            # correctness unchanged vs the unbucketed plan
+            n = joined.count()
+            want = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("l_orderkey")
+                .count()
+                .count()
+            )
+            assert n == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_o_bkt")
