@@ -11,6 +11,7 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -295,3 +296,84 @@ def test_asof_matches_bruteforce(spark, data, direction, strict):
         for i, (k, t) in enumerate(sorted(lefts, key=lambda x: (x[0], x[1])))
     }
     assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=100_000),  # seconds offset
+            st.integers(min_value=-10_000_00, max_value=10_000_00),  # cents
+        ),
+        min_size=2,
+        max_size=60,
+    ),
+    parts=st.sampled_from([1, 3, 7]),
+)
+@settings(**SETTINGS)
+def test_trend_fit_partition_invariant_and_matches_model(spark, data, parts):
+    """THE exact-moment claim: trend_fit output is bit-identical under
+    any partitioning/row order, and equals the closed-form model."""
+    from ksql_linq_spark.operators.stats import trend_fit
+
+    rows = [
+        (k, BASE + dt.timedelta(seconds=s), c / 100.0) for k, s, c in data
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    base = trend_fit(df, ["k"], "ts", "v", t0="2024-01-01", y_scale=2)
+    shuffled = trend_fit(
+        df.repartition(parts, "v").sortWithinPartitions(F.desc("v")),
+        ["k"], "ts", "v", t0="2024-01-01", y_scale=2,
+    )
+    got = {r["k"]: (r["slope"], r["intercept"], r["r2"]) for r in base.collect()}
+    got2 = {r["k"]: (r["slope"], r["intercept"], r["r2"]) for r in shuffled.collect()}
+    assert got == got2  # bit-identical, not approximately
+
+    # closed-form model over exact integer moments (cents / seconds)
+    from collections import defaultdict
+
+    pts = defaultdict(list)
+    for k, s, c in data:
+        pts[k].append((s, c))
+    for k, p in pts.items():
+        n = len(p)
+        sx = sum(x for x, _ in p)
+        sxx = sum(x * x for x, _ in p)
+        sy = sum(y for _, y in p) / 100.0
+        syy = sum(y * y for _, y in p) / 10000.0
+        sxy = sum(x * y for x, y in p) / 100.0
+        mx = float(n) * float(sxx) - float(sx) * float(sx)
+        if mx <= 0:
+            assert got[k][0] is None
+            continue
+        cxy = float(n) * float(sxy) - float(sx) * float(sy)
+        assert got[k][0] == pytest.approx(cxy / mx, rel=1e-12, abs=1e-15)
+
+
+@given(
+    n_rows=st.integers(min_value=1, max_value=80),
+    w_whole=st.integers(min_value=0, max_value=3),
+    w_frac_buckets=st.integers(min_value=0, max_value=1000),
+)
+@settings(**SETTINGS)
+def test_mixture_upsample_copy_counts(spark, n_rows, w_whole, w_frac_buckets):
+    """Every row gets floor(w) or ceil(w) copies; totals equal the sum
+    of per-row md5-bucket decisions (no RNG, no drift)."""
+    from ksql_linq_spark.operators.dataset import mixture_upsample, split_bucket
+
+    w = w_whole + w_frac_buckets / 1000.0
+    df = spark.range(n_rows).select(
+        F.col("id").alias("k"), F.lit("s").alias("src")
+    )
+    out = mixture_upsample(df, "k", "src", {"s": w})
+    per = {r["k"]: r["cnt"] for r in
+           out.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    buckets = {r["k"]: r["b"] for r in
+               df.select("k", split_bucket("k").alias("b")).collect()}
+    import math as _m
+
+    for k, b in buckets.items():
+        want = w_whole + (1 if b < w_frac_buckets else 0)
+        assert per.get(k, 0) == want
+        if want:
+            assert per[k] in (_m.floor(w), _m.ceil(w)) or w_frac_buckets in (0, 1000)
