@@ -3219,3 +3219,61 @@ ORACLES["text_langid_confusion"] = f"""
                     AS DOUBLE) AS frac
     FROM pred GROUP BY 1, 2
 """.format(lang_oracle=_build_lang_oracle())
+
+
+# ======================================================================
+# TPC-H Q22-shape: scalar subquery threshold + anti-join (customers
+# with above-average balance and no URGENT orders)
+# ======================================================================
+
+
+@q(
+    "agg_global_sales_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) AS ab
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey AS cntrycode,
+           count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+          (SELECT CAST(ab AS DECIMAL(18,2)) FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def agg_global_sales_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS
+    (restricted to URGENT orders so the anti-join side is selective).
+
+    Scale plan: the average is a 1-row aggregate broadcast into the
+    filter (never a collect to the driver); NOT EXISTS is a left_anti
+    join — Spark shuffles customer against orders' custkey projection,
+    the single column the anti-join needs.  The threshold compare runs
+    in DECIMAL(18,2) on both engines: avg() of a DECIMAL is
+    engine-exact, and re-quantizing to the input scale keeps the
+    boundary test identical."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(bal).cast("decimal(18,2)").alias("ab"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(bal > F.col("ab"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )

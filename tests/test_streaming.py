@@ -470,3 +470,37 @@ def test_jsonl_csv_roundtrip_with_corrupt_routing(spark, sf_dir):
         assert bad.count() == ev.count() + 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tws_first_seen_dedup(spark, sf_dir):
+    """transformWithState first-seen dedup equals batch distinct on the
+    key.  Skips where the TWS Python runner can't start (this container
+    ships a broken google.protobuf — see streaming/stateful.py)."""
+    from ksql_linq_spark.streaming.stateful import (
+        streaming_first_seen_dedup,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable: TWS runner cannot start")
+
+    from ksql_linq_spark.sources import read_stream_from_table, read_table
+
+    ck = tempfile.mkdtemp(prefix="tws_ckpt_")
+    try:
+        src = read_stream_from_table(spark, sf_dir, "events").select(
+            "event_type", "event_id"
+        )
+        out = streaming_first_seen_dedup(src, ["event_type"])
+        q = start_memory_sink(out, "tws_dedup", "append")
+        _drain(q)
+        got = spark.sql("SELECT count(*) AS n FROM tws_dedup").collect()[0]["n"]
+        want = (
+            read_table(spark, sf_dir, "events")
+            .select("event_type")
+            .distinct()
+            .count()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
