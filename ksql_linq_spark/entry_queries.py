@@ -3277,3 +3277,91 @@ def agg_global_sales_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ======================================================================
+# Pure-SQL entry path (catalog views + spark.sql — SURVEY §2.1 S3/S10:
+# registered entities are queryable by name in plain SQL)
+# ======================================================================
+
+
+@q(
+    "sql_text_entrypoint",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(min(o_orderdate) AS TIMESTAMP) AS first_order
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_text_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: entities registered as catalog views
+    (context.register_parquet_dir ≙ the reference's CREATE STREAM/TABLE
+    DDL), then the query is plain SQL text — same Catalyst plan as the
+    DataFrame form, proving the two surfaces are interchangeable."""
+    from .context import SparkKsqlContext
+
+    ctx = SparkKsqlContext(spark)
+    ctx.register_parquet_dir(sf_dir, tables=["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price,
+               min(o_orderdate) AS first_order
+        FROM orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ======================================================================
+# Trailing time-range window (RANGE frame over event time)
+# ======================================================================
+
+
+@q(
+    "trailing_1h_window",
+    oracle="""
+    SELECT event_id, ts, value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS sum_1h,
+           count(*) OVER w AS n_1h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE) AS avg_1h
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (ORDER BY epoch_us(ts) // 1000000
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_1h_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing one-hour aggregate via a RANGE frame over
+    event time (seconds) — the continuous sliding-window form hopping
+    windows approximate in discrete steps.  The frame sum is carried in
+    DECIMAL (order-free, exact) and the average is one DOUBLE division,
+    so every row is bit-exact.  Scale: single-partition global window
+    here (one event_type slice); at 100 TB partition the window by the
+    series key — the per-key form of the same frame."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    sec = F.unix_seconds(F.col("ts"))
+    w = Window.orderBy(sec.asc()).rangeBetween(-3599, Window.currentRow)
+    dec = F.col("value").cast("decimal(18,2)")
+    s = F.sum(dec).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "ts",
+        "value",
+        s.alias("sum_1h"),
+        n.alias("n_1h"),
+        (s / n.cast("double")).alias("avg_1h"),
+    )
