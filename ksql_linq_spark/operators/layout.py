@@ -68,3 +68,43 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table — metadata (bucket spec) comes from the
     catalog, which is what lets Catalyst elide the Exchange."""
     return spark.table(table)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a (possibly many-small-files) table directory into
+    ~``target_file_mb`` files — the maintenance job every streaming
+    sink needs: micro-batches each append a file per partition, and a
+    week of 30 s triggers is ~20k tiny files whose open/seek overhead
+    dominates scan time long before 100 TB.
+
+    Returns the file count written.  The rewrite stages to a sibling
+    directory then swaps via rename, so readers never see a half
+    -compacted table (same discipline as keyed_table_sink).  On a
+    cluster the staging/swap becomes the table format's transactional
+    rewrite (Delta OPTIMIZE / Iceberg rewrite_data_files); this is the
+    dependency-free parquet variant.
+    """
+    import math
+    import os
+    import shutil
+
+    size_b = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith((".", "_"))
+    )
+    n_files = max(1, math.ceil(size_b / (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    staged = path.rstrip("/") + ".compacting"
+    old = path.rstrip("/") + ".old"
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(staged)
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_files

@@ -587,3 +587,59 @@ def test_trend_fit_degenerate_single_point(spark):
     out = trend_fit(df, ["k"], "ts", "v", t0="2024-01-01").collect()[0]
     # mx == 0 -> undefined slope/intercept/r2, never a divide-by-zero NaN
     assert out["slope"] is None and out["intercept"] is None and out["r2"] is None
+
+
+def test_compact_table_preserves_rows(spark, sf_dir, tmp_path):
+    from ksql_linq_spark.operators.layout import compact_table
+
+    p = str(tmp_path / "frag")
+    ev = read_table(spark, sf_dir, "events")
+    # fragment: many small files
+    ev.repartition(37).write.parquet(p)
+    import glob
+
+    assert len(glob.glob(f"{p}/*.parquet")) == 37
+    n = compact_table(spark, p, target_file_mb=256)
+    assert n == 1  # tiny table -> single file
+    assert len(glob.glob(f"{p}/*.parquet")) == 1
+    back = spark.read.parquet(p)
+    assert back.count() == ev.count()
+    assert set(back.columns) == set(ev.schema.names)
+
+
+def test_text_ops_null_and_empty_robustness(spark):
+    """Operators must not crash on NULL/empty text — at corpus scale
+    both exist.  Contract: docs with no extractable tokens vanish from
+    token-derived outputs; hash/split ops keep the row."""
+    from ksql_linq_spark.operators.dataset import hash_split, mixture_upsample
+    from ksql_linq_spark.operators.dedup import exact_dedup
+    from ksql_linq_spark.operators.text import (
+        cross_doc_dup_stats,
+        quality_score,
+        repetition_stats,
+        token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None, "s"), (2, "", "s"), (3, "   ", "s"), (4, "real text here", "s")],
+        ["doc_id", "text", "source"],
+    )
+    # token-derived ops: null/empty docs contribute nothing, no crash
+    reps = {r["doc_id"] for r in repetition_stats(docs, n=2).collect()}
+    assert 4 in reps and 1 not in reps
+    dups = {r["doc_id"] for r in cross_doc_dup_stats(docs, n=2).collect()}
+    assert 4 in dups and 1 not in dups
+    tc = {r["doc_id"]: r["n"] for r in
+          docs.select("doc_id", token_count("text").alias("n")).collect()}
+    assert tc[4] == 3 and tc[2] == 0 and tc[1] in (None, 0)
+    qs = docs.select("doc_id", quality_score("text").alias("q")).collect()
+    assert len(qs) == 4  # no crash, one row per doc
+    # row-keyed ops keep every row
+    assert docs.select("doc_id", hash_split("doc_id")).count() == 4
+    assert (
+        mixture_upsample(docs, "doc_id", "source", {"s": 1.0}).count() == 4
+    )
+    # exact dedup on null text: null fingerprints form their own group,
+    # empty/whitespace normalize together
+    kept = exact_dedup(docs)
+    assert kept.count() <= 4 and kept.count() >= 2
