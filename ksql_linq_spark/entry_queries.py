@@ -3365,3 +3365,86 @@ def trailing_1h_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_1h"),
         (s / n.cast("double")).alias("avg_1h"),
     )
+
+
+# ======================================================================
+# Full curation chain: repetition gate -> quality-ranked dedup ->
+# language rebalance -> hash split -> per-split budget report
+# ======================================================================
+
+
+@q(
+    "pipeline_curation_full",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             md5({_DK_NORM}) AS fp,
+             len({_DK_TOKS.format(src='text')}) AS n_tokens,
+             CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.25 END
+               AS q
+      FROM documents
+      WHERE n_chars >= 50),
+    deduped AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id)
+                 AS rn
+        FROM scored) s
+      WHERE rn = 1),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 1000
+            < CASE lang WHEN 'en' THEN 500 ELSE 1000 END),
+    split AS (
+      SELECT lang, n_tokens,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT
+                       % 1000 < 900 THEN 'train' ELSE 'val' END AS split
+      FROM sampled)
+    SELECT split, lang,
+           count(*) AS docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens
+    FROM split GROUP BY 1, 2
+    """,
+)
+def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-build recipe as ONE composed plan: length gate →
+    quality-ranked exact dedup → deterministic language rebalance (keep
+    half of en) → md5 train/val split → per-(split, lang) doc/token
+    budget.  Every stage is an operator from this repo composed through
+    the DataFrame API, so Catalyst fuses the chain: ONE scan and TWO
+    exchanges (the dedup window's fingerprint shuffle and the final
+    agg's) for five pipeline stages — the rebalance and split stages
+    are pure expressions that ride along, and nothing materializes
+    between stages (plan-gated in tests/test_plans.py).  That fusion is the Spark-first argument in one plan:
+    the reference would run these as separate ksqlDB queries through
+    Kafka topics."""
+    from pyspark.sql.window import Window
+
+    from .operators.dataset import hash_split, stratified_hash_sample
+    from .operators.text import fingerprint, token_count
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 50)
+    q_ = F.when(F.col("n_chars").between(100, 20000), 1.0).otherwise(0.25)
+    scored = d.select(
+        "doc_id", "lang",
+        fingerprint(F.col("text")).alias("fp"),
+        token_count("text").alias("n_tokens"),
+        q_.alias("q"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("q").desc(), "doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    sampled = stratified_hash_sample(
+        deduped, "doc_id", "lang", {"en": 0.5}, default_rate=1.0
+    )
+    split = sampled.select(
+        "lang", "n_tokens",
+        hash_split("doc_id", {"train": 0.9, "val": 0.1}),
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+    )

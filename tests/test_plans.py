@@ -259,3 +259,15 @@ def test_bucketed_join_and_agg_have_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_bkt")
         spark.sql("DROP TABLE IF EXISTS t_o_bkt")
+
+
+def test_curation_chain_fuses_to_two_exchanges(spark, sf_dir):
+    import re
+
+    import __spark_entry__ as m
+
+    df = m.queries()["pipeline_curation_full"](spark, sf_dir)
+    plan = plan_of(df)
+    # five pipeline stages, one scan, exactly two shuffles
+    assert plan.count("Scan parquet  (") == 1, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan

@@ -504,3 +504,31 @@ def test_tws_first_seen_dedup(spark, sf_dir):
         assert got == want
     finally:
         shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_streaming_trend_fit_matches_batch(spark, sf_dir):
+    """trend_fit is one map-side-combinable aggregation, so it streams
+    unchanged in update mode: the final micro-batch state equals the
+    batch answer bit-for-bit (the exact-moment claim, streamed)."""
+    from ksql_linq_spark.operators.stats import trend_fit
+    from ksql_linq_spark.sources import read_stream_from_table, read_table
+
+    src = read_stream_from_table(spark, sf_dir, "events")
+    out = trend_fit(src, ["event_type"], "ts", "value",
+                    t0="2024-01-01", y_scale=2)
+    q = start_memory_sink(out, "trend_stream", "complete")
+    _drain(q)
+    got = {
+        r["event_type"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in spark.sql(
+            "SELECT * FROM trend_stream"
+        ).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in trend_fit(
+            read_table(spark, sf_dir, "events"),
+            ["event_type"], "ts", "value", t0="2024-01-01", y_scale=2,
+        ).collect()
+    }
+    assert got == want  # bit-identical, not approximately
