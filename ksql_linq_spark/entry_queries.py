@@ -3448,3 +3448,40 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").cast("bigint").alias("tokens"),
     )
+
+
+# ======================================================================
+# Embedding int8 quantization (vector storage compression)
+# ======================================================================
+
+
+@q(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, vd,
+             list_max(list_transform(vd, x -> abs(x))) AS mx
+      FROM v)
+    SELECT vec_id,
+           mx / 127.0 AS scale,
+           CASE WHEN mx = 0.0
+                THEN list_transform(vd, x -> 0)
+                ELSE list_transform(vd, x ->
+                  CAST(greatest(-127, least(127,
+                    CAST(floor(x / (mx / 127.0)) AS INT))) AS INT)) END AS q,
+           CAST(len(vd) AS INT) AS n_dims
+    FROM m
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 codes (operators/similarity.
+    quantize_embeddings_int8): floor-of-division quantization is
+    bit-deterministic across engines; scale is one double division.
+    Shuffle-free — rides the scan."""
+    from .operators.similarity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
