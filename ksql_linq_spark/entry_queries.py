@@ -3485,3 +3485,48 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import quantize_embeddings_int8
 
     return quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+
+
+# ======================================================================
+# Compressed-domain ANN: int8 top-k (exact integer scores — the only
+# fully value-checked similarity search; float ANN is rows-only)
+# ======================================================================
+
+
+@q(
+    "similarity_int8_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    vm AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx
+      FROM v),
+    vc AS (
+      SELECT vec_id,
+             CASE WHEN mx = 0.0 THEN list_transform(e, x -> 0)
+                  ELSE list_transform(e, x ->
+                    CAST(greatest(-127, least(127,
+                      CAST(floor(x / (mx / 127.0)) AS INT))) AS INT)) END AS c
+      FROM vm),
+    qc AS (SELECT c AS qc FROM vc WHERE vec_id = 0)
+    SELECT vec_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 65),
+               i -> CAST(c[i] AS BIGINT) * qc[i])), (x, y) -> x + y)
+             AS score_i8
+    FROM vc, qc
+    ORDER BY score_i8 DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_int8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain search (operators/similarity.int8_topk): both
+    sides int8-quantized, score = exact integer dot product — order-
+    free, so this ANN path is bit-deterministic and fully value-checked
+    (the float paths can only be rows-checked)."""
+    from .operators.similarity import int8_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return int8_topk(e, qvec, k=10)

@@ -282,3 +282,51 @@ def quantize_embeddings_int8(
     return df.select(
         F.col(id_col), scale, codes.alias("q"), F.size(v).alias("n_dims")
     )
+
+
+def int8_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by int8-quantized dot product — the compressed-domain
+    search every production ANN runtime runs (score in the int8 space,
+    optionally rescore survivors in float).
+
+    Both sides go through :func:`quantize_embeddings_int8`'s code
+    mapping; the score is a sum of INT products — associative, exact,
+    order-free — so unlike the float paths this search is bit-
+    deterministic end-to-end and fully value-checkable.  Scores are
+    comparable across vectors up to each vector's own scale; ties break
+    by id.  Per-row linear scan + TakeOrdered, no shuffle.
+    """
+    qmax = max(abs(x) for x in query_vec)
+    qcodes = [
+        0 if qmax == 0 else max(-127, min(127, int(
+            __import__("math").floor(x / (qmax / 127.0)))))
+        for x in query_vec
+    ]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    codes = F.when(mx == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x / (mx / F.lit(127.0))).cast("int")),
+            ),
+        )
+    )
+    qarr = F.array(*[F.lit(c) for c in qcodes])
+    score = F.aggregate(
+        F.zip_with(codes, qarr, lambda a, b: (a * b).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(F.col(id_col), score.alias("score_i8"))
+        .orderBy(F.col("score_i8").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -643,3 +643,19 @@ def test_text_ops_null_and_empty_robustness(spark):
     # empty/whitespace normalize together
     kept = exact_dedup(docs)
     assert kept.count() <= 4 and kept.count() >= 2
+
+
+def test_int8_topk_self_first_and_recall(spark, sf_dir):
+    from ksql_linq_spark.operators.similarity import (
+        brute_force_topk,
+        int8_topk,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = int8_topk(e, qvec, k=10).collect()
+    assert top[0]["vec_id"] == 0  # self is its own nearest neighbor
+    # compressed-domain scores track the float ranking closely
+    exact_ids = {r["vec_id"] for r in brute_force_topk(e, qvec, k=10).collect()}
+    got_ids = {r["vec_id"] for r in top}
+    assert len(exact_ids & got_ids) >= 6
