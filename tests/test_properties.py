@@ -377,3 +377,33 @@ def test_mixture_upsample_copy_counts(spark, n_rows, w_whole, w_frac_buckets):
         assert per.get(k, 0) == want
         if want:
             assert per[k] in (_m.floor(w), _m.ceil(w)) or w_frac_buckets in (0, 1000)
+
+
+@given(
+    vec=st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+        min_size=1,
+        max_size=32,
+    )
+)
+@settings(**SETTINGS)
+def test_int8_quantization_error_bound(spark, vec):
+    """Reconstruction error of floor-quantization is < one code unit:
+    |v_i - q_i * scale| < scale for every dimension (and exact 0 for
+    zero vectors)."""
+    from ksql_linq_spark.operators.similarity import quantize_embeddings_int8
+
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    row = quantize_embeddings_int8(df).collect()[0]
+    scale, q = row["scale"], row["q"]
+    assert row["n_dims"] == len(vec)
+    import math
+
+    vd = [float(__import__("numpy").float32(x)) for x in vec]
+    if max(abs(x) for x in vd) == 0:
+        assert scale == 0 and all(c == 0 for c in q)
+        return
+    for x, c in zip(vd, q):
+        assert -127 <= c <= 127
+        # clamping only ever applies at the max element (|x| == 127*scale)
+        assert abs(x - c * scale) < scale + 1e-12
