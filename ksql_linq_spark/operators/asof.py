@@ -35,14 +35,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import TimestampType
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+# Both timestamp flavors compare identically once carried as integer µs
+# (NTZ values are interpreted in the UTC session tz, matching the oracle).
+_TS_TYPES = (TimestampType, TimestampNTZType)
 
 
 def _ts_as_long(df: DataFrame, col: str) -> Column:
     """Order/compare carrier: exact integer µs for timestamps, raw value
     otherwise (double would lose µs precision at the tolerance boundary)."""
-    if isinstance(df.schema[col].dataType, TimestampType):
-        return F.unix_micros(F.col(col))
+    if isinstance(df.schema[col].dataType, _TS_TYPES):
+        return F.unix_micros(F.col(col).cast("timestamp"))
     return F.col(col)
 
 
@@ -76,8 +80,8 @@ def asof_join(
     if clash:
         raise ValueError(f"right columns collide with left: {clash}; rename them")
 
-    is_ts = isinstance(right.schema[right_ts].dataType, TimestampType)
-    if is_ts != isinstance(left.schema[left_ts].dataType, TimestampType):
+    is_ts = isinstance(right.schema[right_ts].dataType, _TS_TYPES)
+    if is_ts != isinstance(left.schema[left_ts].dataType, _TS_TYPES):
         raise ValueError("left_ts and right_ts must both be timestamps or both numeric")
 
     r = right.select(

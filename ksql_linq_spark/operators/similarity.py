@@ -131,20 +131,27 @@ def lsh_topk(
     num_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_hamming: int = 1,
 ) -> DataFrame:
     """ANN top-k: score only vectors in the query's sign-LSH bucket.
 
-    Recall < 1.0 by construction; increase by multi-probing (flip one
-    bit) — here the 1-bit-flip neighborhood is included.
+    Recall < 1.0 by construction; ``max_hamming`` widens the multi-probe
+    neighborhood (all buckets within that hamming distance of the
+    query's bucket).  Tune (num_planes, max_hamming) to the corpus:
+    fewer planes / wider probes → higher recall, larger candidate sets.
     """
+    import itertools
+
     dim = len(query_vec)
     planes = [_hyperplane(p, dim) for p in range(num_planes)]
     qbits = ["1" if sum(q * h for q, h in zip(query_vec, pl)) >= 0 else "0" for pl in planes]
     probes = {"".join(qbits)}
-    for i in range(num_planes):  # multi-probe: hamming-1 neighbors
-        flipped = qbits.copy()
-        flipped[i] = "0" if flipped[i] == "1" else "1"
-        probes.add("".join(flipped))
+    for r in range(1, max_hamming + 1):
+        for idxs in itertools.combinations(range(num_planes), r):
+            flipped = qbits.copy()
+            for i in idxs:
+                flipped[i] = "0" if flipped[i] == "1" else "1"
+            probes.add("".join(flipped))
     bucketed = random_projection_buckets(df, dim, num_planes, vec_col, id_col)
     cand = df.join(
         bucketed.filter(F.col("bucket").isin(*probes)).select(id_col), on=id_col
@@ -158,14 +165,20 @@ def ivf_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    train_rows: int = 4096,
 ):
     """IVF coarse quantizer: KMeans centroids + per-vector cell assignment.
 
     Returns (assigned_df with a ``cell`` column, centroids list).  The
     centroid count trades recall for candidate-set size: cells ≈ n/k
-    vectors each.  At 100 TB train on a sample (KMeans is iterative) and
-    assign with one broadcast map — assignment is a projection, not a
-    shuffle; persist ``cell`` as a partition column so probes prune.
+    vectors each.
+
+    Scale discipline: KMeans is iterative driver-coordinated ML, so it
+    trains on a bounded SAMPLE (~``train_rows`` rows regardless of input
+    size — centroid quality needs distribution coverage, not the full
+    corpus), then the FULL dataset is assigned in one pass with the
+    fitted model's broadcast centroids — assignment is a projection, not
+    a shuffle; persist ``cell`` as a partition column so probes prune.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -177,7 +190,16 @@ def ivf_assign(
             "_features"
         ),
     )
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="_features").fit(feat)
+    n = feat.count()
+    if n > train_rows:
+        # deterministic bounded sample: seeded Bernoulli with margin, then
+        # a hard LIMIT so driver-side training cost is O(train_rows) at any
+        # corpus size (sample alone is a fraction, not a row bound)
+        frac = min(1.0, (train_rows * 1.25) / n)
+        train = feat.sample(fraction=frac, seed=seed).limit(train_rows)
+    else:
+        train = feat
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_features").fit(train)
     assigned = model.transform(feat).withColumnRenamed("prediction", "cell").drop(
         "_features"
     )

@@ -91,3 +91,42 @@ def approx_quantiles(
             F.lit(int(1.0 / relative_error)),
         ).alias("quantiles")
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    col_probs: dict[str, list[tuple[float, str]]],
+    *,
+    exact_max_rows: int = 10_000_000,
+    accuracy: int = 10_000,
+    mode: str | None = None,
+) -> DataFrame:
+    """Size-gated per-group percentiles — the public percentile operator.
+
+    ``col_probs`` maps value column -> [(probability, output_alias)].
+    Below ``exact_max_rows`` input rows the exact interpolated
+    ``percentile`` runs (bit-parity with DuckDB ``quantile_cont``);
+    above it the Greenwald-Khanna ``percentile_approx`` sketch takes
+    over automatically — exact percentile is a per-group sort, which is
+    the wrong default at 100 TB, while the GK sketch is one map-side-
+    combinable pass with bounded rank error 1/``accuracy``.
+
+    ``mode`` forces ``"exact"`` / ``"approx"`` regardless of size (the
+    row-count probe is one metadata-cheap parquet count job; pass a mode
+    to skip it when the regime is known a priori).
+    """
+    if mode is None:
+        mode = "exact" if df.count() <= exact_max_rows else "approx"
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"mode must be exact|approx|None, got {mode!r}")
+    aggs = []
+    for col, probs in col_probs.items():
+        for p, alias in probs:
+            if mode == "exact":
+                aggs.append(F.percentile(col, F.lit(p)).alias(alias))
+            else:
+                aggs.append(
+                    F.percentile_approx(col, F.lit(p), F.lit(accuracy)).alias(alias)
+                )
+    return df.groupBy(*keys).agg(*aggs)

@@ -121,7 +121,7 @@ def trend_fit(
     bit-identical.
     """
     x = (
-        F.unix_seconds(F.col(ts_col))
+        F.unix_seconds(F.col(ts_col).cast("timestamp"))
         - F.unix_seconds(F.lit(t0).cast("timestamp"))
     ).cast("decimal(18,0)")
     y = F.col(y_col).cast(f"decimal(18,{y_scale})")

@@ -43,6 +43,10 @@ def build_session(
         # driver parquet stores event time as TIMESTAMP(NANOS) which Spark
         # rejects; read as raw long nanos (sources.read_table converts)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet isAdjustedToUTC=false timestamps read as TIMESTAMP (LTZ),
+        # not TIMESTAMP_NTZ — watermarks/unix_seconds/intervals need LTZ and
+        # a UTC session tz keeps the values equal to the naive oracle read
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

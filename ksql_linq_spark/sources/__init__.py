@@ -27,8 +27,29 @@ _NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Driver parquet stores timestamps with isAdjustedToUTC=false which
+        # Spark ≥3.4 infers as TIMESTAMP_NTZ — a type `withWatermark`,
+        # `unix_seconds`, and interval arithmetic all reject.  Read them as
+        # plain TIMESTAMP instead (session tz is UTC, so wall-clock values
+        # are numerically identical to DuckDB's naive read).
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # locked static conf — fall back to whatever the session has
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (fallback when the scan
+    happened before the inferTimestampNTZ conf applied).  Under a UTC
+    session tz the cast is value-preserving."""
+    casts = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in casts:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -39,7 +60,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         f = dict(zip(df.schema.names, df.schema.fields))[col]
         if isinstance(f.dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
-    return df
+    return _ntz_to_ltz(df)
 
 
 def read_stream_from_table(
@@ -71,7 +92,7 @@ def read_stream_from_table(
         f = dict(zip(df.schema.names, df.schema.fields))[col]
         if isinstance(f.dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
-    return df
+    return _ntz_to_ltz(df)
 
 
 def kafka_source(

@@ -113,7 +113,13 @@ def start_memory_sink(df: DataFrame, name: str, output_mode: str):
     )
 
 
-def keyed_table_sink(df: DataFrame, path: str, keys: list[str], checkpoint: str):
+def keyed_table_sink(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint: str,
+    tombstones: bool = True,
+):
     """Materialize an update-mode (EMIT CHANGES) aggregate as a keyed
     TABLE: each micro-batch upserts its changed rows by key.
 
@@ -123,11 +129,18 @@ def keyed_table_sink(df: DataFrame, path: str, keys: list[str], checkpoint: str)
     parquet table Spark reads back directly (SURVEY.md §2.1 S9: no cache
     subsystem needed).
 
+    **Tombstones** (``tombstones=True``): a batch row whose non-key
+    columns are ALL NULL is a delete — the key is removed from the table
+    and the row is not inserted.  This is the reference's
+    delete-on-null-value contract
+    (/root/reference/src/SerDes/TombstoneSafeSerDes.cs:1-111: a Kafka
+    record with a null value tombstones its key in the compacted table).
+
     Local implementation: read-merge-rewrite per batch (fine for test
     scale; single-writer).  On a cluster this exact foreachBatch body
-    becomes a Delta/Iceberg MERGE INTO keyed ON the same columns —
-    partition the table by a key prefix or bucket date so the merge
-    touches only affected files.
+    becomes a Delta/Iceberg MERGE INTO keyed ON the same columns with
+    WHEN MATCHED AND <all-null> THEN DELETE — partition the table by a
+    key prefix or bucket date so the merge touches only affected files.
     """
     import os
     import shutil
@@ -135,16 +148,26 @@ def keyed_table_sink(df: DataFrame, path: str, keys: list[str], checkpoint: str)
 
     spark = df.sparkSession
     schema = df.schema
+    value_cols = [c for c in df.columns if c not in keys]
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates(keys)  # one row per key per batch
+        if tombstones and value_cols:
+            is_tomb = F.lit(True)
+            for c in value_cols:
+                is_tomb = is_tomb & F.col(c).isNull()
+            upserts = batch.filter(~is_tomb)
+        else:
+            upserts = batch
         if os.path.exists(path):
             current = spark.read.schema(schema).parquet(path)
+            # anti-join on ALL batch keys (upserts AND tombstones), then
+            # re-insert only the upserts — tombstoned keys just vanish
             merged = current.join(
                 batch.select(*keys), on=keys, how="left_anti"
-            ).unionByName(batch)
+            ).unionByName(upserts)
         else:
-            merged = batch
+            merged = upserts
         staged = tempfile.mkdtemp(prefix="keyed_sink_")
         merged.write.mode("overwrite").parquet(staged)
         materialized = spark.read.parquet(staged)

@@ -1,0 +1,89 @@
+"""Avro wire-format tests — the jar-free twin of the spark-avro path.
+
+The reference's wire format is Schema-Registry Avro
+(src/Mapping/MappingRegistry.cs:46-257; src/SerDes/TombstoneSafeSerDes.cs).
+The spark-avro jar is absent in this container, so these tests exercise
+the pure-python serde (sources/avro_fallback.py) against a CHECKED-IN
+binary fixture (tests/fixtures/order_events.avro_frames) — the golden
+bytes pin the encoding so a regression in either direction fails loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pytest
+
+from ksql_linq_spark.sources.avro_fallback import (
+    avro_decode_pandas,
+    decode_record,
+    encode_record,
+    frame_confluent,
+    strip_confluent_header,
+)
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+SCHEMA = json.load(open(os.path.join(FIXDIR, "order_events.avsc")))
+
+EXPECTED = [
+    {"order_id": 1, "symbol": "ACME", "price": 101.25, "qty": 7,
+     "note": "first", "active": True},
+    {"order_id": -42, "symbol": "日本", "price": -0.5, "qty": 0,
+     "note": None, "active": False},
+    {"order_id": 2**40, "symbol": "", "price": 1e300, "qty": -2147483648,
+     "note": "ünïcode", "active": True},
+]
+
+
+def _read_frames() -> list[bytes]:
+    frames = []
+    with open(os.path.join(FIXDIR, "order_events.avro_frames"), "rb") as f:
+        while True:
+            head = f.read(4)
+            if not head:
+                return frames
+            frames.append(f.read(struct.unpack(">I", head)[0]))
+
+
+def test_golden_fixture_decodes():
+    """Checked-in bytes -> exactly the expected records (format pin)."""
+    frames = _read_frames()
+    assert len(frames) == 3
+    for framed, want in zip(frames, EXPECTED):
+        schema_id, body = strip_confluent_header(framed)
+        assert schema_id == 7
+        assert decode_record(SCHEMA, body) == want
+
+
+def test_roundtrip_encode_decode():
+    """encode -> decode is identity across nulls, negatives, unicode."""
+    for rec in EXPECTED:
+        assert decode_record(SCHEMA, encode_record(SCHEMA, rec)) == rec
+
+
+def test_confluent_frame_roundtrip_and_reject():
+    body = encode_record(SCHEMA, EXPECTED[0])
+    assert strip_confluent_header(frame_confluent(body, 123)) == (123, body)
+    with pytest.raises(ValueError):
+        strip_confluent_header(b"\x01oops")
+
+
+def test_spark_mapinpandas_decode(spark):
+    """Distributed decode path: BINARY column -> typed columns, corrupt
+    frames routed to _corrupt instead of failing the job."""
+    frames = _read_frames()
+    rows = [(f,) for f in frames] + [(b"\x01not-avro",)]
+    df = spark.createDataFrame(rows, "value binary")
+    out = avro_decode_pandas(df, "value", json.dumps(SCHEMA)).collect()
+    ok = [r for r in out if r["_corrupt"] is None]
+    bad = [r for r in out if r["_corrupt"] is not None]
+    assert len(ok) == 3 and len(bad) == 1
+    got = sorted(
+        ({k: r[k] for k in EXPECTED[0]} for r in ok),
+        key=lambda d: d["order_id"],
+    )
+    want = sorted(EXPECTED, key=lambda d: d["order_id"])
+    assert got == want
+    assert bytes(bad[0]["_corrupt"]) == b"\x01not-avro"

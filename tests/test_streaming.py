@@ -234,6 +234,49 @@ def test_keyed_table_sink_upserts(spark, sf_dir, event_stream):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_keyed_table_sink_tombstone_deletes_key(spark):
+    """Tombstone contract (TombstoneSafeSerDes.cs:1-111): a changelog row
+    whose non-key columns are all NULL deletes its key from the keyed
+    table — upsert A,B then tombstone A → only B remains."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from ksql_linq_spark.streaming.windows import keyed_table_sink
+
+    src = tempfile.mkdtemp(prefix="tomb_src_")
+    out_dir = tempfile.mkdtemp(prefix="tomb_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="tomb_ckpt_")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    try:
+        spark.createDataFrame([("A", 1.0), ("B", 2.0)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = keyed_table_sink(stream, f"{out_dir}/t", ["k"], ckpt)
+        q.processAllAvailable()
+        got = {r["k"]: r["v"] for r in spark.read.parquet(f"{out_dir}/t").collect()}
+        assert got == {"A": 1.0, "B": 2.0}
+        # tombstone A (null value), update B
+        spark.createDataFrame([("A", None), ("B", 3.0)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        got = {r["k"]: r["v"] for r in spark.read.parquet(f"{out_dir}/t").collect()}
+        assert got == {"B": 3.0}, f"tombstoned key must be deleted, got {got}"
+    finally:
+        for d in (src, out_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_hopping_window_final(spark):
     """W3 hopping + EMIT FINAL: each event counted in size/advance windows."""
     rows = [
