@@ -54,18 +54,101 @@ def _fake_decode(content: bytes, media_type: str) -> dict[str, Any]:
     }
 
 
+def stdlib_decode(content: bytes, media_type: str) -> dict[str, Any]:
+    """REAL decode via the pure-stdlib codecs (operators/codecs.py):
+    full pixel decode for PNG/BMP, full PCM decode for WAV,
+    header-dimension sniff for GIF/JPEG.  Raises NotImplementedError
+    for containers that genuinely need an external codec (JPEG pixels,
+    video) — the honest boundary of a no-dependency environment.
+
+    Returns width/height/n_frames/duration_ms plus ``format`` and, when
+    pixels/samples were actually decoded, their means (``px_mean`` /
+    ``sample_mean``) — decodable proof the byte path is real.
+    """
+    from . import codecs
+
+    content = content or b""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        w = codecs.decode_wav(content)
+        mean = (
+            sum(w["samples"]) / len(w["samples"])
+            if w.get("samples")
+            else None
+        )
+        return {
+            "format": "wav", "width": 0, "height": 0, "n_frames": 1,
+            "duration_ms": w["duration_ms"], "px_mean": None,
+            "sample_mean": mean,
+        }
+    sniff = codecs.sniff_dimensions(content)
+    if sniff is None:
+        raise NotImplementedError(
+            f"unrecognized container for media_type={media_type!r}: only "
+            "PNG/BMP/GIF/JPEG/WAV decode without external codec libs"
+        )
+    out = {
+        "format": sniff["format"], "width": sniff["width"],
+        "height": sniff["height"], "n_frames": 1, "duration_ms": 0,
+        "px_mean": None, "sample_mean": None,
+    }
+    if sniff["format"] == "png":
+        px = codecs.decode_png(content)
+        out["px_mean"] = sum(px["pixels"]) / len(px["pixels"])
+    elif sniff["format"] == "bmp":
+        px = codecs.decode_bmp(content)
+        out["px_mean"] = sum(px["pixels"]) / len(px["pixels"])
+    return out
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """REAL-bytes decode stage: content BINARY -> format/width/height/
+    n_frames/duration_ms/px_mean/sample_mean via :func:`stdlib_decode`
+    in an Arrow-batched ``mapInPandas`` (same plumbing contract as
+    :func:`decode_metadata`; no fake path — bytes must be genuine
+    PNG/BMP/GIF/JPEG/WAV)."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("px_mean", T.DoubleType()),
+            T.StructField("sample_mean", T.DoubleType()),
+        ]
+    )
+    cols = ["format", "width", "height", "n_frames", "duration_ms",
+            "px_mean", "sample_mean"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                stdlib_decode(c, m)
+                for c, m in zip(pdf["content"], pdf["media_type"])
+            ]
+            for k in cols:
+                pdf[k] = [m[k] for m in metas]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def decode_metadata(df: DataFrame, fake: bool = False) -> DataFrame:
     """content BINARY -> typed decode metadata columns (width/height/...).
 
-    Arrow-batched; raises NotImplementedError when no decoder is wired
-    and ``fake`` is False.
+    Arrow-batched; decoder resolution order: the production ``DECODER``
+    hook, else the deterministic fake when ``fake=True``, else the REAL
+    pure-stdlib codec decode (PNG/BMP/GIF/JPEG/WAV — raises
+    NotImplementedError per blob only for containers that need external
+    codec libs, e.g. video).
     """
-    decoder = DECODER or (_fake_decode if fake else None)
-    if decoder is None:
-        raise NotImplementedError(
-            "no media decoder in this environment: set multimodal.DECODER "
-            "or call with fake=True (deterministic test decoder)"
-        )
+    if DECODER is not None:
+        decoder = DECODER
+    elif fake:
+        decoder = _fake_decode
+    else:
+        decoder = stdlib_decode
 
     out_schema = T.StructType(
         df.schema.fields
@@ -182,27 +265,44 @@ def resize_images(
     Same Arrow plumbing contract as decode: per-batch Python, bounded by
     arrow.maxRecordsPerBatch, schema preserved (MEDIA_SCHEMA + resized
     content), so a resize stage slots into any media pipeline without a
-    schema migration.  Stub kernel: deterministic md5-stream bytes of
-    length width*height//64 standing in for the re-encoded image; wire
-    RESIZER to a real codec in production.  Non-image rows pass through
-    untouched (resize is an image-only transform)."""
+    schema migration.  Kernel resolution: the production ``RESIZER``
+    hook; else with ``fake=True`` a deterministic md5-stream stand-in;
+    else the REAL pure-stdlib path — decode PNG/BMP pixels
+    (operators/codecs.py), nearest-neighbor resample, re-encode as PNG
+    (other containers raise NotImplementedError per blob).  Non-image
+    rows pass through untouched (resize is an image-only transform)."""
     resizer = RESIZER
     if resizer is None:
-        if not fake:
-            raise NotImplementedError(
-                "no image codec in this container: set multimodal.RESIZER "
-                "or pass fake=True for the deterministic test kernel"
-            )
+        if fake:
 
-        def resizer(content: bytes, media_type: str, w: int, h: int) -> bytes:
-            seed = hashlib.md5(
-                (content or b"") + f"|{w}x{h}".encode()
-            ).digest()
-            out, n = [], max(w * h // 64, 16)
-            while sum(len(c) for c in out) < n:
-                seed = hashlib.md5(seed).digest()
-                out.append(seed)
-            return b"".join(out)[:n]
+            def resizer(content: bytes, media_type: str, w: int, h: int) -> bytes:
+                seed = hashlib.md5(
+                    (content or b"") + f"|{w}x{h}".encode()
+                ).digest()
+                out, n = [], max(w * h // 64, 16)
+                while sum(len(c) for c in out) < n:
+                    seed = hashlib.md5(seed).digest()
+                    out.append(seed)
+                return b"".join(out)[:n]
+
+        else:
+
+            def resizer(content: bytes, media_type: str, w: int, h: int) -> bytes:
+                from . import codecs
+
+                content = content or b""
+                if content.startswith(b"\x89PNG"):
+                    px = codecs.decode_png(content)
+                elif content[:2] == b"BM":
+                    px = codecs.decode_bmp(content)
+                else:
+                    raise NotImplementedError(
+                        "real resize covers PNG/BMP only without codec libs"
+                    )
+                resized = codecs.resize_nearest(
+                    px["pixels"], px["width"], px["height"], px["channels"], w, h
+                )
+                return codecs.encode_png(resized, w, h, px["channels"])
 
     schema = T.StructType(
         list(MEDIA_SCHEMA.fields)

@@ -101,24 +101,34 @@ def quality_score(text, lang: str = "en") -> Column:
 
 def detect_language(text) -> Column:
     """Stopword-hit language heuristic: argmax of per-language hit counts,
-    'und' (undetermined) when nothing hits.  One expression, no UDF."""
+    'und' (undetermined) when nothing hits.  One expression, no UDF.
+
+    The argmax is ``array_max`` over (hits, -position, lang) structs —
+    lexicographic struct compare gives greatest-hits with
+    earlier-language tie-break in a LINEAR-size expression.  (The
+    folded when/otherwise formulation embeds the running best twice per
+    language → a 2^|langs| expression tree that Catalyst/codegen chokes
+    on: 20 s/query at 10 languages, measured.)"""
     c = F.lower(_c(text))
     toks = tokens(c)
-    best = F.lit("und")
-    best_hits = F.lit(0)
 
     def _hit(sw: list[str]):
         # NB: pyspark higher-order lambdas must be unary — capture via
         # closure, not default args (extra params get bound to Columns)
         return lambda t: t.isin(*sw)
 
-    # fold over languages; greatest-hits wins, earlier language on ties
-    for lang in STOPWORDS:
-        hits = F.size(F.filter(toks, _hit(STOPWORDS[lang])))
-        take = hits > best_hits
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_hits = F.when(take, hits).otherwise(best_hits)
-    return best
+    cands = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, _hit(ws))).alias("h"),
+                F.lit(-i).alias("p"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, ws) in enumerate(STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(cands)
+    return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def language_id_table(df, text_col: str = "text", id_col: str = "doc_id",
@@ -148,15 +158,29 @@ def language_id_table(df, text_col: str = "text", id_col: str = "doc_id",
         .pivot("lang_sw", langs)
         .count()
     )
-    joined = df.select(id_col, *(extra_cols or [])).join(hits, id_col, "left")
-    hcols = {l: F.coalesce(F.col(l), F.lit(0)) for l in langs}
-    best = F.lit("und")
-    best_hits = F.lit(0).cast("long")
-    for lang in langs:
-        take = hcols[lang] > best_hits
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_hits = F.when(take, hcols[lang]).otherwise(best_hits)
-    return joined.select(id_col, *(extra_cols or []), best.alias("detected_lang"))
+    # hits has ≤1 row/doc and |langs| small ints — broadcast it back onto
+    # the doc table (post-agg frames have no size stats, so Catalyst
+    # falls into a SortMergeJoin otherwise: measured 2x the query time).
+    # At 100 TB hits is doc-cardinality: swap the broadcast for a
+    # bucketed join on id_col there; the argmax stays unchanged.
+    joined = df.select(id_col, *(extra_cols or [])).join(
+        F.broadcast(hits), id_col, "left"
+    )
+    # linear-size argmax (see detect_language): struct compare beats a
+    # folded CASE chain whose tree doubles per language
+    cands = F.array(
+        *[
+            F.struct(
+                F.coalesce(F.col(lang), F.lit(0)).cast("long").alias("h"),
+                F.lit(-i).alias("p"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(cands)
+    detected = F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return joined.select(id_col, *(extra_cols or []), detected.alias("detected_lang"))
 
 
 def normalize_text(text) -> Column:

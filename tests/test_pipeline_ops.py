@@ -134,8 +134,11 @@ def media(spark):
     return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
 
 
-def test_multimodal_decode_stub_raises_without_decoder(media):
-    with pytest.raises(NotImplementedError):
+def test_multimodal_decode_real_rejects_garbage(media):
+    """Without fake=True the REAL stdlib decode runs — non-media bytes
+    must fail loudly (NotImplementedError surfaced via the executor),
+    never fabricate metadata."""
+    with pytest.raises(Exception, match="unrecognized container"):
         multimodal.decode_metadata(media).collect()
 
 
