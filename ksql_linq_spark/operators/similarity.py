@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -114,6 +114,13 @@ def random_projection_buckets(
     Cosine-similar vectors collide with high probability; 2^num_planes
     buckets bound candidate-set size.
     """
+    return df.select(
+        F.col(id_col), _bucket_expr(dim, num_planes, vec_col).alias("bucket")
+    )
+
+
+def _bucket_expr(dim: int, num_planes: int, vec_col: str) -> Column:
+    """Sign-LSH bucket bitstring as a reusable Column expression."""
     # per-row linear scan: the fold is cheaper than compiling an
     # 8*dim-term unrolled expression (see brute_force_topk note)
     v = _dbl(vec_col)
@@ -121,7 +128,77 @@ def random_projection_buckets(
         F.when(dot(v, F.array(*[F.lit(x) for x in _hyperplane(p, dim)])) >= 0, "1").otherwise("0")
         for p in range(num_planes)
     ]
-    return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    return F.concat(*bits)
+
+
+def _probe_buckets(query_vec: list[float], num_planes: int, max_hamming: int) -> list[str]:
+    """The query's bucket plus every bucket within ``max_hamming`` flips."""
+    import itertools
+
+    planes = [_hyperplane(p, len(query_vec)) for p in range(num_planes)]
+    qbits = [
+        "1" if sum(q * h for q, h in zip(query_vec, pl)) >= 0 else "0"
+        for pl in planes
+    ]
+    probes = {"".join(qbits)}
+    for r in range(1, max_hamming + 1):
+        for idxs in itertools.combinations(range(num_planes), r):
+            flipped = qbits.copy()
+            for i in idxs:
+                flipped[i] = "0" if flipped[i] == "1" else "1"
+            probes.add("".join(flipped))
+    return sorted(probes)
+
+
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus PARTITIONED BY its sign-LSH bucket — the
+    at-rest ANN index.  A probe query then reads ONLY the probed
+    partition directories (Spark partition pruning happens at file
+    listing, before any IO), so query cost is
+    |probes| / 2^num_planes of the corpus regardless of total size.
+    This is the 100 TB serving shape: index once (one shuffle-free
+    scan + partitioned write), probe cheaply forever; re-index is
+    append-friendly because the bucket of a vector never changes
+    (hyperplanes are md5-derived constants, no trained state).
+
+    The partition value is ``b<bits>`` — the letter prefix stops
+    Spark's partition-column type inference from reading ``0010`` back
+    as the integer 10 and breaking probe equality.
+    """
+    (
+        df.withColumn(
+            "bucket", F.concat(F.lit("b"), _bucket_expr(dim, num_planes, vec_col))
+        )
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def query_ann_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    max_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k probe against a :func:`build_ann_index` layout: reads only
+    the probed bucket partitions (pruned at listing time), then exact
+    cosine top-k over the candidate set."""
+    probes = ["b" + p for p in _probe_buckets(query_vec, num_planes, max_hamming)]
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    return brute_force_topk(cand.drop("bucket"), query_vec, k, vec_col, id_col)
 
 
 def lsh_topk(
@@ -140,18 +217,8 @@ def lsh_topk(
     query's bucket).  Tune (num_planes, max_hamming) to the corpus:
     fewer planes / wider probes → higher recall, larger candidate sets.
     """
-    import itertools
-
     dim = len(query_vec)
-    planes = [_hyperplane(p, dim) for p in range(num_planes)]
-    qbits = ["1" if sum(q * h for q, h in zip(query_vec, pl)) >= 0 else "0" for pl in planes]
-    probes = {"".join(qbits)}
-    for r in range(1, max_hamming + 1):
-        for idxs in itertools.combinations(range(num_planes), r):
-            flipped = qbits.copy()
-            for i in idxs:
-                flipped[i] = "0" if flipped[i] == "1" else "1"
-            probes.add("".join(flipped))
+    probes = _probe_buckets(query_vec, num_planes, max_hamming)
     bucketed = random_projection_buckets(df, dim, num_planes, vec_col, id_col)
     cand = df.join(
         bucketed.filter(F.col("bucket").isin(*probes)).select(id_col), on=id_col

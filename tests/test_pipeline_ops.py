@@ -662,3 +662,48 @@ def test_int8_topk_self_first_and_recall(spark, sf_dir):
     exact_ids = {r["vec_id"] for r in brute_force_topk(e, qvec, k=10).collect()}
     got_ids = {r["vec_id"] for r in top}
     assert len(exact_ids & got_ids) >= 6
+
+
+def test_ann_index_partition_pruning(spark, sf_dir, tmp_path):
+    """Persisted LSH index: a probe query must (1) return exactly what
+    the in-memory lsh_topk returns for the same parameters, and (2)
+    physically read ONLY the probed bucket partitions — the at-rest
+    partition pruning that makes ANN serving sublinear at 100 TB."""
+    from ksql_linq_spark.operators.similarity import (
+        _probe_buckets,
+        build_ann_index,
+        lsh_topk,
+        query_ann_index,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ann_idx")
+    build_ann_index(e, path, dim=len(qvec), num_planes=4)
+
+    got = query_ann_index(spark, path, qvec, k=10, num_planes=4).collect()
+    want = lsh_topk(e, qvec, k=10, num_planes=4).collect()
+    assert [(r["vec_id"], round(r["cos"], 9)) for r in got] == [
+        (r["vec_id"], round(r["cos"], 9)) for r in want
+    ]
+
+    probes = {"b" + p for p in _probe_buckets(qvec, 4, 1)}
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(sorted(probes)))
+    # physical proof of pruning: the scan node carries PartitionFilters
+    # on bucket (listing-time pruning), and the rows actually read come
+    # only from probed partitions
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cand.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    read_buckets = {r["bucket"] for r in cand.select("bucket").distinct().collect()}
+    all_buckets = {
+        r["bucket"]
+        for r in spark.read.parquet(path).select("bucket").distinct().collect()
+    }
+    assert read_buckets <= probes
+    assert len(all_buckets) > len(read_buckets), "pruning had no effect"

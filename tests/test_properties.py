@@ -407,3 +407,84 @@ def test_int8_quantization_error_bound(spark, vec):
         assert -127 <= c <= 127
         # clamping only ever applies at the max element (|x| == 127*scale)
         assert abs(x - c * scale) < scale + 1e-12
+
+
+# ---------------------------------------------------------------- serde/codec
+# Pure-python round-trip properties (no Spark session needed): any record
+# the schema admits must survive encode->decode, and any pixel/sample
+# buffer must survive PNG/WAV round-trips bit-exactly.
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "P",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "blob", "type": "bytes"},
+        {"name": "opt", "type": ["null", "long"]},
+    ],
+}
+
+
+@given(
+    rec=st.fixed_dictionaries(
+        {
+            "id": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "name": st.text(max_size=40),
+            "score": st.floats(allow_nan=False),
+            "flag": st.booleans(),
+            "blob": st.binary(max_size=64),
+            "opt": st.none() | st.integers(min_value=-(2**62), max_value=2**62),
+        }
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_avro_roundtrip_property(rec):
+    from ksql_linq_spark.sources.avro_fallback import (
+        decode_record,
+        encode_record,
+        frame_confluent,
+        strip_confluent_header,
+    )
+
+    body = encode_record(_AVRO_SCHEMA, rec)
+    assert decode_record(_AVRO_SCHEMA, body) == rec
+    sid, stripped = strip_confluent_header(frame_confluent(body, 42))
+    assert (sid, stripped) == (42, body)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_roundtrip_property(w, h, ch, seed):
+    import random
+
+    from ksql_linq_spark.operators.codecs import decode_png, encode_png
+
+    rng = random.Random(seed)
+    pix = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    out = decode_png(encode_png(pix, w, h, ch))
+    assert (out["width"], out["height"], out["channels"]) == (w, h, ch)
+    assert out["pixels"] == pix
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=500
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=25, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    from ksql_linq_spark.operators.codecs import decode_wav, encode_wav
+
+    out = decode_wav(encode_wav(samples, rate))
+    assert out["samples"] == samples
+    assert out["sample_rate"] == rate
+    assert out["n_samples"] == len(samples)
