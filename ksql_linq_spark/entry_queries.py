@@ -1711,6 +1711,40 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dataset_paragraph_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ps FROM documents),
+    paras AS (
+      SELECT doc_id, unnest(range(1, len(ps)+1)) - 1 AS pos, unnest(ps) AS para
+      FROM t),
+    k AS (
+      SELECT *, CASE WHEN length(para) >= 4
+                     THEN row_number() OVER (PARTITION BY para
+                                             ORDER BY doc_id, pos)
+                     ELSE 1 END AS rn
+      FROM paras),
+    agg AS (
+      SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text
+      FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.text, '') AS text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dataset_paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide sub-document dedup (C4/RefinedWeb paragraph recipe:
+    repeated units removed everywhere except their first occurrence,
+    documents reassembled in order).  The synthetic corpus has no
+    blank-line paragraphs, so the registered instance runs the operator
+    at WORD granularity with a <4-char exemption — degenerate input,
+    but every mechanic (posexplode, fingerprint keeper, exemption,
+    ordered reassembly, empty-doc retention) is value-checked."""
+    from .operators.dataset import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(d.select("doc_id", "text"), sep=" ", min_chars=4)
+
+
+@q(
     "multimodal_real_decode",
     oracle="""
     SELECT doc_id AS media_id,

@@ -185,3 +185,64 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         chunk.alias(chunk_col),
         F.length(chunk).alias("chunk_chars"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_chars: int = 0,
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup (the C4/RefinedWeb recipe: a
+    boilerplate paragraph repeated across pages is removed EVERYWHERE
+    except its first occurrence, even though no two whole documents
+    match).  Returns (id, text) with each document reassembled from the
+    paragraphs it is allowed to keep, preserving original paragraph
+    order; documents whose every paragraph was claimed elsewhere come
+    back with empty text rather than disappearing (the caller decides
+    the drop policy).
+
+    Dataflow: posexplode paragraphs → md5 fingerprint → one groupBy
+    min(id, pos) per fingerprint (the keeper) → broadcast-free
+    self-join on fingerprint to tag keepers → re-agg by doc with
+    sort_array over (pos, para) structs.  Two key-partitioned shuffles
+    (fingerprint, then doc id) regardless of corpus size; the
+    fingerprint shuffle carries (md5, id, pos) — never the paragraph
+    text twice.  ``min_chars`` exempts short paragraphs (headings,
+    list stubs) from dedup, mirroring C4's length guard.
+
+    Reference: no text-curation surface exists in Ksql.Linq —
+    training-data extension mandated by the build brief.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
+    )
+    fp = paras.withColumn("fp", F.md5(F.col("para")))
+    # first occurrence = min (id, pos) pair per fingerprint, carried as a
+    # single struct min (one map-side-combinable aggregate)
+    keeper = (
+        fp.filter(F.length("para") >= min_chars)
+        .groupBy("fp")
+        .agg(F.min(F.struct(id_col, "pos")).alias("k"))
+        .select("fp", F.col(f"k.{id_col}").alias("_kid"), F.col("k.pos").alias("_kpos"))
+    )
+    kept = fp.join(keeper, "fp", "left").filter(
+        (F.length("para") < min_chars)  # exempt short paras
+        | ((F.col(id_col) == F.col("_kid")) & (F.col("pos") == F.col("_kpos")))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+        .join(df.select(id_col), id_col, "right")
+        .na.fill({text_col: ""})
+    )

@@ -119,10 +119,21 @@ def kafka_source(
         return None
 
 
+def to_kafka_records(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """Shape any frame into Kafka's wire projection — key cast to
+    STRING, value = JSON of every column (the reference's
+    ``value_format='JSON'`` contract, KsqlWithOptions).  Split out of
+    :func:`kafka_sink` so the record shaping is testable without a
+    broker or the connector jar; the sink attaches only transport."""
+    return df.selectExpr(
+        f"CAST({key_col} AS STRING) AS key", "to_json(struct(*)) AS value"
+    )
+
+
 def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
     """S2 Kafka topic sink (EventSet.AddAsync analog for streams)."""
     return (
-        df.selectExpr("CAST(key AS STRING) AS key", "to_json(struct(*)) AS value")
+        to_kafka_records(df)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)

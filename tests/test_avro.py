@@ -87,3 +87,25 @@ def test_spark_mapinpandas_decode(spark):
     want = sorted(EXPECTED, key=lambda d: d["order_id"])
     assert got == want
     assert bytes(bad[0]["_corrupt"]) == b"\x01not-avro"
+
+
+def test_kafka_record_shaping_broker_free(spark):
+    """S2 wire contract without a broker: key stringified, value = JSON
+    of the full row (value_format='JSON' parity), round-trippable."""
+    from ksql_linq_spark.sources import to_kafka_records
+
+    df = spark.createDataFrame(
+        [(7, "click", 1.5), (8, "view", -2.0)], "key long, event string, v double"
+    )
+    recs = {r["key"]: r["value"] for r in to_kafka_records(df).collect()}
+    assert set(recs) == {"7", "8"}
+    assert json.loads(recs["7"]) == {"key": 7, "event": "click", "v": 1.5}
+
+
+def test_kafka_source_gated_without_jar(spark):
+    """S1: without the spark-sql-kafka connector jar the source returns
+    None (gated) instead of raising — callers fall back to the
+    file-stream analog."""
+    from ksql_linq_spark.sources import kafka_source
+
+    assert kafka_source(spark, "localhost:9092", "events") is None

@@ -707,3 +707,28 @@ def test_ann_index_partition_pruning(spark, sf_dir, tmp_path):
     }
     assert read_buckets <= probes
     assert len(all_buckets) > len(read_buckets), "pruning had no effect"
+
+
+def test_paragraph_dedup_semantics(spark):
+    """C4-style paragraph dedup on real multi-paragraph docs: repeated
+    boilerplate survives only at its first (doc, pos) occurrence, order
+    is preserved, short paragraphs are exempt, fully-duplicated docs
+    come back empty (not dropped)."""
+    from ksql_linq_spark.operators.dataset import paragraph_dedup
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (1, f"unique first paragraph\n\n{boiler}\n\nok"),
+        (2, f"{boiler}\n\nsecond doc real content"),
+        (3, f"{boiler}"),  # nothing but boilerplate
+        (4, "ok\n\nfresh ending paragraph"),  # 'ok' is short -> exempt
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(df, min_chars=4).collect()
+    }
+    assert out[1] == f"unique first paragraph\n\n{boiler}\n\nok"
+    assert out[2] == "second doc real content"  # boilerplate stripped
+    assert out[3] == ""  # fully-duplicated doc kept as empty row
+    assert out[4] == "ok\n\nfresh ending paragraph"  # short para exempt
