@@ -109,3 +109,48 @@ def test_kafka_source_gated_without_jar(spark):
     from ksql_linq_spark.sources import kafka_source
 
     assert kafka_source(spark, "localhost:9092", "events") is None
+
+
+def test_streaming_avro_decode_with_corrupt_routing(spark, tmp_path):
+    """S1 wire-format path end-to-end under Structured Streaming: a
+    stream of Confluent-framed Avro binary values decodes via the
+    jar-free mapInPandas serde, good rows land typed, corrupt frames
+    surface in _corrupt for DLQ routing — the reference's
+    TombstoneSafeSerDes + DLQ consume loop shape without a broker."""
+    from pyspark.sql import types as T
+
+    from ksql_linq_spark.sources.avro_fallback import (
+        avro_decode_pandas,
+        encode_record,
+        frame_confluent,
+    )
+
+    src = str(tmp_path / "frames")
+    frames = [
+        frame_confluent(encode_record(SCHEMA, r), 7) for r in EXPECTED
+    ] + [b"\x02torn-frame"]
+    bin_schema = T.StructType([T.StructField("value", T.BinaryType())])
+    spark.createDataFrame([(f,) for f in frames], bin_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(bin_schema).parquet(src)
+    decoded = avro_decode_pandas(stream, "value", json.dumps(SCHEMA))
+    assert decoded.isStreaming
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName("avro_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM avro_stream").collect()
+    finally:
+        q.stop()
+    ok = [r for r in rows if r["_corrupt"] is None]
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert len(ok) == 3 and len(bad) == 1
+    assert sorted(r["order_id"] for r in ok) == sorted(
+        r["order_id"] for r in EXPECTED
+    )
