@@ -81,6 +81,11 @@ class SparkKsqlContext:
         ``path`` is the writable storage location (required for add());
         reads go through the catalog view either way.
         """
+        if is_stream and self._entities[name].is_table:
+            raise ValueError(
+                f"entity {name!r} is [KsqlTable]-marked: table entities are "
+                "keyed upserts, not streams"
+            )
         return EventSet(self, self._entities[name], path=path, is_stream=is_stream)
 
 

@@ -68,6 +68,8 @@ class Column:
     nullable: bool = True
     key_order: int | None = None  # [KsqlKey(order)]
     timestamp: bool = False  # [KsqlTimestamp] — the event-time column
+    ignore: bool = False  # [KsqlIgnore] — excluded from the wire schema
+    #   (/root/reference/src/Core/Attributes/KsqlIgnoreAttribute.cs:5-11)
 
     @property
     def spark_type(self) -> T.DataType:
@@ -83,6 +85,8 @@ class Entity:
     topic: str | None = None  # [KsqlTopic("name")]; defaults to entity name
     partitions: int = 1
     replication_factor: int = 1
+    is_table: bool = False  # [KsqlTable] — TABLE (keyed upsert) vs STREAM
+    #   (/root/reference/src/Core/Attributes/KsqlTableAttribute.cs:5-8)
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -96,6 +100,15 @@ class Entity:
         ts_cols = [c for c in self.columns if c.timestamp]
         if len(ts_cols) > 1:
             raise ValueError(f"entity {self.name!r}: more than one [KsqlTimestamp] column")
+        if ts_cols and ts_cols[0].ignore:
+            raise ValueError(
+                f"entity {self.name!r}: the [KsqlTimestamp] column cannot be [KsqlIgnore]d"
+            )
+        if self.is_table and not self.key_columns:
+            raise ValueError(
+                f"entity {self.name!r}: a [KsqlTable] needs at least one [KsqlKey] "
+                "column (keyed upsert semantics)"
+            )
 
     @property
     def key_columns(self) -> list[str]:
@@ -112,8 +125,13 @@ class Entity:
 
     @property
     def schema(self) -> T.StructType:
+        """Wire schema: [KsqlIgnore]d columns are not serialized."""
         return T.StructType(
-            [T.StructField(c.name, c.spark_type, c.nullable) for c in self.columns]
+            [
+                T.StructField(c.name, c.spark_type, c.nullable)
+                for c in self.columns
+                if not c.ignore
+            ]
         )
 
     @classmethod

@@ -134,3 +134,33 @@ def test_eventset_add_to_list_guards(spark, tmp_path):
     dlq_es = ctx.entity_set("dlq")
     with _pytest.raises(RuntimeError, match="DLQ"):
         dlq_es.on_error(None)
+
+
+def test_entity_ignore_and_table_attributes(spark, tmp_path):
+    """[KsqlIgnore] excludes a column from the wire schema; [KsqlTable]
+    requires a key and refuses stream handles (attribute parity with
+    KsqlIgnoreAttribute.cs / KsqlTableAttribute.cs)."""
+    from ksql_linq_spark.context import SparkKsqlContext
+    from ksql_linq_spark.entity import Column, Entity
+
+    ent = Entity(
+        "accounts",
+        [
+            Column("account_id", "long", key_order=0),
+            Column("balance", "decimal(18,2)"),
+            Column("_session_tag", "string", ignore=True),
+        ],
+        is_table=True,
+    )
+    assert [f.name for f in ent.schema.fields] == ["account_id", "balance"]
+
+    with pytest.raises(ValueError, match="KsqlKey"):
+        Entity("bad", [Column("v", "double")], is_table=True)
+    with pytest.raises(ValueError, match="KsqlIgnore"):
+        Entity("bad2", [Column("ts", "timestamp", timestamp=True, ignore=True)])
+
+    ctx = SparkKsqlContext(spark)
+    ctx.register_entity(ent, path=str(tmp_path / "accounts"))
+    with pytest.raises(ValueError, match="KsqlTable"):
+        ctx.entity_set("accounts", is_stream=True)
+    ctx.entity_set("accounts")  # table handle is fine
