@@ -57,6 +57,11 @@ def main() -> None:
             }
         )
     )
+    # the JSON line above MUST be the last stdout bytes (the harness
+    # parses the tail); skip JVM/py4j shutdown hooks, which can emit
+    # after it
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":
