@@ -134,6 +134,27 @@ class Entity:
             ]
         )
 
+    def rowtime(self):
+        """ROWTIME pseudo-column (the [KsqlTimestamp] event-time column;
+        ksqlDB's record-timestamp accessor)."""
+        from pyspark.sql import functions as F
+
+        if self.timestamp_column is None:
+            raise ValueError(f"entity {self.name!r} has no [KsqlTimestamp] column")
+        return F.col(self.timestamp_column)
+
+    def rowkey(self):
+        """ROWKEY pseudo-column: the key column, or a struct of the
+        composite key in key_order."""
+        from pyspark.sql import functions as F
+
+        keys = self.key_columns
+        if not keys:
+            raise ValueError(f"entity {self.name!r} has no [KsqlKey] columns")
+        if len(keys) == 1:
+            return F.col(keys[0])
+        return F.struct(*[F.col(k) for k in keys])
+
     @classmethod
     def from_schema(cls, name: str, schema: T.StructType, **kw) -> "Entity":
         cols = [Column(f.name, f.dataType, f.nullable) for f in schema.fields]

@@ -407,18 +407,23 @@ def scalar_math_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey,
            coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
            ifnull(nullif(c_acctbal, 0.0), -1.0) AS bal,
-           (c_acctbal IS NULL) AS bal_null
+           (c_acctbal IS NULL) AS bal_null,
+           CAST(c_custkey % 2 AS BOOLEAN) AS odd_key,
+           instr(c_mktsegment, 'U') AS u_at
     FROM customer
     """,
 )
 def conditional_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 null semantics + Coalesce/IfNull/NullIf (§2.7 conditional)."""
+    """P5 null semantics + Coalesce/IfNull/NullIf (§2.7 conditional) +
+    ToBool/Instr registry rows (cast + string families)."""
     c = _t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
         KF.Coalesce(KF.NullIf(F.col("c_mktsegment"), "MACHINERY"), F.lit("OTHER")).alias("seg"),
         KF.IfNull(KF.NullIf(F.col("c_acctbal"), 0.0), -1.0).alias("bal"),
         F.col("c_acctbal").isNull().alias("bal_null"),
+        KF.ToBool(F.col("c_custkey") % 2).alias("odd_key"),
+        KF.Instr(F.col("c_mktsegment"), "U").alias("u_at"),
     )
 
 

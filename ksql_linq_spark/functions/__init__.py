@@ -228,6 +228,15 @@ def ToDecimal(c, precision=18, scale=2):
     return _c(c).cast(T.DecimalType(precision, scale))
 
 
+def ToBool(c):
+    # TOBOOL/TOBOOLEAN (KsqlFunctionRegistry.cs cast family)
+    return _c(c).cast(T.BooleanType())
+
+
+ToBoolean = ToBool
+Instr = IndexOf  # KSQL name for the same registry row
+
+
 # ---------------------------------------------------------------- conditional
 # KsqlFunctionRegistry.cs:125-128
 def Case(*when_then, default=None):

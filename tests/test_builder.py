@@ -164,3 +164,30 @@ def test_entity_ignore_and_table_attributes(spark, tmp_path):
     with pytest.raises(ValueError, match="KsqlTable"):
         ctx.entity_set("accounts", is_stream=True)
     ctx.entity_set("accounts")  # table handle is fine
+
+
+def test_rowkey_rowtime_pseudo_columns(spark):
+    """ROWKEY/ROWTIME accessors resolve to the attribute-marked columns
+    (single key -> column, composite -> ordered struct)."""
+    from ksql_linq_spark.entity import Column, Entity
+
+    ent = Entity(
+        "ticks",
+        [
+            Column("sym", "string", key_order=1),
+            Column("broker", "string", key_order=0),
+            Column("ts", "timestamp", timestamp=True),
+            Column("px", "double"),
+        ],
+    )
+    df = spark.createDataFrame(
+        [("A", "b1", __import__("datetime").datetime(2024, 1, 1), 1.0)],
+        ent.schema,
+    )
+    r = df.select(
+        ent.rowkey().alias("k"), ent.rowtime().alias("t")
+    ).first()
+    assert r["k"] == ("b1", "A")  # broker first: key_order 0 before 1
+    assert r["t"].year == 2024
+    with pytest.raises(ValueError, match="KsqlKey"):
+        Entity("nokey", [Column("v", "double")]).rowkey()
