@@ -1716,6 +1716,71 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dataset_quality_gate",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey,
+             (o_totalprice IS NOT NULL AND o_totalprice > 0.0
+              AND o_totalprice <= 600000.0) AS price_ok,
+             (o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                                  '4-NOT SPECIFIED','5-LOW')) AS prio_ok,
+             (o_orderstatus IS NOT NULL
+              AND regexp_full_match(o_orderstatus, '[FOP]')) AS status_ok
+      FROM orders),
+    ex AS (
+      SELECT 'price_in_range' AS rule, count(*) FILTER (NOT price_ok) AS n FROM v
+      UNION ALL
+      SELECT 'priority_one_of', count(*) FILTER (NOT prio_ok) FROM v
+      UNION ALL
+      SELECT 'status_matches', count(*) FILTER (NOT status_ok) FROM v),
+    tot AS (SELECT count(*) AS total,
+                   count(*) FILTER (price_ok AND prio_ok AND status_ok) AS clean
+            FROM v)
+    SELECT e.rule, e.n AS n_violations,
+           CAST(t.clean AS BIGINT) AS n_clean, CAST(t.total AS BIGINT) AS n_total
+    FROM ex e CROSS JOIN tot t
+    WHERE e.n > 0 OR TRUE
+    """,
+)
+def dataset_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level constraint gate (Delta-expectations shape): every rule
+    is one fused boolean expression, violations are attributable per
+    rule, and the clean/total counts prove the good/bad split is
+    loss-free.  Emits one row per rule with the corpus-level audit
+    numbers the oracle reproduces."""
+    from .operators.quality import expression, quality_gate, violation_summary
+
+    od = _t(spark, sf_dir, "orders")
+    rules = [
+        expression(
+            "price_in_range",
+            F.col("o_totalprice").isNotNull()
+            & (F.col("o_totalprice") > 0.0)
+            & (F.col("o_totalprice") <= 600000.0),
+        ),
+        expression(
+            "priority_one_of",
+            F.col("o_orderpriority").isin(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+            ),
+        ),
+        expression("status_matches", F.col("o_orderstatus").rlike("^(?:[FOP])$")),
+    ]
+    good, bad = quality_gate(od, rules)
+    counts = good.agg(F.count(F.lit(1)).alias("n_clean")).crossJoin(
+        od.agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    summary = violation_summary(od, rules).drop("violation_rate")
+    # every registered rule appears even with zero violations (audit
+    # completeness): outer-join the rule list
+    rule_names = spark.createDataFrame([(r.name,) for r in rules], "rule string")
+    full = rule_names.join(summary, "rule", "left").na.fill({"n_violations": 0})
+    return full.crossJoin(F.broadcast(counts)).select(
+        "rule", "n_violations", "n_clean", "n_total"
+    )
+
+
+@q(
     "dataset_paragraph_dedup",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS ps FROM documents),

@@ -732,3 +732,51 @@ def test_paragraph_dedup_semantics(spark):
     assert out[2] == "second doc real content"  # boilerplate stripped
     assert out[3] == ""  # fully-duplicated doc kept as empty row
     assert out[4] == "ok\n\nfresh ending paragraph"  # short para exempt
+
+
+def test_quality_gate_routing_and_reasons(spark):
+    """Row-level gate: clean rows pass intact, each quarantined row
+    carries exactly the rules it broke, null fails every gate it
+    touches, and good+bad partitions the input losslessly."""
+    from ksql_linq_spark.operators.quality import (
+        in_range,
+        matches,
+        not_null,
+        one_of,
+        quality_gate,
+        validate,
+        violation_summary,
+    )
+
+    rows = [
+        (1, 50.0, "A", "ok@x.io"),
+        (2, -5.0, "A", "ok@x.io"),      # range fail
+        (3, 50.0, "Z", "bad"),           # set + regex fail
+        (4, None, "B", "ok@x.io"),       # null -> range fail (not silent pass)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, tag string, email string")
+    rules = [
+        in_range("v", 0.0, 100.0),
+        one_of("tag", ["A", "B"]),
+        matches("email", "[a-z]+@[a-z]+\\.[a-z]+"),
+        not_null("v"),
+    ]
+    good, bad = quality_gate(df, rules)
+    assert [r["id"] for r in good.orderBy("id").collect()] == [1]
+    bad_rows = {r["id"]: set(r["_violations"]) for r in bad.collect()}
+    assert bad_rows[2] == {"v_in_range"}
+    assert bad_rows[3] == {"tag_one_of", "email_matches"}
+    assert bad_rows[4] == {"v_in_range", "v_not_null"}
+    assert good.count() + bad.count() == df.count()
+
+    summ = {r["rule"]: r["n_violations"] for r in violation_summary(df, rules).collect()}
+    assert summ == {"v_in_range": 2, "tag_one_of": 1, "email_matches": 1, "v_not_null": 1}
+
+    # single fused projection: no shuffle in the validated plan
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        validate(df, rules).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
