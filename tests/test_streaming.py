@@ -575,3 +575,60 @@ def test_streaming_trend_fit_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want  # bit-identical, not approximately
+
+
+def test_streaming_quality_gate_quarantine(spark):
+    """Quality gate under Structured Streaming: one foreachBatch pass
+    routes clean rows to the good sink and violation-stamped rows to
+    quarantine (the S8 DLQ topology with rule names as the error
+    reasons) — no row lost, no row duplicated."""
+    from pyspark.sql import types as T
+
+    from ksql_linq_spark.operators.quality import expression, quality_gate
+
+    src = tempfile.mkdtemp(prefix="qg_src_")
+    good_dir = tempfile.mkdtemp(prefix="qg_good_")
+    quar_dir = tempfile.mkdtemp(prefix="qg_quar_")
+    ckpt = tempfile.mkdtemp(prefix="qg_ckpt_")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    rules = [
+        expression("v_positive", F.col("v") > 0),
+        expression("v_small", F.col("v") < 100),
+    ]
+
+    def route(batch, batch_id):
+        good, bad = quality_gate(batch, rules)
+        good.write.mode("append").parquet(good_dir)
+        bad.withColumn("_violations", F.to_json("_violations")).write.mode(
+            "append"
+        ).parquet(quar_dir)
+
+    try:
+        spark.createDataFrame(
+            [(1, 5.0), (2, -1.0), (3, 500.0), (4, 99.0)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(route)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        good_ids = sorted(r["id"] for r in spark.read.parquet(good_dir).collect())
+        quar = {
+            r["id"]: r["_violations"]
+            for r in spark.read.parquet(quar_dir).collect()
+        }
+        assert good_ids == [1, 4]
+        assert set(quar) == {2, 3}
+        assert "v_positive" in quar[2] and "v_small" in quar[3]
+    finally:
+        for d in (src, good_dir, quar_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
