@@ -1223,12 +1223,18 @@ def calendar_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
            json_array_length('[1,2,3]') AS arr_len,
-           list_contains(json_extract_string('[1,2,3]', '$[*]'), '2') AS has_2
+           list_contains(json_extract_string('[1,2,3]', '$[*]'), '2') AS has_2,
+           array_to_string(list_sort(json_keys(props)), '|') AS prop_keys,
+           json_extract_string(
+               json_merge_patch(props, '{"extra":"1"}'), '$.extra') AS merged_extra
     FROM events
     """,
 )
 def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 JSON registry over the events.props JSON column."""
+    """§2.7 JSON registry over the events.props JSON column — incl.
+    JSON_KEYS (sorted+joined so the list-free harness can hash it) and
+    JSON_CONCAT (shallow merge, right wins) value-checked through a
+    post-merge extract."""
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -1236,6 +1242,10 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         KF.JsonExtractString("props", "$.k").cast("int").alias("k_int"),
         KF.JsonArrayLength(F.lit("[1,2,3]")).alias("arr_len"),
         KF.JsonArrayContains(F.lit("[1,2,3]"), 2).alias("has_2"),
+        F.concat_ws("|", F.array_sort(KF.JsonKeys("props"))).alias("prop_keys"),
+        F.get_json_object(
+            KF.JsonConcat(F.col("props"), F.lit('{"extra":"1"}')), "$.extra"
+        ).alias("merged_extra"),
     )
 
 
