@@ -3575,6 +3575,161 @@ ORACLES["text_langid_confusion"] = f"""
 """.format(lang_oracle=_build_lang_oracle())
 
 
+@q(
+    "agg_late_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def agg_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join with a cross-side predicate
+    (lineitem shipped >60 days after its order's date), then a tiny
+    priority rollup.  Spark plan: left_semi with the compound condition
+    — one shuffle pair on orderkey, no fact duplication.  (Driver schema
+    has no commitdate/receiptdate; ship-lag stands in for Q4's
+    late-commit predicate.)"""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = od.join(
+        li,
+        (od.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(od.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@q(
+    "agg_customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def agg_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with an ON-clause residual filter
+    (never a WHERE — that would turn the outer join inner and lose
+    zero-order customers), per-customer count, then the count-of-counts
+    histogram.  Two shuffles; the second is over |customers| rows."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(
+            od,
+            (cu.c_custkey == od.o_custkey)
+            & (od.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@q(
+    "agg_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def agg_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group threshold.  Spark-first
+    decorrelation: one partkey-grouped avg, joined back (partkey keys
+    on both sides — AQE turns it broadcast when the agg side is small),
+    filter, exact DECIMAL sum.  Quantities are small integers so the
+    double avg is exact cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("_half_avg")
+    )
+    return (
+        li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_half_avg"))
+        .agg(
+            (
+                F.sum(_dec2dbl(F.col("l_extendedprice"))).cast("double") / 7.0
+            ).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+@q(
+    "join_sole_late_supplier",
+    oracle="""
+    WITH ll AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2),
+    per_o AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+      FROM ll GROUP BY 1)
+    SELECT s.s_name, count(*) AS numwait
+    FROM ll JOIN per_o USING (l_orderkey)
+            JOIN supplier s ON s.s_suppkey = ll.l_suppkey
+    WHERE ll.late = 1 AND per_o.n_supp >= 2 AND per_o.n_late = 1
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def join_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape, decorrelated for scale: 'orders where this
+    supplier was the ONLY late one among >=2 suppliers'.  The classic
+    EXISTS + NOT-EXISTS pair is two more passes over lineitem; the
+    aggregation form computes per-(order, supplier) lateness and
+    per-order late counts once each — the sole-late condition becomes
+    n_late = 1 AND late — and every join keys on orderkey so the
+    exchange is reused.  numwait counts waiting ORDERS per supplier
+    (supplier-order grain)."""
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    ll = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60), 1
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_o = ll.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    hits = (
+        ll.join(per_o, "l_orderkey")
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(su), ll.l_suppkey == su.s_suppkey)
+    )
+    return (
+        hits.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
 # ======================================================================
 # TPC-H Q22-shape: scalar subquery threshold + anti-join (customers
 # with above-average balance and no URGENT orders)
