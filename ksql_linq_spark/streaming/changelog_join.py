@@ -1,0 +1,120 @@
+"""Stream-changelog-table join: enrich a stream with the LATEST upsert
+per key from a second (changelog) stream.
+
+This is the reference's true stream-TABLE join semantics
+(/root/reference/src/Query/Builders/Statements/KsqlCreateStatementBuilder.cs
+stream⋈table path): the table side is a Kafka changelog whose newest
+value per key is what each stream row joins against.  Spark's built-in
+stream-static join (streaming/windows.stream_static_join) re-reads a
+SNAPSHOT per micro-batch — correct when the table is externally
+maintained, but it cannot consume the table AS a stream.  This module
+closes that gap with ``applyInPandasWithState``:
+
+- both inputs are tagged and unioned into ONE keyed stream (a single
+  groupBy-key shuffle; state lives in the state store, size = one right
+  row per distinct key — the same bound as ksqlDB's RocksDB table);
+- per key, rows are processed in event-time order within each batch:
+  an upsert (right) row advances the per-key state, NULL-valued upserts
+  TOMBSTONE it (TombstoneSafeSerDes parity with the keyed sink), and a
+  left row emits enriched with the state's current value;
+- cross-batch ordering is micro-batch arrival order (the same
+  best-effort contract ksqlDB has for out-of-order table updates —
+  exact event-time versioned joins need the batch as-of operator,
+  operators/asof.py, on landed data).
+
+Output: every left row + the latest right value column (NULL when no
+upsert has arrived or the key was tombstoned) — append mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_changelog_join(
+    left: DataFrame,
+    changelog: DataFrame,
+    key: str,
+    left_ts: str,
+    value_col: str,
+    out_value_col: str | None = None,
+) -> DataFrame:
+    """Enrich ``left`` (key, left_ts, ...) with the newest ``value_col``
+    from ``changelog`` (key, left_ts, value_col) as of processing order.
+
+    Both frames must be streaming; ``changelog`` rows with NULL
+    ``value_col`` delete the key's state (tombstone).  Returns an
+    append-mode stream with left's columns plus ``out_value_col``.
+    """
+    out_value_col = out_value_col or f"latest_{value_col}"
+    left_cols = [c for c in left.columns if c != key]
+
+    tagged_left = left.select(
+        F.col(key),
+        F.lit(0).alias("__side"),  # 0 = left/probe
+        F.col(left_ts).alias("__ts"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("__l"),
+        F.lit(None).cast("double").alias("__v"),
+    )
+    tagged_right = changelog.select(
+        F.col(key),
+        F.lit(1).alias("__side"),  # 1 = table upsert
+        F.col(left_ts).alias("__ts"),
+        F.lit(None)
+        .cast(tagged_left.schema["__l"].dataType)
+        .alias("__l"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+
+    out_schema = T.StructType(
+        [T.StructField(key, left.schema[key].dataType)]
+        + [left.schema[c] for c in left_cols]
+        + [T.StructField(out_value_col, T.DoubleType())]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("has_value", T.BooleanType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def fn(key_tuple, pdf_iter, state):
+        import pandas as pd  # executor-side
+
+        (k,) = key_tuple
+        if state.exists:
+            has_value, value = state.get
+        else:
+            has_value, value = False, None
+        rows: list[tuple] = []
+        for pdf in pdf_iter:
+            # event-time order within the batch: upserts take effect
+            # before probes at the same timestamp (side 1 first)
+            pdf = pdf.sort_values(["__ts", "__side"], ascending=[True, False])
+            for _, r in pdf.iterrows():
+                if r["__side"] == 1:
+                    if pd.isna(r["__v"]):
+                        has_value, value = False, None  # tombstone
+                    else:
+                        has_value, value = True, float(r["__v"])
+                else:
+                    l = r["__l"]
+                    rows.append(
+                        (k, *[l[c] for c in left_cols],
+                         value if has_value else None)
+                    )
+        state.update((has_value, value))
+        yield pd.DataFrame(
+            rows, columns=[key, *left_cols, out_value_col]
+        )
+
+    return unioned.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

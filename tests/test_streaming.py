@@ -632,3 +632,70 @@ def test_streaming_quality_gate_quarantine(spark):
     finally:
         for d in (src, good_dir, quar_dir, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_changelog_join_latest_value_and_tombstone(spark):
+    """True stream-TABLE join: probes see the newest upsert for their
+    key at their event time, a later upsert changes subsequent probes
+    (cross-batch state), and a null upsert tombstones the key."""
+    from pyspark.sql import types as T
+
+    from ksql_linq_spark.streaming.changelog_join import stream_changelog_join
+
+    lsrc = tempfile.mkdtemp(prefix="clj_l_")
+    rsrc = tempfile.mkdtemp(prefix="clj_r_")
+    lschema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("probe_id", T.LongType()),
+        ]
+    )
+    rschema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    try:
+        # batch 1: upsert A=10 at t1, probes at t0 (before) and t2 (after)
+        spark.createDataFrame(
+            [("A", t(0), 1), ("A", t(2), 2)], lschema
+        ).coalesce(1).write.mode("append").parquet(lsrc)
+        spark.createDataFrame([("A", t(1), 10.0)], rschema).coalesce(
+            1
+        ).write.mode("append").parquet(rsrc)
+
+        ls = spark.readStream.schema(lschema).parquet(lsrc)
+        rs = spark.readStream.schema(rschema).parquet(rsrc)
+        joined = stream_changelog_join(ls, rs, key="k", left_ts="ts", value_col="price")
+        q = start_memory_sink(joined, "t_clj", "append")
+        q.processAllAvailable()
+        # batch 2: upsert A=20, probe sees 20; tombstone then probe sees null
+        spark.createDataFrame(
+            [("A", t(10), 20.0), ("A", t(12), None)], rschema
+        ).coalesce(1).write.mode("append").parquet(rsrc)
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [("A", t(11), 3)], lschema
+        ).coalesce(1).write.mode("append").parquet(lsrc)
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [("A", t(13), 4)], lschema
+        ).coalesce(1).write.mode("append").parquet(lsrc)
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r["probe_id"]: r["latest_price"]
+            for r in spark.sql("SELECT * FROM t_clj").collect()
+        }
+        assert got[1] is None  # probe before any upsert
+        assert got[2] == 10.0  # sees batch-1 upsert
+        # batch 2 applied BOTH the upsert to 20 and the tombstone before
+        # batch 3's probe ran: probe 3 and 4 both see the tombstoned key
+        assert got[3] is None and got[4] is None
+    finally:
+        for d in (lsrc, rsrc):
+            shutil.rmtree(d, ignore_errors=True)
