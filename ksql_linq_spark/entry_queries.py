@@ -1726,6 +1726,51 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_image_dhash",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 9223372036854775807 ELSE 0 END AS dhash
+    FROM documents
+    """,
+)
+def multimodal_image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing end-to-end on REAL bytes: synthesize
+    strictly-monotone horizontal gradients (even docs increasing, odd
+    decreasing) as genuine PNGs, run the full decode → grayscale →
+    resize → dHash chain, and check against the analytically known
+    hashes (increasing rows ⇒ every gradient bit set ⇒ 2^63-1 after the
+    sign fold; decreasing ⇒ 0).  Any regression in the codec, resampler,
+    or bit packing flips bits and fails the value hash."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .operators.multimodal import MEDIA_SCHEMA, image_dhash
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.codecs import encode_png
+
+        w, h = 32, 16
+        inc = bytes(min(255, x * 3) for _y in range(h) for x in range(w))
+        dec = bytes(min(255, (w - 1 - x) * 3) for _y in range(h) for x in range(w))
+        png_inc, png_dec = encode_png(inc, w, h, 1), encode_png(dec, w, h, 1)
+        for b in batches:
+            rows = [
+                (int(d), "image", png_inc if d % 2 == 0 else png_dec, None)
+                for d in b["doc_id"]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "content", "meta"]
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
+    return image_dhash(media).select("media_id", "dhash")
+
+
+@q(
     "dataset_quality_gate",
     oracle="""
     WITH v AS (

@@ -253,6 +253,129 @@ def resize_stub(df: DataFrame, width: int, height: int, fake: bool = False) -> D
     )
 
 
+def image_dhash(df: DataFrame, hash_col: str = "dhash") -> DataFrame:
+    """Perceptual difference-hash per image row — the image-side
+    near-dup fingerprint (the multimodal analog of text SimHash).
+
+    Real pixels, pure stdlib: decode PNG/BMP (operators/codecs.py),
+    grayscale, nearest-neighbor resize to 9x8, then bit j of the 64-bit
+    hash = [row gradient is increasing] for each of the 8 adjacent-column
+    pairs per row.  Robust to re-encoding, resizing, and small noise —
+    near-duplicate images land within a few hamming bits, so downstream
+    clustering reuses the SimHash banded-join machinery unchanged.
+
+    Arrow-batched mapInPandas; non-image / undecodable rows get NULL
+    (they are not silently hashed).  Scale: a projection — no shuffle;
+    the pair search that follows is banded, never all-pairs.
+    """
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(hash_col, T.LongType())]
+    )
+
+    def _dhash(content: bytes) -> int | None:
+        from . import codecs
+
+        content = content or b""
+        try:
+            if content.startswith(b"\x89PNG"):
+                px = codecs.decode_png(content)
+            elif content[:2] == b"BM":
+                px = codecs.decode_bmp(content)
+            else:
+                return None
+        except Exception:
+            return None
+        pix, w, h, ch = px["pixels"], px["width"], px["height"], px["channels"]
+        if ch > 1:  # integer luma (BT.601 weights scaled by 256)
+            gray = bytes(
+                (77 * pix[i] + 150 * pix[i + 1] + 29 * pix[i + 2]) >> 8
+                for i in range(0, len(pix), ch)
+            )
+        else:
+            gray = pix
+        small = codecs.resize_nearest(gray, w, h, 1, 9, 8)
+        bits = 0
+        for y in range(8):
+            for x in range(8):
+                if small[y * 9 + x + 1] > small[y * 9 + x]:
+                    bits |= 1 << (y * 8 + x)
+        # keep the BIGINT positive (bit 63 folded) so banded arithmetic
+        # downstream never sees sign-extension surprises
+        return bits & 0x7FFFFFFFFFFFFFFF
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[hash_col] = [
+                _dhash(c) if m == "image" else None
+                for c, m in zip(pdf["content"], pdf["media_type"])
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def dhash_near_dup_pairs(
+    hashed: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 4,
+    bands: int = 8,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for image pairs within ``max_hamming`` bits.
+
+    Banded LSH on the 64-bit hash: split into ``bands`` 8-bit bands;
+    pairs within hamming h <= bands-1 share at least one exact band
+    (pigeonhole), so candidates come from per-band bucket joins — never
+    an all-pairs product — and the exact popcount filter runs on
+    candidates only.  Same topology as the text SimHash path.
+    """
+    width = 64 // bands
+    h = hashed.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col)
+    )
+    banded = h.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(hash_col), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, hash_col, F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("ha"),
+            F.col(f"b.{hash_col}").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # production hook for resize; signature (content, media_type, w, h) -> bytes
 RESIZER: Callable[[bytes, str, int, int], bytes] | None = None
 

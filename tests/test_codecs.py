@@ -164,3 +164,42 @@ def test_multimodal_real_resize_spark(spark):
     # non-image row passes through untouched
     assert bytes(out[2]["content"]) == codecs.encode_wav([0] * 80, 8000)
     assert out[2]["out_width"] is None
+
+
+def test_image_dhash_near_dup_detection(spark):
+    """dHash on real decoded pixels: a re-encoded + slightly-noised copy
+    of an image stays within a few hamming bits, a different image is
+    far, and the banded pair search finds exactly the near-dup pair."""
+    import random
+
+    from ksql_linq_spark.operators.multimodal import (
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    rng = random.Random(11)
+    w, h = 40, 30
+    base = bytes(
+        min(255, (x * 6 + (y // 4)) % 256) for y in range(h) for x in range(w)
+    )
+    noised = bytes(
+        max(0, min(255, b + rng.randint(-4, 4))) for b in base
+    )
+    other = bytes(rng.randrange(256) for _ in range(w * h))
+    rows = [
+        (1, "image", codecs.encode_png(base, w, h, 1), None),
+        (2, "image", codecs.encode_png(noised, w, h, 1), None),
+        (3, "image", codecs.encode_png(other, w, h, 1), None),
+        (4, "audio", codecs.encode_wav([0] * 80, 8000), None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    hashed = image_dhash(df)
+    got = {r["media_id"]: r["dhash"] for r in hashed.collect()}
+    assert got[4] is None  # non-image rows are not hashed
+    assert got[1] == got[2] or bin(got[1] ^ got[2]).count("1") <= 4
+    assert bin(got[1] ^ got[3]).count("1") > 10
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_near_dup_pairs(hashed, max_hamming=4).collect()
+    }
+    assert set(pairs) == {(1, 2)}
