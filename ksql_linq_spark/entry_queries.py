@@ -1771,6 +1771,48 @@ def multimodal_image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_audio_fingerprint",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 9223372036854775807 ELSE 0 END AS afp
+    FROM documents
+    """,
+)
+def multimodal_audio_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprinting end-to-end on REAL PCM: synthesize genuine
+    WAVs whose frame energies are strictly monotone (even docs
+    crescendo, odd diminuendo), run decode → frame energies →
+    delta-sign hash, and check the analytically known fingerprints
+    (monotone up ⇒ all 64 bits ⇒ 2^63-1 after the sign fold; down ⇒ 0)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .operators.multimodal import MEDIA_SCHEMA, audio_fingerprint
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.codecs import encode_wav
+
+        frames, per = 65, 20
+        up = [100 + f * 50 for f in range(frames) for _ in range(per)]
+        down = [100 + (frames - 1 - f) * 50 for f in range(frames) for _ in range(per)]
+        wav_up, wav_down = encode_wav(up, 8000), encode_wav(down, 8000)
+        for b in batches:
+            rows = [
+                (int(d), "audio", wav_up if d % 2 == 0 else wav_down, None)
+                for d in b["doc_id"]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "content", "meta"]
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
+    return audio_fingerprint(media).select("media_id", "afp")
+
+
+@q(
     "dataset_quality_gate",
     oracle="""
     WITH v AS (

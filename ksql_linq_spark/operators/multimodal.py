@@ -376,6 +376,59 @@ def dhash_near_dup_pairs(
     )
 
 
+def audio_fingerprint(df: DataFrame, hash_col: str = "afp", frames: int = 65) -> DataFrame:
+    """Energy-delta fingerprint per audio row — the PCM analog of
+    :func:`image_dhash` (coarse chromaprint shape: hash the SIGN of
+    energy change between adjacent fixed-count frames, which survives
+    gain changes, resampling, and re-encoding).
+
+    Real samples, pure stdlib: decode 16-bit PCM WAV
+    (operators/codecs.py), split into ``frames`` equal windows, compute
+    integer frame energy, bit j = [energy(j+1) > energy(j)] → a 64-bit
+    hash whose hamming distance measures envelope similarity.  Constant
+    or empty audio hashes to 0.  Non-audio / undecodable rows get NULL.
+    Pair search = :func:`dhash_near_dup_pairs` on this column (same
+    banded topology)."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(hash_col, T.LongType())]
+    )
+
+    def _afp(content: bytes) -> int | None:
+        from . import codecs
+
+        try:
+            w = codecs.decode_wav(content or b"")
+        except Exception:
+            return None
+        samples = w.get("samples")
+        if not samples:
+            return None
+        n = len(samples)
+        step = max(n // frames, 1)
+        energies = []
+        for f in range(frames):
+            seg = samples[f * step : (f + 1) * step]
+            if not seg:
+                break
+            energies.append(sum(s * s for s in seg))
+        bits = 0
+        for j in range(min(len(energies) - 1, 64)):
+            if energies[j + 1] > energies[j]:
+                bits |= 1 << j
+        return bits & 0x7FFFFFFFFFFFFFFF
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[hash_col] = [
+                _afp(c) if m == "audio" else None
+                for c, m in zip(pdf["content"], pdf["media_type"])
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 # production hook for resize; signature (content, media_type, w, h) -> bytes
 RESIZER: Callable[[bytes, str, int, int], bytes] | None = None
 

@@ -203,3 +203,40 @@ def test_image_dhash_near_dup_detection(spark):
         for r in dhash_near_dup_pairs(hashed, max_hamming=4).collect()
     }
     assert set(pairs) == {(1, 2)}
+
+
+def test_audio_fingerprint_gain_invariant_near_dup(spark):
+    """Energy-delta fingerprint on real PCM: a gain-scaled copy of a
+    signal has the IDENTICAL hash (sign of energy deltas is gain
+    invariant), a different envelope is far, and the banded pair search
+    reuses the dhash machinery unchanged."""
+    import math
+    import random
+
+    from ksql_linq_spark.operators.multimodal import (
+        audio_fingerprint,
+        dhash_near_dup_pairs,
+    )
+
+    rng = random.Random(5)
+    n = 6500
+    ramp = [int(10000 * math.sin(i / 50.0) * (i / n)) for i in range(n)]
+    quiet = [int(s * 0.3) for s in ramp]  # same envelope, lower gain
+    noise = [rng.randint(-8000, 8000) for _ in range(n)]
+    rows = [
+        (1, "audio", codecs.encode_wav(ramp, 8000), None),
+        (2, "audio", codecs.encode_wav(quiet, 8000), None),
+        (3, "audio", codecs.encode_wav(noise, 8000), None),
+        (4, "image", codecs.encode_png(b"\x00" * 12, 4, 3, 1), None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    hashed = audio_fingerprint(df)
+    got = {r["media_id"]: r["afp"] for r in hashed.collect()}
+    assert got[4] is None
+    assert bin(got[1] ^ got[2]).count("1") <= 4  # gain change ~ invariant
+    assert bin(got[1] ^ got[3]).count("1") > 10
+    pairs = set(
+        (r["id_a"], r["id_b"])
+        for r in dhash_near_dup_pairs(hashed, hash_col="afp", max_hamming=4).collect()
+    )
+    assert pairs == {(1, 2)}
