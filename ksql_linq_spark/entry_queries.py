@@ -1813,6 +1813,60 @@ def multimodal_audio_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @q(
+    "multimodal_video_framehash",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS n_frames,
+           0 AS min_hash,
+           CASE WHEN doc_id % 2 = 0
+                THEN 9223372036854775807 ELSE 0 END AS max_hash
+    FROM documents
+    """,
+)
+def multimodal_video_framehash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video path end-to-end on REAL extractable frames: synthesize
+    FRPK1 frame packs of genuine PNGs (even docs [increasing,
+    decreasing] gradients, odd docs [decreasing]), sample every frame,
+    dHash each, and aggregate per video — all values analytically known
+    (increasing ⇒ 2^63-1, decreasing ⇒ 0).  Exercises container parse,
+    flatMap frame explosion, per-frame decode, and the hash chain in
+    one oracle-checked query."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .operators.multimodal import MEDIA_SCHEMA, video_frame_hashes
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.codecs import encode_frames, encode_png
+
+        w, h = 32, 16
+        inc = encode_png(bytes(min(255, x * 3) for _y in range(h) for x in range(w)), w, h, 1)
+        dec = encode_png(bytes(min(255, (w - 1 - x) * 3) for _y in range(h) for x in range(w)), w, h, 1)
+        vid_even, vid_odd = encode_frames([inc, dec]), encode_frames([dec])
+        for b in batches:
+            rows = [
+                (int(d), "video", vid_even if d % 2 == 0 else vid_odd, None)
+                for d in b["doc_id"]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "content", "meta"]
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select("doc_id").mapInPandas(synth, MEDIA_SCHEMA)
+    return (
+        video_frame_hashes(media, every_n=1)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.min("dhash").alias("min_hash"),
+            F.max("dhash").alias("max_hash"),
+        )
+    )
+
+
+@q(
     "dataset_quality_gate",
     oracle="""
     WITH v AS (

@@ -225,6 +225,41 @@ def encode_wav(samples: list[int], sample_rate: int, channels: int = 1) -> bytes
     )
 
 
+# ------------------------------------------------------------ frame packs
+# Minimal length-prefixed frame container ("FRPK1"): real video codecs
+# (H.264/VP9) genuinely require external libraries, but the SPARK-side
+# mechanics of video processing — split a binary blob into frames,
+# sample every Nth, decode each frame, hash/feature it — are codec-
+# independent.  This container carries real PNG/BMP frames so that whole
+# chain runs on genuinely decodable bytes; swap the parser for pyav
+# demuxing in production and nothing downstream changes.
+
+_FRPK_MAGIC = b"FRPK1"
+
+
+def encode_frames(frames: list[bytes]) -> bytes:
+    """Pack encoded frames (e.g. PNGs) into one binary blob."""
+    out = [_FRPK_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        out.append(struct.pack(">I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_frames(data: bytes) -> list[bytes]:
+    """Frame-pack blob -> list of frame bytes (raises on bad container)."""
+    if not data.startswith(_FRPK_MAGIC):
+        raise ValueError("not a FRPK1 frame pack")
+    (n,) = struct.unpack(">I", data[5:9])
+    pos = 9
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        frames.append(data[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    return frames
+
+
 def decode_wav(data: bytes) -> dict:
     """WAV -> {channels, sample_rate, bits, n_samples, duration_ms,
     samples} for 16-bit PCM (metadata-only for other encodings)."""

@@ -206,13 +206,14 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFr
 def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
     """video rows -> one row per sampled frame (frame_idx, frame BINARY).
 
-    Stub: frame bytes are content-hash slices; a real decoder yields
-    actual frames.  flatMap shape (mapInPandas emitting >1 row per input)
-    is the part that matters for the engine.
+    Frame-source resolution per blob: the production ``DECODER`` hook;
+    else a FRPK1 frame pack (operators/codecs.py — REAL extractable
+    frames, each its own PNG/BMP) parsed directly; else the
+    deterministic fake when ``fake=True``; else NotImplementedError
+    (H.264-family containers genuinely need an external codec).
+    flatMap shape: mapInPandas emitting >1 row per input — sampled
+    frames never materialize on one node.
     """
-    if not fake and DECODER is None:
-        raise NotImplementedError("no video decoder: call with fake=True")
-
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -222,6 +223,8 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataF
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
         for pdf in batches:
             rows = []
             for mid, content, mtype in zip(
@@ -229,13 +232,42 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataF
             ):
                 if mtype != "video":
                     continue
-                n = _fake_decode(content, mtype)["n_frames"]
-                for i in range(0, n, every_n):
-                    fr = hashlib.md5((content or b"") + bytes([i])).digest()
-                    rows.append((int(mid), i, fr))
+                content = content or b""
+                if content.startswith(b"FRPK1"):
+                    frames = codecs.decode_frames(content)
+                    for i in range(0, len(frames), every_n):
+                        rows.append((int(mid), i, frames[i]))
+                elif fake:
+                    n = _fake_decode(content, mtype)["n_frames"]
+                    for i in range(0, n, every_n):
+                        fr = hashlib.md5(content + bytes([i])).digest()
+                        rows.append((int(mid), i, fr))
+                else:
+                    raise NotImplementedError(
+                        "no video codec for this container: pack frames as "
+                        "FRPK1, set multimodal.DECODER, or pass fake=True"
+                    )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return df.mapInPandas(run, out_schema)
+
+
+def video_frame_hashes(
+    df: DataFrame, every_n: int = 1, hash_col: str = "dhash"
+) -> DataFrame:
+    """(media_id, frame_idx, dhash): sample REAL frames and dHash each —
+    the video near-dup primitive.  Two videos sharing most frame hashes
+    are near-duplicates; feed the per-video hash sets to the n-gram
+    Jaccard / banded machinery exactly like text shingles."""
+    frames = sample_frames(df, every_n=every_n)
+    as_media = frames.select(
+        F.col("media_id"),
+        F.col("frame_idx"),
+        F.lit("image").alias("media_type"),
+        F.col("frame").alias("content"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return image_dhash(as_media).select("media_id", "frame_idx", hash_col)
 
 
 def resize_stub(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:

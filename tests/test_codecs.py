@@ -240,3 +240,38 @@ def test_audio_fingerprint_gain_invariant_near_dup(spark):
         for r in dhash_near_dup_pairs(hashed, hash_col="afp", max_hamming=4).collect()
     )
     assert pairs == {(1, 2)}
+
+
+def test_video_frame_sampling_and_hashing_real_frames(spark):
+    """FRPK1 frame packs: sample_frames extracts REAL per-frame PNGs
+    (every Nth, decodable), and video_frame_hashes dHashes each — two
+    videos sharing frames share hashes, the video near-dup signal."""
+    from ksql_linq_spark.operators.multimodal import (
+        sample_frames,
+        video_frame_hashes,
+    )
+
+    w, h = 16, 12
+    f_inc = codecs.encode_png(bytes(min(255, x * 16) for _ in range(h) for x in range(w)), w, h, 1)
+    f_dec = codecs.encode_png(bytes(min(255, (w - 1 - x) * 16) for _ in range(h) for x in range(w)), w, h, 1)
+    vid_a = codecs.encode_frames([f_inc, f_dec, f_inc, f_dec])
+    vid_b = codecs.encode_frames([f_inc, f_inc])  # shares frame 0 with A
+    rows = [
+        (1, "video", vid_a, None),
+        (2, "video", vid_b, None),
+        (3, "image", f_inc, None),  # non-video rows skipped
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    sampled = sample_frames(df, every_n=2).collect()
+    got = {(r["media_id"], r["frame_idx"]): bytes(r["frame"]) for r in sampled}
+    assert set(got) == {(1, 0), (1, 2), (2, 0)}
+    assert got[(1, 0)] == f_inc and got[(1, 2)] == f_inc
+    assert codecs.decode_png(got[(2, 0)])["width"] == w  # genuinely decodable
+
+    hashes = video_frame_hashes(df, every_n=1).collect()
+    by_vid = {}
+    for r in hashes:
+        by_vid.setdefault(r["media_id"], set()).add(r["dhash"])
+    assert len(by_vid[1]) == 2  # two distinct frames
+    assert by_vid[2] <= by_vid[1]  # B's frames all appear in A
