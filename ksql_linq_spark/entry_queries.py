@@ -3717,6 +3717,65 @@ ORACLES["text_langid_confusion"] = f"""
 
 
 @q(
+    "join_binational_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year — a
+    5-way snowflake where BOTH dimension chains (supplier→nation,
+    customer→nation) broadcast, the disjunctive cross-nation predicate
+    runs post-join on broadcast columns, and the only wide shuffles are
+    the two fact-fact orderkey joins AQE already handles.  Money is
+    DECIMAL(18,4) per-row (price × discount needs 4 fractional digits
+    to stay exact) summed exactly, cast once."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    n1 = na.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cu.select("c_custkey", "c_nationkey")), od.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(vol).cast("double").alias("volume"))
+    )
+
+
+@q(
     "agg_late_order_priority",
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count

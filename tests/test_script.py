@@ -82,3 +82,27 @@ def test_ddl_script_includes_derived_plan(spark, sf_dir):
     assert "CREATE TABLE IF NOT EXISTS trades" in text
     assert "DERIVED ENTITY totals" in text
     assert "Aggregate" in text  # analyzed plan made it into the comment block
+
+
+def test_query_registration_rotation_least_recently_scored_first(tmp_path, monkeypatch):
+    """queries() must order never-scored queries first, then by oldest
+    scored round, so a driver that scores only the first N reaches every
+    query across rounds."""
+    import importlib
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as m
+
+    seen = m._last_scored_round()
+    order = list(m.queries())
+    all_names = set(m.oracle_sql())
+    # every registered query is present exactly once
+    assert set(order) >= all_names and len(order) == len(set(order))
+    # never-scored block strictly precedes any scored query
+    ranks = [seen.get(n, -1) for n in order]
+    assert ranks == sorted(ranks), "rotation must be least-recently-scored first"
+    if any(r == -1 for r in ranks) and any(r >= 0 for r in ranks):
+        first_scored = next(i for i, r in enumerate(ranks) if r >= 0)
+        assert all(r == -1 for r in ranks[:first_scored])
