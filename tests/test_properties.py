@@ -488,3 +488,62 @@ def test_wav_roundtrip_property(samples, rate):
     assert out["samples"] == samples
     assert out["sample_rate"] == rate
     assert out["n_samples"] == len(samples)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.sampled_from("abcdefgh XYZ"), min_size=1, max_size=20
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_paragraph_dedup_identity_on_unique_corpus(spark, texts):
+    """When every (long) paragraph is globally unique, paragraph_dedup
+    must reassemble every document EXACTLY — the operator may only ever
+    remove text, and only duplicated text."""
+    from ksql_linq_spark.operators.dataset import paragraph_dedup
+
+    # make paragraphs globally unique by tagging doc+pos
+    docs = [
+        (i, "\n\n".join(f"{i}_{j}_{p}" for j, p in enumerate(paras)))
+        for i, paras in enumerate(texts)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(df, min_chars=1).collect()}
+    assert out == dict(docs)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.none() | st.floats(allow_nan=False, min_value=-1e6, max_value=1e6),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_quality_gate_partitions_input(spark, rows):
+    """good + bad is always a disjoint, lossless partition of the input,
+    and a row is good IFF it violates no rule."""
+    from ksql_linq_spark.operators.quality import expression, not_null, quality_gate
+
+    data = [(i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, v double")
+    rules = [not_null("v"), expression("v_nonneg", F.col("v") >= 0)]
+    good, bad = quality_gate(df, rules)
+    good_ids = {r["id"] for r in good.collect()}
+    bad_ids = {r["id"] for r in bad.collect()}
+    assert good_ids | bad_ids == {i for i, _ in data}
+    assert not good_ids & bad_ids
+    for i, v in data:
+        expect_good = v is not None and v >= 0
+        assert (i in good_ids) == expect_good
