@@ -1,0 +1,120 @@
+"""Schema evolution / registry-style validation tests
+(ksql_linq_spark/schema_evolution.py — DecimalSchemaValidator and
+subject-compatibility parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from ksql_linq_spark.entity import Column, Entity
+from ksql_linq_spark.schema_evolution import (
+    compatibility,
+    conform,
+    diff_schemas,
+    is_promotion,
+    validate_entity,
+)
+
+
+def _st(*fields):
+    return T.StructType([T.StructField(n, t, nullable) for n, t, nullable in fields])
+
+
+def test_promotions():
+    assert is_promotion(T.IntegerType(), T.LongType())
+    assert is_promotion(T.FloatType(), T.DoubleType())
+    assert is_promotion(T.TimestampNTZType(), T.TimestampType())
+    assert is_promotion(T.DecimalType(10, 2), T.DecimalType(18, 2))
+    assert is_promotion(T.DecimalType(10, 2), T.DecimalType(20, 4))
+    assert not is_promotion(T.LongType(), T.IntegerType())
+    assert not is_promotion(T.DecimalType(18, 2), T.DecimalType(18, 4))  # digits shrink
+    assert not is_promotion(T.StringType(), T.LongType())
+
+
+def test_diff_and_compatibility_modes():
+    old = _st(("id", T.LongType(), False), ("v", T.IntegerType(), True),
+              ("tag", T.StringType(), True))
+    # add nullable + widen v -> BACKWARD ok; FORWARD broken (widen can't
+    # be read back by the old reader)
+    new = _st(("id", T.LongType(), False), ("v", T.LongType(), True),
+              ("tag", T.StringType(), True), ("extra", T.StringType(), True))
+    d = diff_schemas(old, new)
+    assert [f.name for f in d.added] == ["extra"]
+    assert d.promoted == [("v", T.IntegerType(), T.LongType())]
+    assert not d.removed and not d.narrowed
+    assert compatibility(old, new) == {"BACKWARD"}
+
+    # drop a nullable column only -> both directions fine
+    dropped = _st(("id", T.LongType(), False), ("v", T.IntegerType(), True))
+    assert compatibility(old, dropped) == {"BACKWARD", "FORWARD"}
+
+    # narrow a type: breaks BACKWARD (new int reader can't take old
+    # longs) but keeps FORWARD (old long reader promotes new ints)
+    narrowed = _st(("id", T.IntegerType(), False), ("v", T.IntegerType(), True),
+                   ("tag", T.StringType(), True))
+    assert compatibility(old, narrowed) == {"FORWARD"}
+
+    # incompatible type change (string -> long) -> neither direction
+    broken = _st(("id", T.LongType(), False), ("v", T.IntegerType(), True),
+                 ("tag", T.LongType(), True))
+    assert compatibility(old, broken) == set()
+
+    # identical -> FULL
+    assert compatibility(old, old) == {"BACKWARD", "FORWARD"}
+
+
+def test_validate_entity_decimal_strict_and_relaxed():
+    ent = Entity(
+        "acct",
+        [Column("k", "long", key_order=0), Column("bal", "decimal(18,2)")],
+    )
+    observed = _st(("k", T.LongType(), True), ("bal", T.DecimalType(20, 4), True))
+    with pytest.raises(ValueError, match="DecimalPrecisionMismatch"):
+        validate_entity(ent, observed, mode="strict")
+    adopted, warnings = validate_entity(ent, observed, mode="relaxed")
+    assert adopted.schema["bal"].dataType == T.DecimalType(20, 4)  # Override path
+    assert any("DecimalPrecisionMismatch" in w for w in warnings)
+    # matching schema is silent in strict mode
+    ok = _st(("k", T.LongType(), True), ("bal", T.DecimalType(18, 2), True))
+    _, w = validate_entity(ent, ok, mode="strict")
+    assert w == []
+
+
+def test_conform_promotes_fills_and_refuses(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3.5)], "id int, v int, x double"
+    )
+    target = _st(
+        ("id", T.LongType(), False),      # promote int->long
+        ("v", T.DoubleType(), True),      # promote int->double
+        ("note", T.StringType(), True),   # missing nullable -> NULL
+    )  # x dropped
+    out = conform(df, target)
+    assert [f.name for f in out.schema.fields] == ["id", "v", "note"]
+    assert [f.dataType for f in out.schema.fields] == [
+        T.LongType(), T.DoubleType(), T.StringType()
+    ]
+    r = out.first()
+    assert (r["id"], r["v"], r["note"]) == (1, 2.0, None)
+
+    with pytest.raises(ValueError, match="narrowing"):
+        conform(df, _st(("v", T.ShortType(), True)))
+    with pytest.raises(ValueError, match="non-nullable"):
+        conform(df, _st(("absent", T.LongType(), False)))
+
+
+def test_conform_ntz_ingest_path(spark):
+    """The round-2 NTZ regression as an evolution case: an NTZ storage
+    column conforms onto a TIMESTAMP target via promotion (never a
+    silent pass-through)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2, 3, 4, 5),)],
+        T.StructType([T.StructField("ts", T.TimestampNTZType(), True)]),
+    )
+    target = _st(("ts", T.TimestampType(), True))
+    out = conform(df, target)
+    assert out.schema["ts"].dataType == T.TimestampType()
+    assert out.first()["ts"] == dt.datetime(2024, 1, 2, 3, 4, 5)
