@@ -32,14 +32,35 @@ class SparkKsqlContext:
         self._derived: dict[str, Callable[[SparkSession], DataFrame]] = {}
 
     # -- model building (OnModelCreating analog) -------------------------
-    def register_entity(self, entity: Entity, path: str | None = None) -> None:
-        """Entity<T>() — bind a schema to a storage location as a view."""
-        self._entities[entity.name] = entity
+    def register_entity(
+        self,
+        entity: Entity,
+        path: str | None = None,
+        validation: str | None = "relaxed",
+    ) -> list[str]:
+        """Entity<T>() — bind a schema to a storage location as a view.
+
+        Startup schema validation (the reference runs this against the
+        Schema Registry before any query starts,
+        src/SchemaRegistryTools/DecimalSchemaValidator.cs +
+        src/Context/KsqlContext.Schema.cs): when storage exists, the
+        declared schema is checked against the parquet footer —
+        ``"strict"`` raises on any mismatch, ``"relaxed"`` (default)
+        adopts observed decimal precision and returns warnings, ``None``
+        skips.  Returns the warning list (empty when clean/skipped)."""
+        warnings: list[str] = []
         if path is None and self.data_dir is not None:
             path = os.path.join(self.data_dir, f"{entity.topic}.parquet")
+        if validation is not None and path is not None and os.path.exists(path):
+            from .schema_evolution import validate_entity
+
+            observed = self.spark.read.parquet(path).schema
+            entity, warnings = validate_entity(entity, observed, mode=validation)
+        self._entities[entity.name] = entity
         if path is not None and os.path.exists(path):
             df = self.spark.read.schema(entity.schema).parquet(path)
             df.createOrReplaceTempView(entity.name)
+        return warnings
 
     def register_parquet_dir(self, data_dir: str, tables: list[str] | None = None) -> None:
         """Register every driver table in ``data_dir`` as a temp view,

@@ -118,3 +118,25 @@ def test_conform_ntz_ingest_path(spark):
     out = conform(df, target)
     assert out.schema["ts"].dataType == T.TimestampType()
     assert out.first()["ts"] == dt.datetime(2024, 1, 2, 3, 4, 5)
+
+
+def test_register_entity_validates_at_startup(spark, tmp_path):
+    """Context registration runs the registry-style validation: strict
+    raises on a decimal mismatch with storage, relaxed adopts the
+    observed precision into the registered entity and reports it."""
+    from ksql_linq_spark.context import SparkKsqlContext
+
+    p = str(tmp_path / "bal.parquet")
+    spark.createDataFrame(
+        [(1,)], "k long"
+    ).selectExpr("k", "CAST(1.5 AS DECIMAL(20,4)) AS bal").write.parquet(p)
+
+    ent = Entity("bal", [Column("k", "long", key_order=0),
+                         Column("bal", "decimal(18,2)")])
+    ctx = SparkKsqlContext(spark)
+    with pytest.raises(ValueError, match="DecimalPrecisionMismatch"):
+        ctx.register_entity(ent, path=p, validation="strict")
+    warnings = ctx.register_entity(ent, path=p, validation="relaxed")
+    assert any("DecimalPrecisionMismatch" in w for w in warnings)
+    assert ctx.entity("bal").schema["bal"].dataType == T.DecimalType(20, 4)
+    assert ctx.table("bal").schema["bal"].dataType == T.DecimalType(20, 4)
