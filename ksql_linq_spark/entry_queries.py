@@ -3717,6 +3717,99 @@ ORACLES["text_langid_confusion"] = f"""
 
 
 @q(
+    "agg_twap_1h",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+             ts, event_id, value
+      FROM events),
+    wt AS (
+      SELECT event_type, bucket_start,
+             CAST(epoch_us(coalesce(
+                 lead(ts) OVER (PARTITION BY event_type, bucket_start
+                                ORDER BY ts, event_id),
+                 bucket_start + INTERVAL '1 hour')) - epoch_us(ts)
+               AS DECIMAL(20,0)) AS dt,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM t)
+    SELECT event_type, bucket_start,
+           CAST(CAST(SUM(CAST(v * dt AS DECIMAL(38,2))) AS DOUBLE)
+                / CAST(SUM(dt) AS DOUBLE) AS DOUBLE) AS twap,
+           count(*) AS n_ticks
+    FROM wt GROUP BY 1, 2
+    """,
+)
+def agg_twap_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP bars (operators/stats.twap): duration-weighted hourly
+    average per event_type, event_id tie-break, decimal-exact weighted
+    sums at the data's NATIVE 2-dp scale — at that scale the per-bucket
+    weighted sum telescopes to ≤ max_value x bucket_µs (the dt's sum to
+    the bucket span), keeping the decimal→double cast exact at any
+    corpus size; scale 6 overflowed 2^53 and diverged by 1 ulp
+    (the trend_fit lesson).  Value-checked bit-for-bit vs DuckDB."""
+    from .operators.stats import twap
+
+    ev = _t(spark, sf_dir, "events")
+    return twap(
+        ev, ["event_type"], "ts", "value", "1h",
+        tiebreak_col="event_id", value_scale=2,
+    )
+
+
+@q(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS spend,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           arg_min(o_totalprice, o_orderkey) AS first_price,
+           arg_max(o_totalprice, o_orderkey) AS last_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) / count(*)
+               AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance proven against the batch truth:
+    the fact table is split into two deltas, each partial-aggregated
+    independently, the partials merged (operators/incremental.py), and
+    the finalized rollup must equal a direct aggregation of the whole
+    table — the merge(agg(A), agg(B)) == agg(A ∪ B) invariant that lets
+    a 100 TB rollup absorb a daily delta without re-reading the corpus.
+    Carriers: exact DECIMAL sums, struct-min/max min_by/max_by with a
+    unique order key, avg derived at finalize (it does not compose)."""
+    from .operators.incremental import AggSpec, agg_delta, finalize, merge_partials
+
+    od = _t(spark, sf_dir, "orders")
+    specs = [
+        AggSpec("count", alias="n"),
+        AggSpec("sum", "o_totalprice", alias="spend"),
+        AggSpec("min", "o_totalprice", alias="min_price"),
+        AggSpec("max", "o_totalprice", alias="max_price"),
+        AggSpec("min_by", "o_totalprice", ord_col="o_orderkey", alias="first_price"),
+        AggSpec("max_by", "o_totalprice", ord_col="o_orderkey", alias="last_price"),
+    ]
+    keys = ["o_orderpriority"]
+    delta_a = agg_delta(od.filter(F.col("o_orderkey") % 2 == 0), keys, specs)
+    delta_b = agg_delta(od.filter(F.col("o_orderkey") % 2 == 1), keys, specs)
+    merged = merge_partials([delta_a, delta_b], keys, specs)
+    out = finalize(merged, specs, derived={"avg_price": ("spend", "n")})
+    return out.select(
+        "o_orderpriority",
+        "n",
+        F.col("spend").cast("double").alias("spend"),
+        "min_price",
+        "max_price",
+        "first_price",
+        "last_price",
+        "avg_price",
+    )
+
+
+@q(
     "join_binational_volume",
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -150,3 +150,63 @@ def trend_fit(
         F.when(mx > 0, (sy - slope * sx) / n).alias("intercept"),
         F.when((mx > 0) & (my > 0), (cxy * cxy) / (mx * my)).alias("r2"),
     )
+
+
+def twap(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    timeframe: str,
+    tiebreak_col: str | None = None,
+    value_scale: int = 6,
+) -> DataFrame:
+    """Time-weighted average per (keys, bucket) — the TWAP aggregate
+    (each observation weighted by how long it was the live value, until
+    the next tick or the bucket end).  A plain avg over ticks overweights
+    bursts; TWAP is the standard fix and the reference's registry has no
+    analog (KsqlFunctionRegistry.cs lists only plain AVG).
+
+    Dataflow: bucket each event, lead() the next event time within the
+    (keys, bucket) window — ordered by (ts, tiebreak) so simultaneous
+    ticks weight deterministically — defaulting the last tick's horizon
+    to the bucket end.  Weights are exact integer microseconds and the
+    weighted sum is carried in DECIMAL, so the one double division at
+    the end is bit-stable across engines and partitionings (same
+    discipline as :func:`moment_stats`).  The interval before the first
+    tick of a bucket has no observation and carries no weight ("TWAP
+    from first tick" convention).  One window + one groupBy, both on the
+    same (keys, bucket) shuffle.
+    """
+    from pyspark.sql import Window
+
+    from .windows import bucket_start, timeframe_seconds
+
+    step = timeframe_seconds(timeframe)
+    if step is None:
+        raise ValueError("twap needs a fixed-duration timeframe")
+    b = bucket_start(F.col(ts_col), timeframe).alias("bucket_start")
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*keys, "bucket_start").orderBy(*order)
+    extra = [F.col(tiebreak_col)] if tiebreak_col else []
+    ticks = df.select(*keys, b, F.col(ts_col), F.col(value_col), *extra)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    end = F.col("bucket_start") + F.expr(f"INTERVAL {step} SECONDS")
+    dt_us = (
+        F.unix_micros(F.coalesce(nxt, end)) - F.unix_micros(F.col(ts_col))
+    ).cast("decimal(20,0)")
+    wv = (
+        F.col(value_col).cast(f"decimal(18,{value_scale})") * dt_us
+    ).cast(f"decimal(38,{value_scale})")
+    return (
+        ticks.select(*keys, "bucket_start", dt_us.alias("_dt"), wv.alias("_wv"))
+        .groupBy(*keys, "bucket_start")
+        .agg(
+            (
+                F.sum("_wv").cast("double") / F.sum("_dt").cast("double")
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )

@@ -547,3 +547,55 @@ def test_quality_gate_partitions_input(spark, rows):
     for i, v in data:
         expect_good = v is not None and v >= 0
         assert (i in good_ids) == expect_good
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=1000),   # unique-ified below
+            st.floats(min_value=-1e5, max_value=1e5, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    split=st.integers(min_value=2, max_value=4),
+)
+@settings(**SETTINGS)
+def test_incremental_merge_equals_direct_agg(spark, rows, split):
+    """merge(agg(part_1), ..., agg(part_k)) == agg(all) for ANY
+    partitioning and any merge tree (associativity), with min_by/max_by
+    made deterministic by a unique order key."""
+    from ksql_linq_spark.operators.incremental import (
+        AggSpec,
+        agg_delta,
+        finalize,
+        merge_partials,
+    )
+
+    data = [(k, i, float(v)) for i, (k, _, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, oid long, v double")
+    specs = [
+        AggSpec("count", alias="n"),
+        AggSpec("sum", "v", alias="s"),
+        AggSpec("min", "v", alias="lo"),
+        AggSpec("max", "v", alias="hi"),
+        AggSpec("min_by", "v", ord_col="oid", alias="first_v"),
+        AggSpec("max_by", "v", ord_col="oid", alias="last_v"),
+    ]
+    parts = [df.filter(F.col("oid") % split == i) for i in range(split)]
+    deltas = [agg_delta(p, ["k"], specs) for p in parts]
+    # two different merge trees
+    flat = merge_partials(deltas, ["k"], specs)
+    nested = merge_partials(
+        [merge_partials(deltas[:2], ["k"], specs), *deltas[2:]], ["k"], specs
+    )
+    direct = agg_delta(df, ["k"], specs)
+
+    def snap(d):
+        return {
+            r["k"]: (r["n"], r["s"], r["lo"], r["hi"], r["first_v"], r["last_v"])
+            for r in finalize(d, specs).collect()
+        }
+
+    assert snap(flat) == snap(nested) == snap(direct)
