@@ -1899,7 +1899,7 @@ def dataset_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule, and the clean/total counts prove the good/bad split is
     loss-free.  Emits one row per rule with the corpus-level audit
     numbers the oracle reproduces."""
-    from .operators.quality import expression, quality_gate, violation_summary
+    from .operators.quality import expression
 
     od = _t(spark, sf_dir, "orders")
     rules = [
@@ -1917,17 +1917,39 @@ def dataset_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         expression("status_matches", F.col("o_orderstatus").rlike("^(?:[FOP])$")),
     ]
-    good, bad = quality_gate(od, rules)
-    counts = good.agg(F.count(F.lit(1)).alias("n_clean")).crossJoin(
-        od.agg(F.count(F.lit(1)).alias("n_total"))
+    # ONE scan, ONE aggregate: per-rule violation counts as conditional
+    # sums over the fused validation projection, clean/total riding
+    # along, then a zero-shuffle unpivot to (rule, n) rows — replaces a
+    # 3-scan formulation (separate summary + clean + total passes)
+    from .operators.quality import validate
+
+    v = validate(od, rules)
+    agg = v.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.size("_violations") == 0, 1)).alias("n_clean"),
+        *[
+            F.count(
+                F.when(F.array_contains("_violations", r.name), 1)
+            ).alias(f"_n_{r.name}")
+            for r in rules
+        ],
     )
-    summary = violation_summary(od, rules).drop("violation_rate")
-    # every registered rule appears even with zero violations (audit
-    # completeness): outer-join the rule list
-    rule_names = spark.createDataFrame([(r.name,) for r in rules], "rule string")
-    full = rule_names.join(summary, "rule", "left").na.fill({"n_violations": 0})
-    return full.crossJoin(F.broadcast(counts)).select(
-        "rule", "n_violations", "n_clean", "n_total"
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r.name).alias("rule"),
+                    F.col(f"_n_{r.name}").alias("n_violations"),
+                )
+                for r in rules
+            ]
+        )
+    ).alias("p")
+    return agg.select(pairs, "n_clean", "n_total").select(
+        F.col("p.rule").alias("rule"),
+        F.col("p.n_violations").alias("n_violations"),
+        "n_clean",
+        "n_total",
     )
 
 
