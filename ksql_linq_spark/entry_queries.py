@@ -1393,6 +1393,24 @@ def setops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "setops_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+    """,
+)
+def setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 set-op superset, INTERSECT leg (distinct semantics — the
+    ANSI default — via Spark intersect; completes union/except/intersect
+    coverage)."""
+    od = _t(spark, sf_dir, "orders")
+    a = od.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = od.filter(F.col("o_totalprice") > 250000).select("o_custkey")
+    return a.intersect(b)
+
+
+@q(
     "rollup_aggregation",
     oracle="""
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
