@@ -2691,6 +2691,31 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "agg_percentiles_disc",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS median_qty,
+           quantile_disc(l_extendedprice, 0.9) AS price_p90
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (percentile_disc ≡ DuckDB quantile_disc):
+    returns actual data values, so cross-engine equality is exact by
+    construction — the right percentile flavor when the result must be
+    an observed value (a real document length, a real price)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias(
+            "median_qty"
+        ),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("price_p90"),
+    )
+
+
+@q(
     "agg_percentiles_approx",
     oracle="""
     SELECT l_returnflag,
