@@ -699,3 +699,81 @@ def test_stream_changelog_join_latest_value_and_tombstone(spark):
     finally:
         for d in (lsrc, rsrc):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_incremental_rollup_maintenance(spark):
+    """The incremental-merge operator doing its real job: a foreachBatch
+    loop maintains a materialized rollup by merging each micro-batch's
+    partials with the stored partial table — after all batches the
+    finalized rollup equals a direct aggregation of everything ever
+    ingested, without any batch re-reading prior facts."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from ksql_linq_spark.operators.incremental import (
+        AggSpec,
+        agg_delta,
+        finalize,
+        merge_partials,
+    )
+
+    src = tempfile.mkdtemp(prefix="incr_src_")
+    store = tempfile.mkdtemp(prefix="incr_store_") + "/partials"
+    ckpt = tempfile.mkdtemp(prefix="incr_ckpt_")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("oid", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    specs = [
+        AggSpec("count", alias="n"),
+        AggSpec("sum", "v", alias="s"),
+        AggSpec("max_by", "v", ord_col="oid", alias="last_v"),
+    ]
+
+    def upsert(batch, batch_id):
+        delta = agg_delta(batch, ["k"], specs)
+        if os.path.exists(store):
+            prior = spark.read.parquet(store)
+            merged = merge_partials([prior, delta], ["k"], specs)
+        else:
+            merged = delta
+        staged = store + ".staged"
+        merged.write.mode("overwrite").parquet(staged)
+        spark.read.parquet(staged).write.mode("overwrite").parquet(store)
+
+    batches = [
+        [("A", 1, 10.0), ("B", 2, 5.0)],
+        [("A", 3, 30.0)],
+        [("B", 4, -2.0), ("A", 5, 20.0)],
+    ]
+    try:
+        spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        for extra in batches[1:]:
+            q.processAllAvailable()
+            spark.createDataFrame(extra, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            r["k"]: (r["n"], float(r["s"]), r["last_v"])
+            for r in finalize(spark.read.parquet(store), specs).collect()
+        }
+        assert got == {"A": (3, 60.0, 20.0), "B": (2, 3.0, -2.0)}
+    finally:
+        for d in (src, os.path.dirname(store), ckpt):
+            shutil.rmtree(d, ignore_errors=True)
