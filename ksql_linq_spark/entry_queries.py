@@ -2657,7 +2657,12 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_n=3)
-    return dedup_clusters(d.select("doc_id"), pairs).select("doc_id", "cluster_id")
+    # near-dup edge lists are tiny vs the corpus: low loop parallelism
+    # halves per-round task overhead (graph.py docstring; at true scale
+    # drop the knob and let the loop follow the session partitioning)
+    return dedup_clusters(
+        d.select("doc_id"), pairs, loop_partitions=8
+    ).select("doc_id", "cluster_id")
 
 
 @q(

