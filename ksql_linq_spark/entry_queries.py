@@ -1393,6 +1393,52 @@ def setops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "join_null_key_semantics",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders),
+    j AS (SELECT l.o_orderkey, l.k, c.c_mktsegment
+          FROM l LEFT JOIN customer c ON l.k = c.c_custkey)
+    SELECT count(*) AS n_total,
+           count(CASE WHEN k IS NULL THEN 1 END) AS n_null_keys,
+           count(CASE WHEN c_mktsegment IS NULL AND k IS NULL THEN 1 END)
+               AS n_null_unmatched,
+           count(CASE WHEN c_mktsegment IS NOT NULL THEN 1 END) AS n_matched,
+           count(CASE WHEN k IS NOT DISTINCT FROM NULL THEN 1 END)
+               AS n_null_safe
+    FROM j
+    """,
+)
+def join_null_key_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/J-family null semantics pin: NULL join keys match NOTHING in
+    ANSI equi-joins (every null-keyed row survives a left join
+    unmatched), while the null-safe operator (<=> / IS NOT DISTINCT
+    FROM) treats NULL as a comparable value — the classic silent
+    row-loss trap when an upstream produces null keys, asserted
+    count-for-count against the oracle."""
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    l = od.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+    )
+    j = l.join(cu, l.k == cu.c_custkey, "left").select("o_orderkey", "k", "c_mktsegment")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_null_keys"),
+        F.count(
+            F.when(F.col("c_mktsegment").isNull() & F.col("k").isNull(), 1)
+        ).alias("n_null_unmatched"),
+        F.count(F.when(F.col("c_mktsegment").isNotNull(), 1)).alias("n_matched"),
+        F.count(F.when(F.col("k").eqNullSafe(F.lit(None)), 1)).alias("n_null_safe"),
+    )
+
+
+@q(
     "setops_intersect",
     oracle="""
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
