@@ -777,3 +777,74 @@ def test_streaming_incremental_rollup_maintenance(spark):
     finally:
         for d in (src, os.path.dirname(store), ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_changelog_join_state_survives_restart(spark):
+    """Crash-recovery contract: the changelog join's per-key state lives
+    in the checkpointed state store, so a stopped-and-restarted query
+    (same checkpoint) still enriches probes with upserts ingested before
+    the restart — the reference's RocksDB-table recovery semantics."""
+    from pyspark.sql import types as T
+
+    from ksql_linq_spark.streaming.changelog_join import stream_changelog_join
+
+    lsrc = tempfile.mkdtemp(prefix="cljr_l_")
+    rsrc = tempfile.mkdtemp(prefix="cljr_r_")
+    ckpt = tempfile.mkdtemp(prefix="cljr_ck_")
+    out_dir = tempfile.mkdtemp(prefix="cljr_out_")
+    lschema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("probe_id", T.LongType()),
+        ]
+    )
+    rschema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+
+    def start():
+        ls = spark.readStream.schema(lschema).parquet(lsrc)
+        rs = spark.readStream.schema(rschema).parquet(rsrc)
+        j = stream_changelog_join(ls, rs, key="k", left_ts="ts", value_col="price")
+        return (
+            j.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    try:
+        # run 1: ingest the upsert only, then stop
+        spark.createDataFrame([("A", t(1), 42.0)], rschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(rsrc)
+        spark.createDataFrame([("A", t(2), 1)], lschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(lsrc)
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+        # run 2 (fresh query object, same checkpoint): probe must see the
+        # pre-restart upsert from recovered state
+        spark.createDataFrame([("A", t(5), 2)], lschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(lsrc)
+        q2 = start()
+        q2.processAllAvailable()
+        q2.stop()
+        got = {
+            r["probe_id"]: r["latest_price"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert got[1] == 42.0  # same-batch upsert visible pre-restart
+        assert got[2] == 42.0, "state must survive the restart"
+    finally:
+        for d in (lsrc, rsrc, ckpt, out_dir):
+            shutil.rmtree(d, ignore_errors=True)
