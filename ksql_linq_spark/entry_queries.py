@@ -1393,6 +1393,48 @@ def setops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "join_click_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS w_start,
+             ts + INTERVAL 1 HOUR AS w_end
+      FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, count(*) AS n_clicks
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id
+     AND c.click_ts >= p.w_start AND c.click_ts < p.w_end
+    GROUP BY 1
+    """,
+)
+def join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via chunk bucketing (operators/interval.py): clicks
+    attributed to same-user purchases within a 1-hour window.  The
+    range predicate becomes an equi join on (user, time-chunk) with the
+    exact bounds as a residual — a hash shuffle instead of the
+    BroadcastNestedLoop a raw theta join plans, so candidates per click
+    are bounded by windows alive in its chunk at any scale."""
+    from .operators.interval import point_in_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    j = point_in_interval_join(
+        clicks, purchases, "click_ts", "w_start", "w_end",
+        on=["user_id"], chunk_seconds=3600,
+    )
+    return j.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+@q(
     "join_null_key_semantics",
     oracle="""
     WITH l AS (

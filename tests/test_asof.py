@@ -82,3 +82,37 @@ def test_asof_rejects_colliding_columns(spark):
         assert "collide" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_point_in_interval_join_boundaries(spark):
+    """Chunk-bucketed range join: intervals spanning chunks match points
+    in every chunk they touch exactly once, the end bound is exclusive,
+    and a left join keeps unmatched points."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ksql_linq_spark.operators.interval import point_in_interval_join
+
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 0, m, s)
+    points = spark.createDataFrame(
+        [
+            (1, t(0, 30)),   # inside iv A (chunk 0)
+            (2, t(1, 30)),   # inside iv A (chunk 1 — spans chunks)
+            (3, t(2, 0)),    # == A's end -> exclusive, no match
+            (4, t(10, 0)),   # matches nothing
+        ],
+        "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [("A", t(0, 10), t(2, 0))], "iv string, s timestamp, e timestamp"
+    )
+    out = point_in_interval_join(
+        points, ivs, "ts", "s", "e", chunk_seconds=60, how="left"
+    )
+    got = {r["pid"]: r["iv"] for r in out.collect()}
+    assert got == {1: "A", 2: "A", 3: None, 4: None}
+    assert out.count() == 4  # no duplicate pairs from multi-chunk intervals
+
+    inner = point_in_interval_join(points, ivs, "ts", "s", "e", chunk_seconds=60)
+    assert sorted(r["pid"] for r in inner.collect()) == [1, 2]
