@@ -31,18 +31,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-def _last_scored_round() -> dict[str, int]:
-    """Map query name -> latest round whose CORRECTNESS_r*.json scored it.
+def _scoring_history() -> dict[str, tuple[int, bool]]:
+    """Map query name -> (latest round scored, that scoring passed).
 
     The driver scores the flagship + the first N registered queries; with
     ~2N registered, a fixed order would leave the tail permanently
-    unscored.  Ordering by least-recently-scored rotates every query
-    through the correctness gate across rounds."""
+    unscored.  Ordering rotates every query through the correctness
+    gate across rounds."""
     import glob
     import json
     import re
 
-    seen: dict[str, int] = {}
+    seen: dict[str, tuple[int, bool]] = {}
     for p in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
         if not m:
@@ -54,15 +54,36 @@ def _last_scored_round() -> dict[str, int]:
         except Exception:
             continue
         if isinstance(data, dict):
-            for name in data:
-                seen[name] = max(seen.get(name, -1), rnd)
+            for name, row in data.items():
+                ok = isinstance(row, dict) and bool(
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match") is not False
+                    and not row.get("err")
+                )
+                prev = seen.get(name)
+                if prev is None or rnd >= prev[0]:
+                    seen[name] = (rnd, ok)
     return seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    seen = _last_scored_round()
+    """Registration order = the driver's scoring order.  Three tiers:
+    (1) queries whose LATEST scoring failed — their fixes must be
+    re-verified before anything else; (2) never-scored queries;
+    (3) green queries, least-recently-scored first.  Within a tier,
+    original registration position (stable)."""
+    seen = _scoring_history()
     pos = {n: i for i, n in enumerate(QUERIES)}
-    order = sorted(QUERIES, key=lambda n: (seen.get(n, -1), pos[n]))
+
+    def key(n: str):
+        if n in seen:
+            rnd, ok = seen[n]
+            tier = 2 if ok else 0
+            return (tier, rnd, pos[n])
+        return (1, -1, pos[n])
+
+    order = sorted(QUERIES, key=key)
     return {n: QUERIES[n] for n in order}
 
 

@@ -3,6 +3,14 @@
 Prints ONE JSON line: {"metric": "total_sec", "value": N, "unit": "sec",
 "queries": {name: sec}, "sf": 0.1}.  Each query executes its full plan
 via the noop sink (no driver-side collect cost).
+
+TWO-PASS: every query runs twice and the reported time is the SECOND
+run (steady state).  Round-2 showed single-pass numbers are poisoned by
+execution-order artifacts — JIT warm-up / first-touch page faults landed
+on whichever trivial query ran first after a heavy one (json_functions
+"7.6 s" on a 0-shuffle plan) — making real regressions
+indistinguishable from position noise.  The first-pass total is kept in
+``cold_total_sec`` so the warm-up cost stays visible.
 """
 
 from __future__ import annotations
@@ -35,25 +43,33 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     entry_mod.entry(spark).write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            run_query(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # record failures as -1, don't kill the run
-            print(f"# bench error {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
+    def one_pass() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            try:
+                run_query(fn(spark, sf_dir))
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # record failures as -1, don't kill the run
+                print(f"# bench error {name}: {e}", file=sys.stderr)
+                timings[name] = -1.0
+        return timings
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    cold = one_pass()   # pass 1: warm-up (JIT, page cache, codegen cache)
+    warm = one_pass()   # pass 2: the reported steady-state numbers
+
+    total = round(sum(t for t in warm.values() if t >= 0), 3)
+    cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
     print(
         json.dumps(
             {
                 "metric": "total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
                 "sf": sf,
+                "passes": 2,
+                "cold_total_sec": cold_total,
             }
         )
     )

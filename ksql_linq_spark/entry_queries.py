@@ -1233,19 +1233,32 @@ def calendar_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 JSON registry over the events.props JSON column — incl.
     JSON_KEYS (sorted+joined so the list-free harness can hash it) and
-    JSON_CONCAT (shallow merge, right wins) value-checked through a
-    post-merge extract."""
+    JSON_CONCAT semantics (shallow merge, right wins) value-checked
+    through a post-merge extract.
+
+    SINGLE-PARSE: props is parsed ONCE per row via the registry's
+    JSON_RECORDS (from_json → map) and every output derives from that
+    map — round 2 parsed the same column 4+ times per row (two
+    get_json_object + json_object_keys + two from_json inside
+    JsonConcat).  Catalyst's subexpression elimination shares the one
+    from_json across the projection.  The string-input registry forms
+    (JsonExtractString/JsonKeys/JsonConcat) keep their own unit tests;
+    this query pins the plan shape a user should write for wide JSON
+    scans at 100 TB."""
     ev = _t(spark, sf_dir, "events")
+    m = KF.JsonRecords("props")
+    right = F.from_json(F.lit('{"extra":"1"}'), "map<string,string>")
+    merged = F.map_concat(
+        F.map_filter(m, lambda k, _v: ~F.map_contains_key(right, k)), right
+    )
     return ev.select(
         "event_id",
-        KF.JsonExtractString("props", "$.k").alias("k_str"),
-        KF.JsonExtractString("props", "$.k").cast("int").alias("k_int"),
+        F.element_at(m, "k").alias("k_str"),
+        F.element_at(m, "k").cast("int").alias("k_int"),
         KF.JsonArrayLength(F.lit("[1,2,3]")).alias("arr_len"),
         KF.JsonArrayContains(F.lit("[1,2,3]"), 2).alias("has_2"),
-        F.concat_ws("|", F.array_sort(KF.JsonKeys("props"))).alias("prop_keys"),
-        F.get_json_object(
-            KF.JsonConcat(F.col("props"), F.lit('{"extra":"1"}')), "$.extra"
-        ).alias("merged_extra"),
+        F.concat_ws("|", F.array_sort(F.map_keys(m))).alias("prop_keys"),
+        F.element_at(merged, "extra").alias("merged_extra"),
     )
 
 
@@ -2861,8 +2874,8 @@ def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps AS (SELECT doc_id, s, count(*) AS c FROM ex GROUP BY 1, 2),
     rep AS (
       SELECT doc_id, sum(c) AS total, count(*) AS "distinct",
-             1.0::DOUBLE - count(*) / sum(c) AS dup_ratio,
-             max(c) / sum(c) AS top_fraction
+             round(1.0::DOUBLE - count(*) / sum(c), 6) AS dup_ratio,
+             round(max(c) / sum(c), 6) AS top_fraction
       FROM ps GROUP BY 1)
     SELECT r.doc_id, r.total, r."distinct", r.dup_ratio, r.top_fraction,
            len(regexp_extract_all(d.text,
@@ -3320,12 +3333,17 @@ def text_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus vocabulary with Zipf rank and cumulative token
     coverage — the standard "how head-heavy is this corpus" audit.  All
     integer arithmetic (counts + running count), so bit-exact with no
-    rounding.  The global-rank window runs over the POST-aggregation
-    vocabulary (one row per term), which is orders of magnitude smaller
-    than the corpus — the single-partition window is safe because its
-    input is vocabulary-sized, never corpus-sized; at 100 TB cap it with
-    a pre-filter (cnt above a support floor) the same way heavy_hitters
-    gates its recount."""
+    rounding.
+
+    BOUNDED WINDOW (round-2 scale fix): the top-100 is taken FIRST via
+    orderBy+limit, which Spark executes as TakeOrderedAndProject —
+    per-partition top-k merged on the driver, NO single-partition sort
+    of the vocabulary.  Only then do rank/cum_cnt windows run, over a
+    provably ≤100-row input.  rank and the running sum computed on the
+    top-k prefix are identical to computing them over the full
+    vocabulary and filtering (prefix property of the total order
+    (cnt DESC, term)), so this is exact at any corpus size — no tuned
+    support threshold needed."""
     from .operators.text import normalize_text, tokens
     from pyspark.sql import Window
 
@@ -3337,16 +3355,16 @@ def text_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+    top = freq.orderBy(F.desc("cnt"), F.col("term")).limit(100)
     w = Window.orderBy(F.desc("cnt"), F.col("term"))
     return (
-        freq.withColumn("rank", F.row_number().over(w))
+        top.withColumn("rank", F.row_number().over(w))
         .withColumn(
             "cum_cnt",
             F.sum("cnt")
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("bigint"),
         )
-        .where(F.col("rank") <= 100)
     )
 
 
@@ -3809,22 +3827,19 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dataset_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide decile tiers by token length (ntile over the unique
-    (tok, doc_id) order — deterministic), then per-tier composition.
-    The global ntile window is the small-data path; at 100 TB swap in
-    approx-quantile boundaries + a broadcast bucket join (the
-    agg_percentiles scale note) — same output contract."""
-    from pyspark.sql import Window
-
+    """Corpus-wide decile tiers by token length (exact ntile semantics
+    over the unique (tok, doc_id) order — deterministic), then per-tier
+    composition.  Uses operators/dataset.distributed_ntile: per-value
+    counts + running-sum base ranks over the bounded distinct-tok
+    summary + a value-partitioned row_number — bit-identical to SQL
+    ntile(10) with NO corpus-wide single-partition window (that was
+    round 2's named scale-killer)."""
+    from .operators.dataset import distributed_ntile
     from .operators.text import token_count
 
     d = _t(spark, sf_dir, "documents")
     t = d.select("doc_id", "lang", token_count("text").alias("tok"))
-    tiers = t.select(
-        "lang",
-        "tok",
-        F.ntile(10).over(Window.orderBy("tok", "doc_id")).alias("tier"),
-    )
+    tiers = distributed_ntile(t, 10, "tok", "doc_id", out_col="tier")
     return tiers.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("tok").cast("bigint").alias("min_tok"),

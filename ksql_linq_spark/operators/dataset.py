@@ -246,3 +246,63 @@ def paragraph_dedup(
         .join(df.select(id_col), id_col, "right")
         .na.fill({text_col: ""})
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    value_col: str,
+    tiebreak_col: str,
+    out_col: str = "tier",
+) -> DataFrame:
+    """EXACT ``ntile(n) OVER (ORDER BY value, tiebreak)`` without a
+    corpus-wide single-partition sort.
+
+    The naive plan (one global window) funnels every row through ONE
+    task — the classic 100 TB scale-killer.  But ntile only needs each
+    row's GLOBAL RANK, and rank decomposes:
+
+      1. per-value counts        — groupBy(value), map-side combined;
+         output is |distinct values| rows (a bounded summary table, NOT
+         the corpus — for token lengths it's at most max-doc-len rows),
+      2. base rank per value     — running sum over that summary.  This
+         is the plan's only global window and it runs over the
+         aggregate, never the corpus,
+      3. within-value rank       — row_number() partitioned BY VALUE
+         over the corpus (distributed; skew bounded by the largest
+         single value's multiplicity),
+      4. global_rank = base + within, joined back via broadcast of the
+         summary, and the ntile tier computed in closed form: with
+         N rows, q = N div n, r = N mod n, the first r tiers get q+1
+         rows — identical output, row for row, to SQL ntile.
+
+    Exactness means the DuckDB oracle stays green; distribution means
+    the same code survives 100×.
+    """
+    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_vc"))
+    w_cum = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = counts.select(
+        value_col,
+        F.coalesce(F.sum("_vc").over(w_cum), F.lit(0)).alias("_base"),
+    )
+    n_total = counts.agg(F.sum("_vc").alias("_n"))
+    within = F.row_number().over(
+        Window.partitionBy(value_col).orderBy(tiebreak_col)
+    )
+    rank = (F.col("_base") + within).alias("_rank")
+    q = F.floor(F.col("_n") / n_tiles)
+    r = F.col("_n") % n_tiles
+    head = r * (q + F.lit(1))  # rows covered by the (q+1)-sized tiers
+    tier = F.when(
+        F.col("_rank") <= head,
+        F.floor((F.col("_rank") - 1) / (q + F.lit(1))) + 1,
+    ).otherwise(r + F.floor((F.col("_rank") - head - 1) / q) + 1)
+    return (
+        df.join(F.broadcast(base), value_col)
+        .join(F.broadcast(n_total))
+        .withColumn("_rank", rank)
+        .withColumn(out_col, tier.cast("int"))
+        .drop("_base", "_n", "_rank")
+    )

@@ -122,15 +122,27 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing >= 1 LSH band.
 
     bands divides num_hashes; rows_per_band = num_hashes // bands.
     One groupBy on (band_idx, band_hash) then in-bucket pair expansion:
     the signature subtree runs once (a self-join would run it twice) and
-    the shuffle is bucket-bounded, not quadratic.  A pathological bucket
-    (everything identical) degrades to one big collect_list — cap bucket
-    size upstream if the corpus is adversarial.
+    the shuffle is bucket-bounded, not quadratic.
+
+    DEGENERATE-BUCKET CAP: an adversarial corpus (everything identical)
+    puts n docs in ONE bucket, and full expansion is n² — the one
+    quadratic escape hatch left in round 2.  Buckets larger than
+    ``max_bucket_size`` now emit a sorted CONSECUTIVE CHAIN
+    (ids[i], ids[i+1]) instead: O(n) pairs that keep the bucket a single
+    connected component, so downstream clustering
+    (graph.connected_components / dedup_minhash_clusters) produces the
+    IDENTICAL partition of documents — only the redundant transitive
+    edges are dropped.  Candidate-pair consumers that verify pairwise
+    should verify per-cluster after clustering (the chain is a recall
+    statement about components, not about individual edges).  The cap is
+    deterministic (array_sort order), so results are stable run to run.
     """
     banded = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_n)
     buckets = (
@@ -138,8 +150,11 @@ def minhash_lsh_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    pair_expr = F.when(
+        F.size("ids") <= max_bucket_size, _sorted_pairs(F.col("ids"))
+    ).otherwise(_chain_pairs(F.col("ids")))
     return (
-        buckets.select(F.explode(_sorted_pairs(F.col("ids"))).alias("p"))
+        buckets.select(F.explode(pair_expr).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -156,6 +171,19 @@ def _sorted_pairs(ids: Column) -> Column:
                 lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
             ),
         )
+    )
+
+
+def _chain_pairs(ids: Column) -> Column:
+    """Consecutive (ids[i], ids[i+1]) pairs of the sorted id array —
+    O(n) spanning chain of the bucket's connectivity graph (the
+    degenerate-bucket fallback for ``minhash_lsh_pairs``)."""
+    sorted_ids = F.array_sort(ids)
+    n = F.size(sorted_ids)
+    return F.zip_with(
+        F.slice(sorted_ids, 1, n - 1),
+        F.slice(sorted_ids, 2, n - 1),
+        lambda a, b: F.struct(a.alias("id_a"), b.alias("id_b")),
     )
 
 

@@ -57,7 +57,13 @@ def point_in_interval_join(
     p = points.withColumn(
         "__chunk", F.floor(F.unix_micros(F.col(point_ts)) / chunk_us)
     )
-    iv = intervals.withColumn(
+    # Malformed intervals (end <= start) can never match the residual
+    # start <= ts < end, but left unfiltered they would make
+    # F.sequence(start_chunk, end_chunk) run BACKWARDS (Spark emits a
+    # descending sequence when start > stop), exploding one row per
+    # chunk across the whole gap — an unbounded candidate blow-up on bad
+    # data.  Drop them before the explode.
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__chunk",
         F.explode(
             F.sequence(

@@ -253,14 +253,16 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int 
     of occurrences that are repeats — boilerplate/spam signal), and
     ``top_fraction`` (share of the single most frequent n-gram).
     Dataflow: occurrence rows → groupBy(doc, s) count → groupBy(doc)
-    rollup; both shuffles are doc-keyed and map-side combined."""
+    rollup; both shuffles are doc-keyed and map-side combined.  Both
+    ratios are rounded to 6 dp so the value is engine-independent
+    (same float-determinism rule as tfidf's round-6)."""
     occ = shingle_occurrence_rows(df, text_col, id_col, n)
     per_shingle = occ.groupBy(id_col, "s").agg(F.count(F.lit(1)).alias("c"))
     return per_shingle.groupBy(id_col).agg(
         F.sum("c").alias("total"),
         F.count(F.lit(1)).alias("distinct"),
-        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_ratio"),
-        (F.max("c") / F.sum("c")).alias("top_fraction"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_ratio"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_fraction"),
     )
 
 
@@ -348,21 +350,28 @@ def cross_doc_dup_stats(df, text_col: str = "text", id_col: str = "doc_id",
 
 
 def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
-                    k: int = 3, round_to: int | None = 6):
+                    k: int = 3, round_to: int | None = 6,
+                    broadcast_df: bool = True):
     """Top-k TF-IDF terms per document (corpus-level IDF).
 
-    Dataflow (all codegen'd, three shuffles total, each on the key its
-    consumer needs):
-      1. posexplode normalized tokens (tokenize ONCE per row),
-      2. TF   = groupBy(id, term).count()          — shuffle on (id, term),
-      3. DF   = groupBy(term).count_distinct(id)   — shuffle on term,
-      4. score join TF x DF on term (both sides already term-clustered),
-         corpus size N joined as a 1-row broadcast (no collect),
-      5. row_number window per document, keep k.
-    At 100 TB the term-keyed exchanges are the natural partitioning; the
-    hot-term skew in DF is bounded because count_distinct's partial
-    aggregation dedups (id, term) map-side.  idf = ln(N/df) so corpus-
-    ubiquitous terms score 0; ties broken by term for determinism.
+    Dataflow (all codegen'd; tokenize runs ONCE, three shuffles, ONE
+    window):
+      1. posexplode normalized tokens,
+      2. TF = groupBy(id, term).count()            — shuffle on (id, term),
+      3. DF = TF.groupBy(term).count()             — TF rows are already
+         DISTINCT (doc, term), so counting them per term IS the document
+         frequency: no second tokenize pass, no count_distinct dedup,
+         and the input to this shuffle is the *aggregated* TF (tiny),
+      4. score join TF x broadcast(DF) — the DF dim is |vocab| rows
+         (bounded, zipf-truncated at any corpus size that fits a
+         dictionary; pass broadcast_df=False for adversarial vocabs to
+         fall back to a term-keyed shuffle join), corpus size N joined
+         as a 1-row broadcast (no collect),
+      5. one row_number window per document, keep k.
+    Spark's ReuseExchange dedups TF's exchange between the join side and
+    the DF branch, so the corpus is scanned and tokenized exactly once.
+    idf = ln(N/df) so corpus-ubiquitous terms score 0; ties broken by
+    term for determinism.
 
     ``round_to`` rounds the score (and the ranking order) to that many
     decimals: ln() is a transcendental whose last ulp differs across
@@ -375,14 +384,14 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("doc_freq")
-    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     n = df.select(F.count(F.lit(1)).alias("n_docs"))
     tfidf = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("doc_freq"))
     if round_to is not None:
         tfidf = F.round(tfidf, round_to)
     w = Window.partitionBy(id_col).orderBy(tfidf.desc(), F.col("term"))
+    if broadcast_df:
+        dfreq = F.broadcast(dfreq)
     return (
         tf.join(dfreq, "term")
         .join(F.broadcast(n))

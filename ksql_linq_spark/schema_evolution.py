@@ -142,7 +142,14 @@ def validate_entity(entity, observed: T.StructType, mode: str = "strict"):
         seen = obs.get(c.name)
         adopted = c
         if seen is None:
-            warnings.append(f"{entity.name}.{c.name}: missing from storage")
+            msg = f"MissingColumn(entity={entity.name}, property={c.name})"
+            # strict startup validation FAILS HARD on a declared column
+            # absent from storage (reference KsqlContext.Schema /
+            # DecimalSchemaValidator strict path) — otherwise the schema
+            # projection would silently read it back as all-NULL
+            if mode == "strict":
+                raise ValueError(msg)
+            warnings.append(msg)
         elif (
             isinstance(declared, T.DecimalType)
             and isinstance(seen, T.DecimalType)

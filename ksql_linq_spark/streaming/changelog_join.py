@@ -47,16 +47,31 @@ def stream_changelog_join(
     Both frames must be streaming; ``changelog`` rows with NULL
     ``value_col`` delete the key's state (tombstone).  Returns an
     append-mode stream with left's columns plus ``out_value_col``.
+
+    The value's NATIVE Spark type is carried through the union, the
+    state store, and the output schema — nothing is cast to double (a
+    silent double cast would turn non-numeric values into NULLs, i.e.
+    spurious tombstones).  Nested value types (struct/array/map) are
+    rejected up front: NULL is the tombstone marker, so a type whose
+    pandas round-trip can't distinguish "missing" reliably would make
+    delete semantics ambiguous.
     """
     out_value_col = out_value_col or f"latest_{value_col}"
     left_cols = [c for c in left.columns if c != key]
+    vtype = changelog.schema[value_col].dataType
+    if isinstance(vtype, (T.StructType, T.ArrayType, T.MapType)):
+        raise TypeError(
+            f"stream_changelog_join: value_col {value_col!r} has nested "
+            f"type {vtype.simpleString()}; only atomic value types are "
+            "supported (NULL is the tombstone marker)"
+        )
 
     tagged_left = left.select(
         F.col(key),
         F.lit(0).alias("__side"),  # 0 = left/probe
         F.col(left_ts).alias("__ts"),
         F.struct(*[F.col(c) for c in left_cols]).alias("__l"),
-        F.lit(None).cast("double").alias("__v"),
+        F.lit(None).cast(vtype).alias("__v"),
     )
     tagged_right = changelog.select(
         F.col(key),
@@ -65,19 +80,19 @@ def stream_changelog_join(
         F.lit(None)
         .cast(tagged_left.schema["__l"].dataType)
         .alias("__l"),
-        F.col(value_col).cast("double").alias("__v"),
+        F.col(value_col).alias("__v"),
     )
     unioned = tagged_left.unionByName(tagged_right)
 
     out_schema = T.StructType(
         [T.StructField(key, left.schema[key].dataType)]
         + [left.schema[c] for c in left_cols]
-        + [T.StructField(out_value_col, T.DoubleType())]
+        + [T.StructField(out_value_col, vtype)]
     )
     state_schema = T.StructType(
         [
             T.StructField("has_value", T.BooleanType()),
-            T.StructField("value", T.DoubleType()),
+            T.StructField("value", vtype),
         ]
     )
 
@@ -90,7 +105,15 @@ def stream_changelog_join(
         else:
             has_value, value = False, None
         rows: list[tuple] = []
-        for pdf in pdf_iter:
+        # Materialize the key's WHOLE micro-batch before sorting: Arrow
+        # hands the batch over as ~10k-row chunks, and sorting each
+        # chunk independently would apply upserts/probes out of the
+        # documented within-batch event-time order whenever a key spans
+        # chunks.  Per-key batch volume is the same bound the state
+        # already assumes, so the concat is safe.
+        pdfs = [p for p in pdf_iter if len(p)]
+        if pdfs:
+            pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
             # event-time order within the batch: upserts take effect
             # before probes at the same timestamp (side 1 first)
             pdf = pdf.sort_values(["__ts", "__side"], ascending=[True, False])
@@ -99,7 +122,9 @@ def stream_changelog_join(
                     if pd.isna(r["__v"]):
                         has_value, value = False, None  # tombstone
                     else:
-                        has_value, value = True, float(r["__v"])
+                        v = r["__v"]
+                        has_value = True
+                        value = v.item() if hasattr(v, "item") else v
                 else:
                     l = r["__l"]
                     rows.append(

@@ -119,6 +119,7 @@ def keyed_table_sink(
     keys: list[str],
     checkpoint: str,
     tombstones: bool = True,
+    order_col: str | None = None,
 ):
     """Materialize an update-mode (EMIT CHANGES) aggregate as a keyed
     TABLE: each micro-batch upserts its changed rows by key.
@@ -146,12 +147,34 @@ def keyed_table_sink(
     import shutil
     import tempfile
 
+    from pyspark.sql import Window
+
     spark = df.sparkSession
     schema = df.schema
     value_cols = [c for c in df.columns if c not in keys]
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates(keys)  # one row per key per batch
+        # One row per key per batch, chosen DETERMINISTICALLY: a bare
+        # dropDuplicates keeps an arbitrary row, so a batch carrying
+        # both an upsert and a tombstone for one key would
+        # nondeterministically delete or update it.  With ``order_col``
+        # (an event-time / sequence column) the newest row wins —
+        # Kafka-changelog compaction order.  Without one, the
+        # tie-break is value-based: upserts beat tombstones (all-NULL
+        # sorts last), then the greatest value tuple — stable run to
+        # run on identical batch contents.
+        if value_cols:
+            order_exprs = (
+                [F.col(order_col).desc_nulls_last()] if order_col else []
+            ) + [F.struct(*[F.col(c) for c in value_cols]).desc_nulls_last()]
+            w = Window.partitionBy(*keys).orderBy(*order_exprs)
+            batch = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch = batch_df.dropDuplicates(keys)
         if tombstones and value_cols:
             is_tomb = F.lit(True)
             for c in value_cols:

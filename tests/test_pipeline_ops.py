@@ -57,6 +57,30 @@ def test_minhash_lsh_finds_near_dups(docs_with_dups):
     assert not any(5 in p for p in pairs)
 
 
+def test_lsh_degenerate_bucket_bounded(spark):
+    """Adversarial all-identical corpus: every doc lands in the same
+    band buckets.  With the cap, pair expansion must be the O(n) chain
+    (n-1 consecutive pairs), not the O(n^2) clique — while still keeping
+    the whole corpus one connected component."""
+    n = 120
+    df = spark.createDataFrame(
+        [(i, "the same adversarial text repeated everywhere") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(df, max_bucket_size=16).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(i, i + 1) for i in range(n - 1)}  # chain, not clique
+
+    # under the cap the full clique is still produced
+    small = spark.createDataFrame(
+        [(i, "another identical tiny corpus") for i in range(5)],
+        "doc_id long, text string",
+    )
+    full = {(r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(small, max_bucket_size=16).collect()}
+    assert full == {(a, b) for a in range(5) for b in range(5) if a < b}
+
+
 def test_simhash_near_dup_distance(docs_with_dups):
     fps = {r["doc_id"]: r["simhash"] for r in simhash(docs_with_dups).collect()}
     assert fps[1] == fps[2] == fps[3]
@@ -359,7 +383,8 @@ def test_repetition_stats_and_pii(spark):
     )
     out = {r["doc_id"]: r for r in repetition_stats(df, n=3).collect()}
     assert out[1]["total"] == 3 and out[1]["distinct"] == 1
-    assert abs(out[1]["dup_ratio"] - 2 / 3) < 1e-12
+    # dup_ratio is rounded to 6 dp for cross-engine determinism
+    assert out[1]["dup_ratio"] == round(2 / 3, 6)
     assert out[1]["top_fraction"] == 1.0
     assert out[2]["dup_ratio"] == 0.0 and out[2]["total"] == 4
 

@@ -271,3 +271,36 @@ def test_curation_chain_fuses_to_two_exchanges(spark, sf_dir):
     # five pipeline stages, one scan, exactly two shuffles
     assert plan.count("Scan parquet  (") == 1, plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
+
+
+def test_zipf_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """text_token_zipf's top-100 must run as TakeOrderedAndProject
+    (distributed per-partition top-k) with the rank/cum windows ABOVE
+    the limit — i.e. the window input is provably <=100 rows, never the
+    whole vocabulary (round-2 scale-killer)."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.queries()["text_token_zipf"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the Window node must appear before (above) the TakeOrdered node in
+    # the formatted tree — Spark prints parents first
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_quality_deciles_no_corpus_global_window(spark, sf_dir):
+    """distributed_ntile: the only window over an ORDER BY without
+    PARTITION BY must consume the aggregated distinct-value summary
+    (HashAggregate below it), never the raw corpus scan."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.queries()["dataset_quality_deciles"](spark, sf_dir), "simple")
+    lines = plan.splitlines()
+    # find each Window node; between it and the next Exchange/Aggregate
+    # boundary there must be an aggregate (summary input), and ntile must
+    # be gone entirely
+    assert "ntile" not in plan, plan
+    win_idx = [i for i, l in enumerate(lines) if " Window " in l or l.strip().startswith("Window")]
+    assert win_idx, plan
+    for i in win_idx:
+        below = "\n".join(lines[i:i + 6])
+        assert "HashAggregate" in below or "Sort" in below, below

@@ -80,6 +80,14 @@ def test_validate_entity_decimal_strict_and_relaxed():
     _, w = validate_entity(ent, ok, mode="strict")
     assert w == []
 
+    # a declared column absent from storage fails HARD in strict mode
+    # (it would otherwise read back as all-NULL via the projection)
+    missing = _st(("k", T.LongType(), True))
+    with pytest.raises(ValueError, match="MissingColumn"):
+        validate_entity(ent, missing, mode="strict")
+    _, w = validate_entity(ent, missing, mode="relaxed")
+    assert any("MissingColumn" in x for x in w)
+
 
 def test_conform_promotes_fills_and_refuses(spark):
     df = spark.createDataFrame(

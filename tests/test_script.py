@@ -84,25 +84,30 @@ def test_ddl_script_includes_derived_plan(spark, sf_dir):
     assert "Aggregate" in text  # analyzed plan made it into the comment block
 
 
-def test_query_registration_rotation_least_recently_scored_first(tmp_path, monkeypatch):
-    """queries() must order never-scored queries first, then by oldest
-    scored round, so a driver that scores only the first N reaches every
-    query across rounds."""
-    import importlib
-    import json
+def test_query_registration_rotation_failed_then_unscored_first(tmp_path, monkeypatch):
+    """queries() must order (1) queries whose latest scoring FAILED,
+    then (2) never-scored queries, then (3) green ones oldest-round
+    first — so a driver that scores only the first N re-verifies every
+    fix and reaches every query across rounds."""
     import sys
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as m
 
-    seen = m._last_scored_round()
+    seen = m._scoring_history()
     order = list(m.queries())
     all_names = set(m.oracle_sql())
     # every registered query is present exactly once
     assert set(order) >= all_names and len(order) == len(set(order))
-    # never-scored block strictly precedes any scored query
-    ranks = [seen.get(n, -1) for n in order]
-    assert ranks == sorted(ranks), "rotation must be least-recently-scored first"
-    if any(r == -1 for r in ranks) and any(r >= 0 for r in ranks):
-        first_scored = next(i for i, r in enumerate(ranks) if r >= 0)
-        assert all(r == -1 for r in ranks[:first_scored])
+
+    def tier(n):
+        if n in seen:
+            rnd, ok = seen[n]
+            return (2, rnd) if ok else (0, rnd)
+        return (1, -1)
+
+    tiers = [tier(n) for n in order]
+    assert tiers == sorted(tiers), (
+        "rotation must be failed-last-scoring, then never-scored, "
+        "then least-recently-scored"
+    )
