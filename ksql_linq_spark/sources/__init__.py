@@ -95,6 +95,32 @@ def read_stream_from_table(
     return _ntz_to_ltz(df)
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """Options contract for the S1 Kafka source — validated and built
+    as a plain dict so the wiring is unit-testable without a broker or
+    the connector jar (the execution path is environment-gated)."""
+    if not bootstrap_servers:
+        raise ValueError("kafka_source: bootstrap_servers must be non-empty")
+    if not topic:
+        raise ValueError("kafka_source: topic must be non-empty")
+    if starting_offsets not in ("latest", "earliest") and not (
+        starting_offsets.lstrip().startswith("{")
+    ):
+        raise ValueError(
+            "kafka_source: starting_offsets must be 'latest', 'earliest', "
+            f"or a per-partition offset JSON object, got {starting_offsets!r}"
+        )
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -107,14 +133,9 @@ def kafka_source(
     (/root/reference/src/Core/Attributes/KsqlTopicAttribute.cs:8-30).
     Returns None when the connector is not on the classpath.
     """
+    opts = kafka_source_options(bootstrap_servers, topic, starting_offsets)
     try:
-        return (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribe", topic)
-            .option("startingOffsets", starting_offsets)
-            .load()
-        )
+        return spark.readStream.format("kafka").options(**opts).load()
     except Exception:
         return None
 
@@ -130,15 +151,30 @@ def to_kafka_records(df: DataFrame, key_col: str = "key") -> DataFrame:
     )
 
 
+def kafka_sink_options(
+    bootstrap_servers: str, topic: str, checkpoint: str
+) -> dict[str, str]:
+    """Options contract for the S2 Kafka sink (unit-testable shape of
+    the jar-gated transport — same rationale as kafka_source_options).
+    The checkpoint is mandatory: without it the sink cannot provide the
+    reference's at-least-once producer guarantee across restarts."""
+    if not bootstrap_servers:
+        raise ValueError("kafka_sink: bootstrap_servers must be non-empty")
+    if not topic:
+        raise ValueError("kafka_sink: topic must be non-empty")
+    if not checkpoint:
+        raise ValueError("kafka_sink: checkpointLocation must be non-empty")
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
 def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
     """S2 Kafka topic sink (EventSet.AddAsync analog for streams)."""
-    return (
-        to_kafka_records(df)
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
-    )
+    opts = kafka_sink_options(bootstrap_servers, topic, checkpoint)
+    return to_kafka_records(df).writeStream.format("kafka").options(**opts)
 
 
 def avro_decode(df: DataFrame, value_col: str, json_schema: str) -> DataFrame | None:

@@ -154,3 +154,36 @@ def test_streaming_avro_decode_with_corrupt_routing(spark, tmp_path):
     assert sorted(r["order_id"] for r in ok) == sorted(
         r["order_id"] for r in EXPECTED
     )
+
+
+def test_kafka_options_contract():
+    """The jar-gated Kafka source/sink paths never execute in this
+    sandbox; these pin the OPTIONS CONTRACT (key names + validation) the
+    connector would receive, so the dead path has shape coverage."""
+    import pytest
+
+    from ksql_linq_spark.sources import kafka_sink_options, kafka_source_options
+
+    src = kafka_source_options("b1:9092,b2:9092", "orders", "earliest")
+    assert src == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "orders",
+        "startingOffsets": "earliest",
+    }
+    # per-partition offset JSON is legal
+    kafka_source_options("b:9092", "t", '{"t":{"0":23}}')
+    with pytest.raises(ValueError, match="starting_offsets"):
+        kafka_source_options("b:9092", "t", "yesterday")
+    with pytest.raises(ValueError, match="topic"):
+        kafka_source_options("b:9092", "")
+    with pytest.raises(ValueError, match="bootstrap_servers"):
+        kafka_source_options("", "t")
+
+    snk = kafka_sink_options("b:9092", "out", "/tmp/ckpt")
+    assert snk == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out",
+        "checkpointLocation": "/tmp/ckpt",
+    }
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        kafka_sink_options("b:9092", "out", "")
