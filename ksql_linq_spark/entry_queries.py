@@ -4505,3 +4505,354 @@ def similarity_int8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return int8_topk(e, qvec, k=10)
+
+
+# ======================================================================
+# TPC-H Q6-shape: pure scan-side predicate revenue (no join at all —
+# the pushdown showcase; SURVEY §2.2 P-family at fact scale)
+# ======================================================================
+
+
+@q(
+    "filter_revenue_increase",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(22,6)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def filter_revenue_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue scan.  Every predicate is
+    scan-eligible (shipdate range + discount band + quantity cap reach
+    the parquet reader as PushedFilters), the projection is 3 columns,
+    and the whole query is one partial-aggregated scan — zero shuffles
+    beyond the final 1-row combine.  Revenue is the per-row
+    double-product quantized to DECIMAL(22,6) then summed exactly (the
+    repo's money discipline), so both engines agree bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = _dec2dbl(F.col("l_extendedprice") * F.col("l_discount"), 22, 6)
+    return li.agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ======================================================================
+# TPC-H Q7-shape: bidirectional nation-pair shipping volume (two
+# broadcast dims aliased from ONE nation table; year rollup)
+# ======================================================================
+
+
+@q(
+    "join_nation_volume_shipping",
+    oracle="""
+    WITH q AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+               AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM q GROUP BY 1, 2, 3
+    """,
+)
+def join_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the J7 alias-rewrite case — nation joins TWICE
+    under two aliases (supplier's and customer's side).  Both nation
+    dims and supplier broadcast; the disjunctive pair filter runs
+    after the cheap broadcast joins, so the only shuffles are
+    orders⋈lineitem on orderkey and the final small groupBy.  Volume
+    uses the DECIMAL(22,6) per-row quantize discipline."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    vol = _dec2dbl(F.col("l_extendedprice") * (1 - F.col("l_discount")), 22, 6)
+    return (
+        li.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+# ======================================================================
+# TPC-H Q8-shape: national market share within a region (7-way join,
+# conditional-share ratio)
+# ======================================================================
+
+
+@q(
+    "join_national_market_share",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+               AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                         ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM q GROUP BY 1
+    """,
+)
+def join_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: deepest join tree in the suite (7 tables, nation
+    twice).  Every dim (part filtered to one type, supplier, customer,
+    nation×2, region) broadcasts; the only shuffle is
+    lineitem⋈orders on orderkey + the per-year combine.  Share =
+    conditional DECIMAL sum / total DECIMAL sum, divided once in
+    DOUBLE — bit-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    pa = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    re = (
+        _t(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    vol = _dec2dbl(F.col("l_extendedprice") * (1 - F.col("l_discount")), 22, 6)
+    zero = F.lit(0).cast("decimal(22,6)")
+    q8 = (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(re), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(zero)
+            ).alias("nat"),
+            F.sum(vol).alias("tot"),
+        )
+    )
+    return q8.select(
+        "o_year",
+        (F.col("nat").cast("double") / F.col("tot").cast("double")).alias(
+            "mkt_share"
+        ),
+    )
+
+
+# ======================================================================
+# TPC-H Q15-shape: top supplier by quarterly revenue (scalar-max
+# subquery against a derived revenue view; DECIMAL-exact tie handling)
+# ======================================================================
+
+
+@q(
+    "join_top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def join_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the CREATE VIEW + scalar-max pattern, written
+    as one derived frame used twice (revenue per supplier, then its
+    max).  The max is a 1-row aggregate broadcast back into the filter
+    — never a driver collect — and the equality tie test runs on the
+    exact DECIMAL sums, so 'all suppliers tied at max' is
+    deterministic, not float-luck.  Supplier broadcasts; the one real
+    shuffle is the suppkey rollup."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    vol = _dec2dbl(F.col("l_extendedprice") * (1 - F.col("l_discount")), 22, 6)
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(vol).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(su), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ======================================================================
+# Per-source document cap (crawl hygiene: max N docs per domain)
+# ======================================================================
+
+
+@q(
+    "dataset_source_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) s
+    WHERE rn <= 50
+    """,
+)
+def dataset_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-hygiene per-domain cap (operators/dataset.cap_per_group):
+    keep the 50 largest documents per source, deterministic tiebreak on
+    doc_id.  One group-partitioned window; WindowGroupLimit keeps only
+    k rows per partition before the exchange."""
+    from .operators.dataset import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return cap_per_group(
+        d, "source", [F.col("n_chars").desc(), F.col("doc_id")], 50
+    )
+
+
+# ======================================================================
+# Corpus-unigram LM document scoring (CCNet-style perplexity proxy)
+# ======================================================================
+
+
+@q(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DK_TOKS.format(src=_DK_NORM)}) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+    lm AS (SELECT term, sum(c) AS cf FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(sum(cf) AS BIGINT) AS total FROM lm)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+           round(CAST(sum(CAST(round(c * ln(CAST(cf AS DOUBLE) / total), 6)
+                              AS DECIMAL(18,6))) AS DOUBLE)
+                 / sum(c), 6) AS logprob_per_tok
+    FROM tf JOIN lm USING (term) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cheap perplexity gate: mean corpus-unigram ln p per
+    token (operators/text.unigram_logprob_score).  LM dim derived from
+    the (doc,term) counts — one tokenize pass — and each contribution is
+    quantized to DECIMAL(18,6) before summing, so the accumulation is
+    order-free on both engines."""
+    from .operators.text import unigram_logprob_score
+
+    return unigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
+# ======================================================================
+# Token-budget corpus downsampling (per-source training-mix budgets)
+# ======================================================================
+
+
+@q(
+    "dataset_token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len({_DK_TOKS.format(src='text')}) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM t)
+    SELECT doc_id, source, n_tok, cum_tokens
+    FROM c
+    WHERE cum_tokens <= 5000 OR cum_tokens - n_tok = 0
+    """,
+)
+def dataset_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix token budgets (operators/dataset.token_budget_sample):
+    each source keeps an md5-ordered document prefix totalling ≤5000
+    tokens (first doc always kept).  Deterministic, append-stable, one
+    per-source window — the op that turns 'use 30B tokens of web, 5B of
+    code' into a plan."""
+    from .operators.dataset import token_budget_sample
+    from .operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
+    return token_budget_sample(d, 5000, "n_tok", "source", "doc_id")

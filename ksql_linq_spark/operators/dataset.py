@@ -306,3 +306,61 @@ def distributed_ntile(
         .withColumn(out_col, tier.cast("int"))
         .drop("_base", "_n", "_rank")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_by: list[Column],
+    k: int,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen by a DETERMINISTIC
+    total order (pass a tiebreak column last) — the crawl-hygiene
+    "max N documents per domain" cap.
+
+    One row_number window partitioned by the group: fully distributed,
+    and Spark's WindowGroupLimit pushes the rank<=k filter below the
+    sort, so each partition keeps only k rows before any data moves.
+    Skew bound: the largest single group's row count."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    token_col: Column | str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group corpus downsample to a TOKEN budget:
+    within each group, order documents by md5(id) (an unbiased,
+    append-stable shuffle order — same discipline as hash_split) and
+    keep the prefix whose RUNNING token total stays within ``budget``.
+    The first document of a group is always kept, so a single
+    over-budget document cannot empty its group.
+
+    One window per group (distributed); output adds ``cum_tokens`` so
+    the consumer can audit how much of the budget each group used."""
+    from pyspark.sql import Window
+
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    order = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("__tok", tok).withColumn(
+        "cum_tokens", F.sum("__tok").over(w)
+    )
+    return out.filter(
+        (F.col("cum_tokens") <= budget)
+        | (F.col("cum_tokens") - F.col("__tok") == 0)
+    ).drop("__tok")

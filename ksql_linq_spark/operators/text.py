@@ -400,3 +400,57 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
         .where(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "doc_freq", "tfidf", "rnk")
     )
+
+
+def unigram_logprob_score(
+    df, text_col: str = "text", id_col: str = "doc_id",
+    broadcast_lm: bool = True,
+):
+    """Corpus-unigram language-model score per document — the cheap
+    stand-in for CCNet/CCMatrix perplexity filtering: documents whose
+    tokens are improbable under the corpus unigram distribution (rare
+    typo soup, boilerplate code, wrong-language text) score low and can
+    be gated.
+
+    score = (1/n_tok) * Σ_tokens ln p(tok),  p(tok) = corpus_freq/total.
+
+    Dataflow: tokenize once → (doc, term) counts (one doc-keyed
+    shuffle) → term-frequency dim derived FROM those counts (same
+    trick as tfidf: TF rows are distinct (doc,term), so summing their
+    counts per term needs no second pass) → broadcast LM dim join →
+    per-doc rollup.  ``broadcast_lm=False`` falls back to a shuffle
+    join for adversarial vocabularies.
+
+    Determinism: each (doc, term) contribution c·ln(p) is rounded to
+    6 dp and quantized to DECIMAL(18,6) BEFORE the per-doc sum, so the
+    accumulation is exact-integer and order-free; the final mean is one
+    DECIMAL→DOUBLE division rounded to 6 dp.  (Same ln() last-ulp
+    discipline as tfidf_top_terms.)
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    lm = tf.groupBy("term").agg(F.sum("c").alias("cf"))
+    total = lm.agg(F.sum("cf").alias("total"))
+    if broadcast_lm:
+        lm = F.broadcast(lm)
+    contrib = F.round(
+        F.col("c") * F.log(F.col("cf").cast("double") / F.col("total")), 6
+    ).cast("decimal(18,6)")
+    return (
+        tf.join(lm, "term")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.sum(contrib).alias("_lp"),
+        )
+        .select(
+            id_col,
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.round(
+                F.col("_lp").cast("double") / F.col("n_tok"), 6
+            ).alias("logprob_per_tok"),
+        )
+    )

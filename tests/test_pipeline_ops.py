@@ -805,3 +805,58 @@ def test_quality_gate_routing_and_reasons(spark):
     with redirect_stdout(buf):
         validate(df, rules).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_cap_per_group_deterministic(spark):
+    from ksql_linq_spark.operators.dataset import cap_per_group
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, "d%d" % (i % 2), 100 - i) for i in range(10)],
+        "doc_id long, source string, q long",
+    )
+    out = cap_per_group(df, "source", [F.col("q").desc(), F.col("doc_id")], 3)
+    got = {(r["source"], r["doc_id"]) for r in out.collect()}
+    # top-3 by q desc per source: source d0 has ids 0,2,4 (q 100,98,96);
+    # d1 has 1,3,5
+    assert got == {("d0", 0), ("d0", 2), ("d0", 4),
+                   ("d1", 1), ("d1", 3), ("d1", 5)}
+
+
+def test_token_budget_sample_budget_and_floor(spark):
+    from ksql_linq_spark.operators.dataset import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "s", 400) for i in range(10)] + [(99, "big", 10_000)],
+        "doc_id long, source string, n_tok long",
+    )
+    out = token_budget_sample(df, 1000, "n_tok", "source", "doc_id").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # 's': md5-ordered prefix with cumulative <= 1000 -> exactly 2 docs
+    assert len(by_src["s"]) == 2
+    assert max(r["cum_tokens"] for r in by_src["s"]) <= 1000
+    # a single over-budget doc still keeps its group non-empty
+    assert len(by_src["big"]) == 1 and by_src["big"][0]["doc_id"] == 99
+    # deterministic: same input -> same ids
+    again = token_budget_sample(df, 1000, "n_tok", "source", "doc_id").collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    from ksql_linq_spark.operators.text import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "the the the the"),      # all corpus-frequent tokens
+         (2, "the zzz qqq vvv")],     # mostly singletons
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob_score(df).collect()}
+    # common-token doc scores strictly higher (closer to 0) than rare-token doc
+    assert got[1]["logprob_per_tok"] > got[2]["logprob_per_tok"]
+    assert got[1]["n_tok"] == 4 and got[2]["n_tok"] == 4
+    # corpus: 'the' appears 5x of 8 tokens -> p = 5/8; doc 1 is four
+    # 'the' tokens so its mean is exactly ln(5/8)
+    import math
+    assert abs(got[1]["logprob_per_tok"] - round(math.log(5 / 8), 6)) < 2e-6
