@@ -4856,3 +4856,118 @@ def dataset_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", token_count("text").alias("n_tok")
     )
     return token_budget_sample(d, 5000, "n_tok", "source", "doc_id")
+
+
+# ======================================================================
+# Blocked kNN graph + SemDeDup-style semantic dedup + incremental
+# ingestion dedup (training-data curation extensions)
+# ======================================================================
+
+
+def _dk_dot64(x: str, y: str) -> str:
+    """DuckDB left-assoc 0.0-seed dot fold — bit-identical to both the
+    Spark unrolled chain and the zip_with/aggregate fold."""
+    return (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> {x}[i] * {y}[i])), (x, y) -> x + y)"
+    )
+
+
+def _dk_unit64(e: str) -> str:
+    """DuckDB twin of similarity._unit_vec (element / L2 norm)."""
+    return f"list_transform({e}, x -> x / sqrt({_dk_dot64(e, e)}))"
+
+
+def _dk_udot64(a: str, b: str) -> str:
+    """Cosine of two pre-normalized vectors = plain dot fold."""
+    return _dk_dot64(a, b)
+
+
+@q(
+    "similarity_knn_graph",
+    oracle=f"""
+    WITH v0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+                FROM embeddings),
+    v AS (SELECT vec_id, label, {_dk_unit64('e')} AS en FROM v0),
+    p AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             {_dk_udot64('a.en', 'b.en')} AS cos
+      FROM v a JOIN v b
+        ON a.label = b.label AND a.vec_id <> b.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
+    SELECT vec_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked kNN graph (operators/similarity.knn_graph_blocked): each
+    vector's top-5 cosine neighbors within its block (label here; IVF
+    cell / LSH bucket at corpus scale).  One block-keyed self-join + one
+    per-node window — block² pair cost, blocks in parallel."""
+    from .operators.similarity import knn_graph_blocked
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_graph_blocked(e, "label", k=5, dim=64)
+
+
+@q(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE v0 AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    v AS (SELECT vec_id, label, {_dk_unit64('e')} AS en FROM v0),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_dk_udot64('a.en', 'b.en')} >= 0.4),
+    und AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und)
+      UNION
+      SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.node),
+    cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT em.vec_id,
+           coalesce(cc.component, em.vec_id) AS cluster_id,
+           coalesce(cc.component, em.vec_id) = em.vec_id AS keep
+    FROM embeddings em LEFT JOIN cc ON em.vec_id = cc.node
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.
+    semantic_dedup_blocked): cosine>=0.4 pairs within each label block →
+    connected components over the pair list → keep = min-id
+    representative per cluster.  The published recipe's k-means cells
+    map to the block column (IVF cell at corpus scale)."""
+    from .operators.dedup import semantic_dedup_blocked
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_blocked(e, "label", threshold=0.4, dim=64)
+
+
+@q(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source, md5({_DK_NORM}) AS fp FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM f WHERE source = 'src0'),
+    batch AS (SELECT * FROM f WHERE source <> 'src0'),
+    best AS (SELECT fp, min(doc_id) AS keep_id FROM batch GROUP BY 1)
+    SELECT b.doc_id, b.source, b.fp
+    FROM batch b
+    JOIN best ON b.fp = best.fp AND b.doc_id = best.keep_id
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 ingestion dedup (operators/dedup.incremental_dedup):
+    src0 plays the existing corpus, every other source the incoming
+    batch — batch-internal exact dedup (min id per fingerprint) then
+    anti-join against the corpus fingerprint set.  The corpus reduces
+    to one derived column; nothing re-deduplicates the whole corpus."""
+    from .operators.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("source") == "src0")
+    batch = d.where(F.col("source") != "src0")
+    return incremental_dedup(batch, corpus).select("doc_id", "source", "fp")

@@ -398,3 +398,103 @@ def embedding_cosine_pairs_blocked(
             )
 
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, out_schema)
+
+
+def semantic_dedup_blocked(
+    df: DataFrame,
+    block_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    loop_partitions: int | None = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: vectors whose cosine
+    exceeds ``threshold`` within a block are near-duplicates; each
+    similarity cluster keeps ONE representative (its min id).
+
+    Returns every input id with its ``cluster_id`` (= min id of its
+    component; singletons cluster to themselves) and ``keep`` — the
+    per-cluster representative flag a curation pipeline filters on.
+
+    Dataflow: blocked cosine pairs (|block|² per block, blocks in
+    parallel — block by IVF cell / LSH bucket at corpus scale) →
+    connected components over the PAIR list only (near-dup graphs are
+    tiny relative to the corpus) → broadcast-scale join back.  Exact
+    within blocks; cross-block near-dups are the blocker's recall
+    trade, same contract as the published SemDeDup recipe (clusters
+    from k-means cells).
+    """
+    from .graph import connected_components
+    from .similarity import _unit_vec
+
+    # normalize once per VECTOR pre-join; the per-pair cosine is then a
+    # zip_with/aggregate fold of unit vectors — the huge unrolled chain
+    # blows the JIT method limit at pair cardinality (see
+    # similarity.knn_graph_blocked docstring for the measurements)
+    a = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        _unit_vec(vec_col, dim).alias("_vn"),
+    )
+    b = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        _unit_vec(vec_col, dim).alias("_wn"),
+    )
+    cos = F.aggregate(
+        F.zip_with("_vn", "_wn", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= threshold)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(pairs, loop_partitions=loop_partitions)
+    out = df.select(F.col(id_col)).join(
+        comps, F.col(id_col) == F.col("node"), "left"
+    )
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        id_col,
+        cluster.alias("cluster_id"),
+        (cluster == F.col(id_col)).alias("keep"),
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingestion dedup: from a NEW batch, keep only
+    documents whose normalized-text fingerprint (a) wins within the
+    batch (min id per fingerprint — deterministic) and (b) does not
+    already exist in the CORPUS.
+
+    This is the day-2 shape of exact_dedup: the corpus side reduces to
+    a distinct single-column fingerprint projection (at 100 TB, a
+    bucketed/Z-ordered fingerprint table or a Bloom pre-filter feeding
+    this anti-join), so re-deduplicating the whole corpus per ingest is
+    never needed.  Two fingerprint-keyed shuffles (batch groupBy +
+    anti-join); the corpus scan reads one derived column.
+    """
+    from .text import fingerprint
+
+    batch = new_df.withColumn("fp", fingerprint(text_col))
+    # NB: alias the aggregate's key — joining batch_best["fp"] against
+    # batch["fp"] dedups to a trivially-true self-comparison (both
+    # resolve to the same attribute through the groupBy lineage)
+    batch_best = batch.groupBy("fp").agg(F.min(id_col).alias("_keep_id")).select(
+        F.col("fp").alias("_fp"), "_keep_id"
+    )
+    batch_kept = batch.join(
+        batch_best,
+        (F.col("fp") == F.col("_fp")) & (F.col(id_col) == F.col("_keep_id")),
+    ).select(batch["*"])
+    seen = corpus_df.select(fingerprint(text_col).alias("fp")).distinct()
+    return batch_kept.join(seen, "fp", "left_anti")

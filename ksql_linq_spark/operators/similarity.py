@@ -466,3 +466,69 @@ def int8_topk(
         .orderBy(F.col("score_i8").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_graph_blocked(
+    df: DataFrame,
+    block_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH (every node's top-k by cosine) computed
+    WITHIN blocks — the corpus-scale kNN recipe: an all-pairs kNN over
+    N vectors is N², but blocked by a coarse partitioner (here a
+    precomputed column; at 100 TB the IVF ``cell`` or an LSH bucket from
+    :func:`random_projection_buckets`), each block's pair expansion is
+    |block|² and blocks run fully in parallel.  Recall is whatever the
+    blocker gives — IVF cells with multi-probe for high recall.
+
+    One self-join on the block key (the only shuffle) + a per-node
+    row_number window (same key, exchange reused).  Ties break by
+    neighbor id.
+
+    PAIR-EXPRESSION REGIME (measured at sf0.1, 400k pairs): each vector
+    is NORMALIZED ONCE in its pre-join projection (cast + divide by the
+    unrolled-chain norm, 2k rows), and the per-pair cosine is then a
+    plain zip_with/aggregate fold of the two unit vectors.  The
+    64-element unrolled cast chain that wins in JOIN-CONDITION context
+    (see similarity.dot) LOSES here: at ~320 expression nodes the
+    generated method exceeds the JIT's bytecode limit and every pair
+    falls back to interpreted node-at-a-time eval (+14 s), while the
+    HOF fold on pre-normalized doubles adds ~0 over an empty
+    projection.  Fold order (left-assoc, 0.0 seed) matches DuckDB's
+    list_reduce, so results stay bit-exact cross-engine.
+    """
+    from pyspark.sql import Window
+
+    vn = _unit_vec(vec_col, dim)
+    a = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias(id_col),
+        vn.alias("_vn"),
+    )
+    b = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("neighbor_id"),
+        vn.alias("_wn"),
+    )
+    pairs = a.join(b, "_blk").where(F.col(id_col) != F.col("neighbor_id"))
+    cos = F.aggregate(
+        F.zip_with("_vn", "_wn", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        pairs.select(id_col, "neighbor_id", cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def _unit_vec(vec_col: str, dim: int | None) -> Column:
+    """L2-normalized double array (norm from the unrolled codegen chain
+    — evaluated once per ROW, so chain size is irrelevant here)."""
+    n = norm(F.col(vec_col), dim, cast_elements=True)
+    return F.transform(F.col(vec_col), lambda x: x.cast("double") / n)

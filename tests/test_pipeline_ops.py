@@ -860,3 +860,58 @@ def test_unigram_logprob_orders_rarity(spark):
     # 'the' tokens so its mean is exactly ln(5/8)
     import math
     assert abs(got[1]["logprob_per_tok"] - round(math.log(5 / 8), 6)) < 2e-6
+
+
+def test_knn_graph_blocked_exact_within_block(spark):
+    from ksql_linq_spark.operators.similarity import knn_graph_blocked
+
+    rows = [
+        (1, 0, [1.0, 0.0]), (2, 0, [0.9, 0.1]), (3, 0, [0.0, 1.0]),
+        (4, 1, [1.0, 0.0]),  # other block: never a neighbor of 1-3
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    g = knn_graph_blocked(df, "label", k=1, dim=2).collect()
+    nn = {r["vec_id"]: r["neighbor_id"] for r in g}
+    assert nn[1] == 2 and nn[2] == 1      # mutual nearest within block 0
+    assert 4 not in nn  # block 1 is a singleton: no neighbors emitted
+    assert all(r["vec_id"] != r["neighbor_id"] for r in g)
+    assert 4 not in {r["neighbor_id"] for r in g if r["vec_id"] in (1, 2, 3)}
+
+
+def test_semantic_dedup_blocked_keeps_one_per_cluster(spark):
+    from ksql_linq_spark.operators.dedup import semantic_dedup_blocked
+
+    rows = [
+        (1, 0, [1.0, 0.0]), (2, 0, [0.999, 0.01]),  # near-dups
+        (3, 0, [0.0, 1.0]),                          # distinct
+        (4, 1, [1.0, 0.0]),                          # other block
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_dedup_blocked(df, "label", threshold=0.99, dim=2).collect()}
+    assert out[1]["cluster_id"] == 1 and out[1]["keep"]
+    assert out[2]["cluster_id"] == 1 and not out[2]["keep"]
+    assert out[3]["keep"] and out[4]["keep"]  # singletons keep themselves
+
+
+def test_incremental_dedup_drops_corpus_and_batch_dups(spark):
+    from ksql_linq_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "already ingested text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Already  ingested TEXT"),   # normalized dup of corpus
+            (11, "brand new document"),
+            (12, "brand new document"),       # batch-internal dup
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in incremental_dedup(batch, corpus).collect())
+    assert kept == [11, 13]
