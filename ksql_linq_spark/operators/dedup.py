@@ -408,6 +408,7 @@ def semantic_dedup_blocked(
     threshold: float = 0.95,
     dim: int | None = None,
     loop_partitions: int | None = 8,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: vectors whose cosine
     exceeds ``threshold`` within a block are near-duplicates; each
@@ -428,31 +429,41 @@ def semantic_dedup_blocked(
     from .graph import connected_components
     from .similarity import _unit_vec
 
-    # normalize once per VECTOR pre-join; the per-pair cosine is then a
-    # zip_with/aggregate fold of unit vectors — the huge unrolled chain
-    # blows the JIT method limit at pair cardinality (see
-    # similarity.knn_graph_blocked docstring for the measurements)
-    a = df.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_a"),
-        _unit_vec(vec_col, dim).alias("_vn"),
-    )
-    b = df.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_b"),
-        _unit_vec(vec_col, dim).alias("_wn"),
-    )
-    cos = F.aggregate(
-        F.zip_with("_vn", "_wn", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.join(b, "_blk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(cos >= threshold)
-        .select("id_a", "id_b")
-    )
+    if kernel not in ("arrow", "expr"):
+        raise ValueError(f"kernel must be arrow|expr, got {kernel!r}")
+    if kernel == "arrow":
+        # groupBy(block).applyInPandas: shuffle moves VECTORS, not pair
+        # rows; the block cosine matrix accumulates dimension-at-a-time
+        # — the same IEEE fold as the expression path and the oracle
+        # (see similarity.knn_graph_blocked for the kernel regime
+        # measurements)
+        pairs = _block_pairs_arrow(df, block_col, vec_col, id_col, threshold)
+    else:
+        # pure-JVM path: normalize once per VECTOR pre-join; per-pair
+        # cosine is a zip_with/aggregate fold of unit vectors — the
+        # huge unrolled chain blows the JIT method limit at pair
+        # cardinality
+        a = df.select(
+            F.col(block_col).alias("_blk"),
+            F.col(id_col).alias("id_a"),
+            _unit_vec(vec_col, dim).alias("_vn"),
+        )
+        b = df.select(
+            F.col(block_col).alias("_blk"),
+            F.col(id_col).alias("id_b"),
+            _unit_vec(vec_col, dim).alias("_wn"),
+        )
+        cos = F.aggregate(
+            F.zip_with("_vn", "_wn", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        pairs = (
+            a.join(b, "_blk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(cos >= threshold)
+            .select("id_a", "id_b")
+        )
     comps = connected_components(pairs, loop_partitions=loop_partitions)
     out = df.select(F.col(id_col)).join(
         comps, F.col(id_col) == F.col("node"), "left"
@@ -498,3 +509,48 @@ def incremental_dedup(
     ).select(batch["*"])
     seen = corpus_df.select(fingerprint(text_col).alias("fp")).distinct()
     return batch_kept.join(seen, "fp", "left_anti")
+
+
+def _block_pairs_arrow(
+    df: DataFrame, block_col: str, vec_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """Per-block (id_a < id_b, cos >= threshold) pair kernel for
+    :func:`semantic_dedup_blocked` — deterministic dimension-at-a-time
+    accumulation over unit vectors, vectorized across the block."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", df.schema[id_col].dataType),
+            T.StructField("id_b", df.schema[id_col].dataType),
+        ]
+    )
+
+    def blk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                {"id_a": "int64", "id_b": "int64"}
+            )
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        ndim = mat.shape[1]
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(ndim):  # same fold order as expression/oracle
+            acc += mat[:, i] * mat[:, i]
+        un = mat / np.sqrt(acc)[:, None]
+        dots = np.zeros((n, n), dtype=np.float64)
+        for i in range(ndim):
+            col = un[:, i]
+            dots += col[:, None] * col[None, :]
+        ai, bi = np.nonzero((dots >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi]})
+
+    return (
+        df.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(blk, out_schema)
+    )

@@ -475,6 +475,7 @@ def knn_graph_blocked(
     id_col: str = "vec_id",
     k: int = 5,
     dim: int | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """k-nearest-neighbor GRAPH (every node's top-k by cosine) computed
     WITHIN blocks — the corpus-scale kNN recipe: an all-pairs kNN over
@@ -488,19 +489,29 @@ def knn_graph_blocked(
     row_number window (same key, exchange reused).  Ties break by
     neighbor id.
 
-    PAIR-EXPRESSION REGIME (measured at sf0.1, 400k pairs): each vector
-    is NORMALIZED ONCE in its pre-join projection (cast + divide by the
-    unrolled-chain norm, 2k rows), and the per-pair cosine is then a
-    plain zip_with/aggregate fold of the two unit vectors.  The
-    64-element unrolled cast chain that wins in JOIN-CONDITION context
-    (see similarity.dot) LOSES here: at ~320 expression nodes the
-    generated method exceeds the JIT's bytecode limit and every pair
-    falls back to interpreted node-at-a-time eval (+14 s), while the
-    HOF fold on pre-normalized doubles adds ~0 over an empty
-    projection.  Fold order (left-assoc, 0.0 seed) matches DuckDB's
-    list_reduce, so results stay bit-exact cross-engine.
+    KERNEL CHOICE (measured at sf0.1, 2k vectors / 400k in-block
+    pairs):
+    - ``"arrow"`` (default): groupBy(block).applyInPandas — the shuffle
+      moves only the VECTORS (2k rows), never pair rows, and the
+      block's cosine matrix accumulates dimension-at-a-time
+      (``dots += un[:,i] ⊗ un[:,i]``) — the identical left-assoc
+      IEEE fold as the expression path and the DuckDB oracle,
+      vectorized ACROSS pairs.  ~1 s end-to-end.
+    - ``"expr"``: block-keyed self-join + zip_with/aggregate fold over
+      pre-normalized unit vectors + per-node window — pure JVM, ~6.7 s
+      (the interpreted fold costs ~240 ns/element at pair cardinality;
+      the 64-wide unrolled cast chain is WORSE here, +14 s, because its
+      ~320-node method exceeds the JIT bytecode limit — the opposite
+      regime from join-condition context, see similarity.dot).
+    Both produce bit-identical output; keep "expr" when a cluster
+    must stay Python-free.
     """
     from pyspark.sql import Window
+
+    if kernel not in ("arrow", "expr"):
+        raise ValueError(f"kernel must be arrow|expr, got {kernel!r}")
+    if kernel == "arrow":
+        return _knn_graph_arrow(df, block_col, vec_col, id_col, k)
 
     vn = _unit_vec(vec_col, dim)
     a = df.select(
@@ -532,3 +543,70 @@ def _unit_vec(vec_col: str, dim: int | None) -> Column:
     — evaluated once per ROW, so chain size is irrelevant here)."""
     n = norm(F.col(vec_col), dim, cast_elements=True)
     return F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+
+
+def _knn_graph_arrow(
+    df: DataFrame, block_col: str, vec_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Per-block kNN kernel (see knn_graph_blocked).  Deterministic:
+    normalization is element/sqrt(left-assoc sum of squares) and the
+    pair dots accumulate dimension-at-a-time, the same IEEE op sequence
+    as the expression path and the DuckDB oracle; ranking sorts by
+    (-cos, neighbor_id) via lexsort — ties identical to SQL
+    ``ORDER BY cos DESC, neighbor_id``."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("neighbor_id", df.schema[id_col].dataType),
+            T.StructField("cos", T.DoubleType()),
+            T.StructField("rnk", T.IntegerType()),
+        ]
+    )
+
+    def blk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {id_col: [], "neighbor_id": [], "cos": [], "rnk": []}
+            ).astype({id_col: "int64", "neighbor_id": "int64",
+                      "cos": "float64", "rnk": "int32"})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        ndim = mat.shape[1]
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(ndim):  # same fold order as expression/oracle
+            acc += mat[:, i] * mat[:, i]
+        un = mat / np.sqrt(acc)[:, None]
+        dots = np.zeros((n, n), dtype=np.float64)
+        for i in range(ndim):
+            col = un[:, i]
+            dots += col[:, None] * col[None, :]
+        kk = min(k, n - 1)
+        out_id, out_nb, out_cos, out_rnk = [], [], [], []
+        self_idx = np.arange(n)
+        for r in range(n):
+            row = dots[r]
+            # order by (cos DESC, neighbor_id ASC), excluding self by
+            # POSITION (not value — self-cos is float, not exactly 1.0)
+            order = np.lexsort((ids, -row))
+            order = order[order != self_idx[r]][:kk]
+            out_id.extend([ids[r]] * len(order))
+            out_nb.extend(ids[order])
+            out_cos.extend(row[order])
+            out_rnk.extend(range(1, len(order) + 1))
+        return pd.DataFrame(
+            {id_col: out_id, "neighbor_id": out_nb,
+             "cos": np.asarray(out_cos, dtype=np.float64),
+             "rnk": np.asarray(out_rnk, dtype=np.int32)}
+        )
+
+    return (
+        df.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(blk, out_schema)
+    )

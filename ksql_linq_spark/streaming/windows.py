@@ -175,9 +175,13 @@ def keyed_table_sink(
             )
         else:
             batch = batch_df.dropDuplicates(keys)
-        if tombstones and value_cols:
+        # the ordering column is transport metadata (a sequence/event
+        # time), not part of the VALUE — a delete marker carries it
+        # non-null, so it must not defeat the all-null tombstone test
+        tomb_cols = [c for c in value_cols if c != order_col]
+        if tombstones and tomb_cols:
             is_tomb = F.lit(True)
-            for c in value_cols:
+            for c in tomb_cols:
                 is_tomb = is_tomb & F.col(c).isNull()
             upserts = batch.filter(~is_tomb)
         else:

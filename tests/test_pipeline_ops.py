@@ -915,3 +915,29 @@ def test_incremental_dedup_drops_corpus_and_batch_dups(spark):
     )
     kept = sorted(r["doc_id"] for r in incremental_dedup(batch, corpus).collect())
     assert kept == [11, 13]
+
+
+def test_knn_graph_kernels_bit_identical(spark, sf_dir):
+    from ksql_linq_spark.operators.similarity import knn_graph_blocked
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ar = {(r["vec_id"], r["rnk"]): (r["neighbor_id"], r["cos"])
+          for r in knn_graph_blocked(emb, "label", k=3, dim=64,
+                                     kernel="arrow").collect()}
+    ex = {(r["vec_id"], r["rnk"]): (r["neighbor_id"], r["cos"])
+          for r in knn_graph_blocked(emb, "label", k=3, dim=64,
+                                     kernel="expr").collect()}
+    assert ar == ex  # same neighbors, same rank, bit-identical cos
+
+
+def test_semantic_dedup_kernels_agree(spark, sf_dir):
+    from ksql_linq_spark.operators.dedup import semantic_dedup_blocked
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ar = {r["vec_id"]: (r["cluster_id"], r["keep"])
+          for r in semantic_dedup_blocked(emb, "label", threshold=0.4,
+                                          dim=64, kernel="arrow").collect()}
+    ex = {r["vec_id"]: (r["cluster_id"], r["keep"])
+          for r in semantic_dedup_blocked(emb, "label", threshold=0.4,
+                                          dim=64, kernel="expr").collect()}
+    assert ar == ex

@@ -848,3 +848,128 @@ def test_stream_changelog_join_state_survives_restart(spark):
     finally:
         for d in (lsrc, rsrc, ckpt, out_dir):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_changelog_join_string_values_native_type(spark):
+    """The changelog value keeps its NATIVE type end-to-end: a STRING
+    changelog must enrich with strings (round 2 hardwired a double cast,
+    which would null every value into a spurious tombstone)."""
+    from pyspark.sql import types as T
+
+    from ksql_linq_spark.streaming.changelog_join import stream_changelog_join
+
+    lsrc = tempfile.mkdtemp(prefix="cljs_l_")
+    rsrc = tempfile.mkdtemp(prefix="cljs_r_")
+    lschema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("probe_id", T.LongType()),
+        ]
+    )
+    rschema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    try:
+        spark.createDataFrame([("A", t(1), "open")], rschema).coalesce(
+            1
+        ).write.mode("append").parquet(rsrc)
+        spark.createDataFrame([("A", t(2), 1)], lschema).coalesce(
+            1
+        ).write.mode("append").parquet(lsrc)
+        ls = spark.readStream.schema(lschema).parquet(lsrc)
+        rs = spark.readStream.schema(rschema).parquet(rsrc)
+        joined = stream_changelog_join(
+            ls, rs, key="k", left_ts="ts", value_col="status"
+        )
+        assert joined.schema["latest_status"].dataType == T.StringType()
+        q = start_memory_sink(joined, "t_cljs", "append")
+        q.processAllAvailable()
+        # tombstone then probe: NULL means deleted, not a cast artifact
+        spark.createDataFrame([("A", t(3), None)], rschema).coalesce(
+            1
+        ).write.mode("append").parquet(rsrc)
+        q.processAllAvailable()
+        spark.createDataFrame([("A", t(4), 2)], lschema).coalesce(
+            1
+        ).write.mode("append").parquet(lsrc)
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r["probe_id"]: r["latest_status"]
+            for r in spark.sql("SELECT * FROM t_cljs").collect()
+        }
+        assert got[1] == "open"
+        assert got[2] is None
+    finally:
+        for d in (lsrc, rsrc):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_changelog_join_rejects_nested_value(spark):
+    from pyspark.sql import types as T
+
+    from ksql_linq_spark.streaming.changelog_join import stream_changelog_join
+
+    l = spark.createDataFrame([], "k string, ts timestamp, probe_id long")
+    r = spark.createDataFrame(
+        [], "k string, ts timestamp, payload struct<a:int>"
+    )
+    with pytest.raises(TypeError, match="nested"):
+        stream_changelog_join(l, r, key="k", left_ts="ts", value_col="payload")
+
+
+def test_keyed_table_sink_same_batch_upsert_and_tombstone_deterministic(spark):
+    """A single micro-batch carrying BOTH an upsert and a tombstone for
+    one key must resolve deterministically.  With order_col the newest
+    row wins; here the tombstone is newest → key deleted, while the
+    value-order fallback (no order_col) keeps the upsert.  Round 2's
+    bare dropDuplicates picked an arbitrary row."""
+    from pyspark.sql import types as T
+
+    from ksql_linq_spark.streaming.windows import keyed_table_sink
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    for use_order, expect in ((True, {}), (False, {"A": 1.0})):
+        src = tempfile.mkdtemp(prefix="tomb2_src_")
+        out_dir = tempfile.mkdtemp(prefix="tomb2_tbl_")
+        ckpt = tempfile.mkdtemp(prefix="tomb2_ckpt_")
+        try:
+            # one file -> one batch: upsert (seq 1) AND tombstone (seq 2)
+            spark.createDataFrame(
+                [("A", 1, 1.0), ("A", 2, None)], schema
+            ).coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+            # drop seq from the value columns on the fallback leg so the
+            # tombstone row is truly all-NULL there
+            s = stream if use_order else stream.select(
+                "k", F.col("v")
+            )
+            q = keyed_table_sink(
+                s,
+                f"{out_dir}/t",
+                ["k"],
+                ckpt,
+                order_col="seq" if use_order else None,
+            )
+            q.processAllAvailable()
+            q.stop()
+            got = {
+                r["k"]: r["v"]
+                for r in spark.read.parquet(f"{out_dir}/t").collect()
+            }
+            assert got == expect, (use_order, got)
+        finally:
+            for d in (src, out_dir, ckpt):
+                shutil.rmtree(d, ignore_errors=True)
