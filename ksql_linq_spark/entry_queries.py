@@ -4971,3 +4971,465 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.where(F.col("source") == "src0")
     batch = d.where(F.col("source") != "src0")
     return incremental_dedup(batch, corpus).select("doc_id", "source", "fp")
+
+
+# ======================================================================
+# TPC-H Q2-shape: minimum-cost supplier (correlated per-group scalar
+# min + equality join back, region-gated dims).  The testdata has no
+# partsupp table, so the part↔supplier bridge derives from lineitem:
+# a supplier's "supply cost" for a part is its minimum observed unit
+# price (l_extendedprice / l_quantity).  Same plan skeleton as Q2:
+# derived bridge used twice, broadcast snowflake dims, top-k output.
+# ======================================================================
+
+
+@q(
+    "join_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 6) AS supply_cost
+      FROM lineitem GROUP BY 1, 2),
+    eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    cand AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+             supply_cost,
+             min(supply_cost) OVER (PARTITION BY p_partkey) AS min_cost
+      FROM ps
+      JOIN eur ON ps.l_suppkey = eur.s_suppkey
+      JOIN part ON ps.l_partkey = p_partkey
+      WHERE p_size = 15)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+    FROM cand WHERE supply_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: 'which supplier quotes the lowest cost for each
+    qualifying part in a region'.  The correlated scalar subquery is
+    decorrelated into a per-part min window over the already-joined
+    candidate set — one pass, no second join against the bridge.  At
+    100 TB the bridge aggregate is the only wide shuffle (partkey+
+    suppkey); part (filtered) and the region-gated supplier dim both
+    broadcast, and the window partitions by partkey over the same
+    exchange the join produced.  Unit cost is a single IEEE division
+    rounded to 6 dp on both engines, so the min-equality tie test is
+    deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
+        ).alias("supply_cost")
+    )
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur = (
+        su.join(
+            F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pa = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
+    from pyspark.sql import Window
+
+    cand = (
+        ps.join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn(
+            "min_cost",
+            F.min("supply_cost").over(Window.partitionBy("p_partkey")),
+        )
+    )
+    return (
+        cand.where(F.col("supply_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "supply_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+# ======================================================================
+# TPC-H Q9-shape: product-line profit by nation and year.  Without
+# partsupp's ps_supplycost, the per-unit cost proxy is half the part's
+# retail price; profit = revenue − cost, exact-DECIMAL aggregated.
+# ======================================================================
+
+
+@q(
+    "join_product_profit",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.5
+                    AS DECIMAL(22,6))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def join_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit attribution across the whole star —
+    lineitem joined to part (name-pattern gate), supplier→nation, and
+    orders (year).  Catalyst pushes the LIKE into the part scan and
+    broadcasts the surviving ~13% of parts, supplier, and nation; the
+    one non-broadcast join is lineitem⋈orders on orderkey, followed by
+    the (nation, year) rollup — two shuffles total at any scale.  The
+    per-row profit expression is identical text in both engines
+    (left-assoc IEEE double ops), then cast DECIMAL(22,6) so the SUM
+    is order-independent and bit-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _dec2dbl(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.5,
+        22,
+        6,
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+# ======================================================================
+# TPC-H Q11-shape: important stock — per-part value restricted to one
+# nation's suppliers, kept only where it exceeds a global-fraction
+# threshold (scalar subquery).  Value proxy: net revenue supplied.
+# ======================================================================
+
+
+@q(
+    "agg_important_stock",
+    oracle="""
+    WITH natline AS (
+      SELECT l_partkey,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+               AS v
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'),
+    pv AS (SELECT l_partkey, sum(v) AS val FROM natline GROUP BY 1),
+    tot AS (SELECT sum(val) AS total FROM pv)
+    SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE CAST(val AS DOUBLE) > CAST(total AS DOUBLE) * 0.002
+    """,
+)
+def agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: the HAVING-against-a-global-aggregate pattern.
+    The nation gate broadcasts (supplier⋈nation is a dim-side
+    reduction), the partkey rollup is the one wide shuffle, and the
+    global total is a 1-row aggregate cross-broadcast back into the
+    filter — never collected to the driver.  Both the per-part value
+    and the grand total aggregate in DECIMAL and compare as doubles of
+    exact sums, so the threshold cut is deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    nat_sup = su.join(
+        F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    v = _dec2dbl(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 22, 6
+    )
+    pv = (
+        li.join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(v).alias("val"))
+    )
+    tot = pv.agg(F.sum("val").alias("total"))
+    return (
+        pv.join(F.broadcast(tot))
+        .where(
+            F.col("val").cast("double")
+            > F.col("total").cast("double") * 0.002
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+    )
+
+
+# ======================================================================
+# TPC-H Q16-shape: supplier variety per part descriptor — COUNT
+# DISTINCT suppliers over a lineitem-derived bridge, with a NOT-IN
+# supplier exclusion (negative balance ≙ 'complaints' comment filter).
+# ======================================================================
+
+
+@q(
+    "agg_supplier_part_variety",
+    oracle="""
+    WITH bridge AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM bridge
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_type <> 'ECONOMY'
+      AND p_size IN (1, 5, 11, 15, 23, 28, 37, 42)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def agg_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can serve each
+    (brand, type, size) bucket, excluding a blacklist.  The NOT IN is
+    a broadcast LEFT ANTI join (safe here: s_suppkey is non-null by
+    construction, so NOT IN ≡ anti-join), the part descriptor gate
+    broadcasts, and the distinct-supplier count runs on the deduped
+    (partkey, suppkey) bridge — the dedup and the count share one
+    exchange.  No row explosion anywhere: the bridge is strictly
+    smaller than lineitem."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bridge = li.distinct()
+    pa = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#2")
+            & (F.col("p_type") != "ECONOMY")
+            & F.col("p_size").isin(1, 5, 11, 15, 23, 28, 37, 42)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        bridge.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ======================================================================
+# TPC-H Q20-shape: excess-inventory suppliers — nested semi-joins:
+# suppliers (in one nation) holding more of some qualifying part than
+# half of that part's one-year global demand.  'Inventory' proxy: the
+# supplier's all-time shipped quantity of the part.
+# ======================================================================
+
+
+@q(
+    "join_excess_inventory",
+    oracle="""
+    WITH avail AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS avail_qty
+      FROM lineitem GROUP BY 1, 2),
+    demand AS (
+      SELECT l_partkey, sum(l_quantity) AS year_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1),
+    qual AS (
+      SELECT DISTINCT a.l_suppkey
+      FROM avail a
+      JOIN demand d ON a.l_partkey = d.l_partkey
+      JOIN part ON a.l_partkey = p_partkey
+      WHERE p_name LIKE 'small%'
+        AND a.avail_qty > 0.5 * d.year_qty)
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN qual ON s_suppkey = qual.l_suppkey
+    WHERE n_name = 'NATION_3'
+    """,
+)
+def join_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the doubly-nested IN — suppliers selling parts
+    whose on-hand stock exceeds half a year's demand.  Both aggregates
+    partition on partkey so avail⋈demand is a co-partitioned join
+    (AQE coalesces the shared exchange); the part name gate broadcasts
+    into it, and the surviving supplier ids collapse through DISTINCT
+    before the final broadcast semi-join against the nation-gated
+    supplier dim.  Quantities are integral-valued doubles summed in
+    both engines identically; the 0.5× threshold is exact in binary,
+    so the cut is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    avail = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("avail_qty")
+    )
+    demand = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_partkey").alias("d_partkey"))
+        .agg(F.sum("l_quantity").alias("year_qty"))
+    )
+    pa = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qual = (
+        avail.join(demand, F.col("l_partkey") == F.col("d_partkey"))
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("avail_qty") > 0.5 * F.col("year_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    su = _t(spark, sf_dir, "supplier")
+    na = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_3")
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        su.join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
+# ======================================================================
+# Per-source corpus curation report (volume, token mass, exact-dup
+# rate, dominant language) — the mixture-weight decision table
+# ======================================================================
+
+
+@q(
+    "corpus_source_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, lang, n_chars,
+             len({_DK_TOKS.format(src="text")}) AS toks,
+             md5({_DK_NORM}) AS fp
+      FROM documents),
+    ps AS (
+      SELECT source, count(*) AS n_docs, sum(toks) AS total_tokens,
+             round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+             count(DISTINCT fp) AS n_unique,
+             count(DISTINCT lang) AS n_langs
+      FROM base GROUP BY 1),
+    lc AS (SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2),
+    tl AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang) AS rn
+        FROM lc) x WHERE rn = 1)
+    SELECT ps.source, n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens, avg_chars,
+           round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS dup_ratio,
+           n_langs, top_lang
+    FROM ps JOIN tl ON ps.source = tl.source
+    """,
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard (operators/quality.corpus_report):
+    volume, token mass, exact-duplicate rate, dominant language — the
+    table that drives dataset_source_mixture's weights.  Two grouped
+    aggregates + a window over the (source × lang) summary; bounded
+    output, ratios rounded 6 dp."""
+    from .operators.quality import corpus_report
+
+    d = _t(spark, sf_dir, "documents")
+    out = corpus_report(d)
+    return out.withColumn(
+        "total_tokens", F.col("total_tokens").cast("bigint")
+    )
+
+
+# ======================================================================
+# Noisy-label audit: per-label bottom-k vectors by own-centroid cosine
+# ======================================================================
+
+
+@q(
+    "embedding_centroid_outliers",
+    oracle="""
+    WITH ex AS (
+      SELECT label, embedding,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings),
+    fp AS (
+      SELECT label, i - 1 AS dim,
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS efp
+      FROM ex),
+    cent AS (
+      SELECT label, dim,
+             CAST(SUM(efp) AS DOUBLE) / (count(*) * 1000000.0) AS c
+      FROM fp GROUP BY 1, 2),
+    carr AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cent GROUP BY 1),
+    v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    cosd AS (
+      SELECT vec_id, v.label,
+        round(
+          list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+              i -> e[i] * cvec[i])), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                i -> e[i] * e[i])), (x, y) -> x + y))
+           * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                i -> cvec[i] * cvec[i])), (x, y) -> x + y))), 6)
+          AS centroid_cos
+      FROM v JOIN carr ON v.label = carr.label)
+    SELECT vec_id, label, centroid_cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY centroid_cos, vec_id) AS rn
+      FROM cosd) x
+    WHERE rn <= 5
+    """,
+)
+def embedding_centroid_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-label screen (operators/similarity.centroid_outliers):
+    exact fixed-point centroids → broadcast label→centroid array →
+    unrolled cosine over the fact scan → per-label bottom-5 via
+    WindowGroupLimit.  One wide shuffle; 6-dp-rounded cosines with id
+    tiebreak keep the cut deterministic."""
+    from .operators.similarity import centroid_outliers
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_outliers(e, dim=64, bottom_k=5)

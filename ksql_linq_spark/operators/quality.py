@@ -124,3 +124,71 @@ def violation_summary(
             (F.col("n_violations") / F.col("_n")).alias("violation_rate"),
         )
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source curation dashboard: the one table a crawl operator
+    reads before deciding mixture weights — volume, token mass, exact
+    duplicate rate, and the dominant language per source.
+
+    Scale shape: token counts and fingerprints are computed in one
+    narrow projection; everything then reduces through TWO grouped
+    aggregates keyed on (source) and (source, lang) — both partial-
+    aggregated map-side.  The dominant-language pick is a row_number
+    window over the (source × lang) summary, which is bounded by
+    #sources · #languages, not by corpus size.  Ratios divide exact
+    integer counts once and round to 6 dp (engine-deterministic).
+    """
+    from pyspark.sql import Window
+
+    from .text import fingerprint, token_count
+
+    base = df.select(
+        F.col(group_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.col(chars_col).alias("n_chars"),
+        token_count(F.col(text_col)).alias("toks"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_chars"),
+        F.count_distinct("fp").alias("n_unique"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("lang_docs")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("lang_docs").desc(), F.col("lang")
+    )
+    top_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        per_source.join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "avg_chars",
+            F.round(
+                1.0
+                - F.col("n_unique").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("dup_ratio"),
+            "n_langs",
+            "top_lang",
+        )
+    )

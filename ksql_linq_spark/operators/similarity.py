@@ -610,3 +610,106 @@ def _knn_graph_arrow(
         .groupBy(block_col)
         .applyInPandas(blk, out_schema)
     )
+
+
+def norm_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    k: float = 3.0,
+) -> DataFrame:
+    """Embedding hygiene: flag vectors whose L2 norm is a robust
+    outlier (outside median ± k·IQR) — the standard pre-index screen
+    for truncated, zeroed, or blown-up vectors before they poison an
+    ANN index or a cosine-dedup pass.
+
+    Scale shape: one narrow projection computes every norm (unrolled
+    exact fold, whole-stage codegen), one exact-percentile aggregate
+    reduces to a single broadcast row, and the outlier filter is a
+    second narrow pass.  No wide shuffle at any size; the percentile
+    aggregate is the only all-reduce and returns 3 doubles.  Norms and
+    thresholds round to 6 dp so the cut is engine-deterministic.
+    """
+    n = df.select(
+        F.col(id_col),
+        F.round(norm(F.col(vec_col), dim, cast_elements=True), 6).alias(
+            "l2_norm"
+        ),
+    )
+    q = n.agg(
+        F.percentile("l2_norm", F.lit(0.25)).alias("q1"),
+        F.percentile("l2_norm", F.lit(0.5)).alias("med"),
+        F.percentile("l2_norm", F.lit(0.75)).alias("q3"),
+    ).select(
+        F.round(F.col("med") - k * (F.col("q3") - F.col("q1")), 6).alias(
+            "lo"
+        ),
+        F.round(F.col("med") + k * (F.col("q3") - F.col("q1")), 6).alias(
+            "hi"
+        ),
+    )
+    return (
+        n.join(F.broadcast(q))
+        .where((F.col("l2_norm") < F.col("lo")) | (F.col("l2_norm") > F.col("hi")))
+        .select(
+            id_col,
+            "l2_norm",
+            F.when(F.col("l2_norm") < F.col("lo"), F.lit("low"))
+            .otherwise(F.lit("high"))
+            .alias("kind"),
+        )
+    )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    dim: int = 64,
+    bottom_k: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Mislabeled-vector screen: for each label, the ``bottom_k``
+    vectors LEAST similar (cosine) to their own label centroid —
+    the standard noisy-label / junk-embedding audit before using a
+    labeled corpus for training or as ANN ground truth.
+
+    Scale shape: centroids come from embedding_centroids' exact
+    fixed-point sums (order-free), pivot back to one array row per
+    label (output cardinality = #labels — tiny, broadcast), the
+    cosine is an unrolled whole-stage-codegen expression over the
+    fact scan, and the per-label bottom-k is a WindowGroupLimit
+    (rank pushes the k-filter before the exchange).  One wide
+    shuffle total (the (label, dim) rollup); cosines round to 6 dp,
+    ties break on id — engine-deterministic output."""
+    from pyspark.sql import Window
+
+    cent = embedding_centroids(df, vec_col, label_col, scale)
+    carr = (
+        cent.groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "centroid"))
+                ),
+                lambda s: s["centroid"],
+            ).alias("cvec")
+        )
+    )
+    j = df.join(F.broadcast(carr), label_col)
+    cos = F.round(
+        cosine(F.col(vec_col), F.col("cvec"), dim, cast_elements=True), 6
+    )
+    w = Window.partitionBy(label_col).orderBy("centroid_cos", id_col)
+    return (
+        j.select(
+            F.col(id_col),
+            F.col(label_col),
+            cos.alias("centroid_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= bottom_k)
+        .drop("rn")
+    )

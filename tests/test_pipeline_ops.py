@@ -941,3 +941,52 @@ def test_semantic_dedup_kernels_agree(spark, sf_dir):
           for r in semantic_dedup_blocked(emb, "label", threshold=0.4,
                                           dim=64, kernel="expr").collect()}
     assert ar == ex
+
+
+def test_norm_outliers_flags_synthetic_extremes(spark):
+    from ksql_linq_spark.operators.similarity import norm_outliers
+
+    # 20 unit-ish vectors + one zeroed (broken) + one blown-up vector.
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]
+    rows.append((100, [0.0, 0.0, 0.0, 0.0]))   # norm 0  -> low
+    rows.append((101, [50.0, 0.0, 0.0, 0.0]))  # norm 50 -> high
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.kind for r in
+           norm_outliers(df, dim=4, k=3.0).collect()}
+    assert out == {100: "low", 101: "high"}
+
+
+def test_centroid_outliers_finds_planted_mislabels(spark):
+    from ksql_linq_spark.operators.similarity import centroid_outliers
+
+    # label 0 clusters at +x, label 1 at +y; vec 99 is a label-0 row
+    # pointing at +y (mislabeled) -> must be label 0's worst outlier.
+    rows = [(i, 0, [1.0, 0.05 * (i % 3), 0.0, 0.0]) for i in range(10)]
+    rows += [(10 + i, 1, [0.0, 1.0, 0.05 * (i % 3), 0.0]) for i in range(10)]
+    rows.append((99, 0, [0.0, 1.0, 0.0, 0.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = centroid_outliers(df, dim=4, bottom_k=1).collect()
+    worst = {r.label: r.vec_id for r in out}
+    assert worst[0] == 99
+
+
+def test_corpus_report_counts_and_dup_ratio(spark):
+    from ksql_linq_spark.operators.quality import corpus_report
+
+    rows = [
+        (1, "a b c", "en", "s1", 5),
+        (2, "a b c", "en", "s1", 5),   # exact dup of 1
+        (3, "x y", "fr", "s1", 3),
+        (4, "hello world", "en", "s2", 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in corpus_report(df).collect()}
+    s1 = out["s1"]
+    assert s1.n_docs == 3 and s1.total_tokens == 8
+    assert abs(s1.dup_ratio - (1.0 - 2.0 / 3.0)) < 1e-6
+    assert s1.top_lang == "en" and s1.n_langs == 2
+    assert out["s2"].dup_ratio == 0.0
