@@ -5433,3 +5433,75 @@ def embedding_centroid_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
     e = _t(spark, sf_dir, "embeddings")
     return centroid_outliers(e, dim=64, bottom_k=5)
+
+
+# ======================================================================
+# Deterministic epoch shuffle: scalable global ORDER BY a seeded hash
+# ======================================================================
+
+
+@q(
+    "dataset_epoch_shuffle",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS epoch_pos
+    FROM documents
+    """,
+)
+def dataset_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order epoch shuffle (operators/dataset.epoch_shuffle):
+    global rank of md5(seed‖doc_id) with NO single-partition sort —
+    range-partition on the hash, per-range counts → broadcast running
+    offsets, partitioned row_number.  The oracle's corpus-global
+    row_number window is exactly what this operator refuses to do;
+    outputs are bit-identical because (md5, doc_id) is a total order."""
+    from .operators.dataset import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(d, seed=0).select("doc_id", "epoch_pos")
+
+
+# ======================================================================
+# Ordered funnel conversion over the event stream
+# ======================================================================
+
+
+@q(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(ts) AS t2 FROM events e
+      JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(ts) AS t3 FROM events e
+      JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+    c AS (
+      SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3)
+    SELECT 1 AS step_no, 'view' AS step, n1 AS n_users,
+           round(CAST(n1 AS DOUBLE) / n1, 6) AS conversion FROM c
+    UNION ALL
+    SELECT 2, 'click', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM c
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase (operators/funnel.
+    funnel_report): greedy earliest-valid step times via one
+    conditional aggregate per step over the same user-keyed exchange
+    (AQE plans the step joins shuffle-free), then a single-row count
+    aggregate fanned out to the step axis.  No collect, no per-user
+    sort, state = one row per user per step."""
+    from .operators.funnel import funnel_report
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_report(ev, ["view", "click", "purchase"])

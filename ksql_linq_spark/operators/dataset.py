@@ -364,3 +364,72 @@ def token_budget_sample(
         (F.col("cum_tokens") <= budget)
         | (F.col("cum_tokens") - F.col("__tok") == 0)
     ).drop("__tok")
+
+
+def global_order_index(
+    df: DataFrame,
+    order_cols: list,
+    idx_col: str = "idx",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Assign a contiguous 0-based global index in the total order of
+    ``order_cols`` WITHOUT a corpus-global single-partition sort — the
+    scalable form of `row_number() OVER (ORDER BY ...)`.
+
+    This is the epoch-shuffle primitive for training pipelines: order
+    by a seeded hash and the index becomes a deterministic global
+    shuffle position (see epoch_shuffle).
+
+    How it scales: `repartitionByRange` samples the order keys and
+    range-partitions the corpus (partition i holds keys < partition
+    i+1's), so the global index decomposes into (rows in earlier
+    ranges) + (rank within my range).  Per-range counts reduce to one
+    row per partition — a broadcast-sized summary whose running sum
+    gives each range its base offset — and the within-range rank is an
+    ordinary partitioned window.  Two data shuffles (range + the
+    window's hash exchange), each corpus-linear; no stage ever sees
+    more than one range's rows.  ``order_cols`` must be a total order
+    (append a unique id as the last column) or ranks within ties are
+    partition-dependent.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    r = df.repartitionByRange(n, *order_cols).withColumn(
+        "_range_id", F.spark_partition_id()
+    )
+    counts = r.groupBy("_range_id").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_range_id",
+        (
+            F.sum("_n").over(
+                Window.orderBy("_range_id").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("_base"),
+    ).fillna({"_base": 0})
+    w = Window.partitionBy("_range_id").orderBy(*order_cols)
+    return (
+        r.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_range_id")
+        .withColumn(idx_col, (F.col("_base") + F.col("_rk") - 1).cast("bigint"))
+        .drop("_range_id", "_rk", "_base", "_n")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    idx_col: str = "epoch_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle for one epoch:
+    position = global rank of md5(seed ‖ id).  Different seeds give
+    independent permutations; the same seed gives the same order on
+    any cluster size or partitioning (md5 is engine-portable, the
+    (hash, id) pair is a total order).  Cost = global_order_index's
+    two linear shuffles — no single-task sort at any corpus size."""
+    h = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
+    out = global_order_index(
+        df.withColumn("_h", h), ["_h", id_col], idx_col=idx_col
+    )
+    return out.drop("_h")

@@ -1,0 +1,92 @@
+"""Ordered-funnel analytics over an event stream.
+
+Step-k conversion ("view → click → purchase, in that order") is a
+sequence predicate, not a plain aggregate.  The classic formulations
+are either a per-user collect+sort (Python/driver-ish) or k-1
+self-joins; this module uses neither: one conditional-aggregation pass
+per step over the SAME user-partitioned exchange.
+
+Scale shape: step 1 is `min(ts) FILTER (type = s1)` per user; step i
+is `min(ts) FILTER (type = s_i AND ts > t_{i-1})`, which needs t_{i-1}
+joined back — a user-keyed equi-join of two frames that are both
+already hash-partitioned on user from the previous aggregate, so AQE
+plans every join shuffle-free after the first exchange.  All state is
+one row per user per step; nothing collects, nothing sorts globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user earliest completion time of each ordered funnel step.
+
+    Returns one row per user who completed step 1, with columns
+    ``t1..tk`` (timestamp of the earliest valid occurrence of each
+    step strictly after the previous step's time; NULL once the chain
+    breaks).  'Earliest-valid' is the standard greedy semantics: the
+    first step-1 event, then the first step-2 event after it, etc. —
+    greedy is optimal for existence ("did the user convert") because
+    taking an earlier t_{i} never eliminates a later t_{i+1}.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("etype"),
+    )
+    cur = ev.where(F.col("etype") == steps[0]).groupBy("user").agg(
+        F.min("ts").alias("t1")
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.where(F.col("etype") == step)
+            .join(cur, "user")
+            .where(F.col("ts") > F.col(f"t{i-1}"))
+            .groupBy("user")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, "user", "left")
+    return cur.withColumnRenamed("user", user_col)
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel conversion table: one row per step with the number of
+    users reaching it and the conversion rate vs step 1 (6 dp — exact
+    integer division, engine-deterministic).  The per-step counts are
+    one aggregate over funnel_times' per-user frame; the step axis is
+    built with an explicit values list (no dynamic pivot job)."""
+    ft = funnel_times(events, steps, user_col, ts_col, type_col)
+    counts = ft.agg(
+        *[
+            F.count(F.col(f"t{i}")).alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    rows = None
+    for i, step in enumerate(steps, start=1):
+        r = counts.select(
+            F.lit(i).alias("step_no"),
+            F.lit(step).alias("step"),
+            F.col(f"n{i}").alias("n_users"),
+            F.round(
+                F.col(f"n{i}").cast("double") / F.col("n1"), 6
+            ).alias("conversion"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows

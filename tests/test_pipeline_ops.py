@@ -990,3 +990,57 @@ def test_corpus_report_counts_and_dup_ratio(spark):
     assert abs(s1.dup_ratio - (1.0 - 2.0 / 3.0)) < 1e-6
     assert s1.top_lang == "en" and s1.n_langs == 2
     assert out["s2"].dup_ratio == 0.0
+
+
+def test_global_order_index_matches_single_partition_rank(spark):
+    from ksql_linq_spark.operators.dataset import global_order_index
+
+    df = spark.range(0, 997).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("h")
+    )
+    out = global_order_index(df, ["h", "id"], partitions=7)
+    # contiguous 0..n-1, and idx order == (h, id) order
+    rows = out.orderBy("idx").collect()
+    assert [r.idx for r in rows] == list(range(997))
+    keys = [(r.h, r.id) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_epoch_shuffle_seed_determinism_and_divergence(spark):
+    from ksql_linq_spark.operators.dataset import epoch_shuffle
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a1 = {r.doc_id: r.epoch_pos for r in epoch_shuffle(df, "doc_id", seed=1).collect()}
+    a2 = {r.doc_id: r.epoch_pos for r in epoch_shuffle(df, "doc_id", seed=1).collect()}
+    b = {r.doc_id: r.epoch_pos for r in epoch_shuffle(df, "doc_id", seed=2).collect()}
+    assert a1 == a2                      # same seed -> same permutation
+    assert a1 != b                       # different seed -> different order
+    assert sorted(a1.values()) == list(range(200))  # is a permutation
+
+
+def test_funnel_greedy_order_semantics(spark):
+    from ksql_linq_spark.operators.funnel import funnel_report, funnel_times
+
+    rows = [
+        # user 1 converts fully, in order
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        # user 2: purchase BEFORE click -> stops at click
+        (2, "2024-01-01 09:00:00", "view"),
+        (2, "2024-01-01 09:10:00", "purchase"),
+        (2, "2024-01-01 09:20:00", "click"),
+        # user 3: never viewed -> not in funnel at all
+        (3, "2024-01-01 08:00:00", "click"),
+        (3, "2024-01-01 08:05:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    steps = ["view", "click", "purchase"]
+    ft = {r.user_id: r for r in funnel_times(ev, steps).collect()}
+    assert set(ft) == {1, 2}
+    assert ft[1].t3 is not None
+    assert ft[2].t2 is not None and ft[2].t3 is None
+    rep = {r.step: r.n_users for r in funnel_report(ev, steps).collect()}
+    assert rep == {"view": 2, "click": 2, "purchase": 1}
