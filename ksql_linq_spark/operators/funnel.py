@@ -78,15 +78,25 @@ def funnel_report(
             for i in range(1, len(steps) + 1)
         ]
     )
-    rows = None
-    for i, step in enumerate(steps, start=1):
-        r = counts.select(
+    # One explode over the 1-row counts frame instead of a per-step
+    # union: the counts subplan (and everything under it) is evaluated
+    # once, not len(steps) times.
+    step_structs = [
+        F.struct(
             F.lit(i).alias("step_no"),
             F.lit(step).alias("step"),
             F.col(f"n{i}").alias("n_users"),
-            F.round(
-                F.col(f"n{i}").cast("double") / F.col("n1"), 6
-            ).alias("conversion"),
         )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows
+        for i, step in enumerate(steps, start=1)
+    ]
+    ex = counts.select(
+        F.col("n1"), F.explode(F.array(*step_structs)).alias("s")
+    )
+    return ex.select(
+        F.col("s.step_no").alias("step_no"),
+        F.col("s.step").alias("step"),
+        F.col("s.n_users").alias("n_users"),
+        F.round(
+            F.col("s.n_users").cast("double") / F.col("n1"), 6
+        ).alias("conversion"),
+    )
