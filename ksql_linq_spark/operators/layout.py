@@ -108,3 +108,64 @@ def compact_table(
     os.rename(staged, path)
     shutil.rmtree(old, ignore_errors=True)
     return n_files
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+    tombstones: bool = True,
+    fmt: str = "parquet",
+) -> None:
+    """Batch MERGE INTO for a keyed parquet table: upsert ``updates``
+    by key, deleting keys whose update row is a tombstone (all non-key,
+    non-order columns NULL) — the batch twin of the streaming
+    keyed_table_sink, sharing its deterministic survivor rule
+    (streaming/windows.compact_changelog_batch) so a backfill job and
+    the live stream compact identically.
+
+    Equivalent to:
+      MERGE INTO target USING updates ON <keys>
+        WHEN MATCHED AND <all-null> THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *  WHEN NOT MATCHED THEN INSERT *
+
+    Local implementation is read-merge-rewrite with a staged atomic
+    swap (single-writer; readers never see a half-merged table).  On a
+    cluster this body IS the Delta/Iceberg MERGE above — partition or
+    bucket the table on a key prefix so the merge rewrites only
+    affected files, and the anti-join side stays a broadcast when the
+    update batch is small.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.windows import compact_changelog_batch
+
+    value_cols = [c for c in updates.columns if c not in keys]
+    batch_keys, upserts = compact_changelog_batch(
+        updates, keys, value_cols, order_col, tombstones
+    )
+    if os.path.exists(path):
+        current = spark.read.schema(updates.schema).format(fmt).load(path)
+        merged = current.join(
+            batch_keys, on=keys, how="left_anti"
+        ).unionByName(upserts)
+    else:
+        merged = upserts
+    staged = tempfile.mkdtemp(prefix="merge_upsert_")
+    merged.write.mode("overwrite").format(fmt).save(staged)
+    materialized = spark.read.format(fmt).load(staged)
+    if os.path.exists(path):
+        old = path.rstrip("/") + ".old"
+        materialized.write.mode("overwrite").format(fmt).save(
+            path.rstrip("/") + ".staging"
+        )
+        os.rename(path, old)
+        os.rename(path.rstrip("/") + ".staging", path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        materialized.write.mode("overwrite").format(fmt).save(path)
+    shutil.rmtree(staged, ignore_errors=True)

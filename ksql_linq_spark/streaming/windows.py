@@ -113,6 +113,52 @@ def start_memory_sink(df: DataFrame, name: str, output_mode: str):
     )
 
 
+def compact_changelog_batch(
+    batch_df: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    order_col: str | None = None,
+    tombstones: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Reduce a changelog batch to one DETERMINISTIC survivor per key
+    and split out deletes.  Returns ``(batch_keys, upserts)``:
+    ``batch_keys`` is every key the batch touches (upserts AND
+    tombstones — the anti-join side of a merge), ``upserts`` the
+    surviving non-tombstone rows to re-insert.
+
+    Survivor rule (shared by the streaming keyed sink and the batch
+    merge): with ``order_col`` (event time / sequence) the newest row
+    wins — Kafka-changelog compaction order; without one the tie-break
+    is value-based (upserts beat tombstones since all-NULL sorts last,
+    then greatest value tuple) — stable run to run.  A tombstone is a
+    row whose non-key, non-order columns are ALL NULL
+    (delete-on-null-value, TombstoneSafeSerDes contract).
+    """
+    from pyspark.sql import Window
+
+    if value_cols:
+        order_exprs = (
+            [F.col(order_col).desc_nulls_last()] if order_col else []
+        ) + [F.struct(*[F.col(c) for c in value_cols]).desc_nulls_last()]
+        w = Window.partitionBy(*keys).orderBy(*order_exprs)
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        batch = batch_df.dropDuplicates(keys)
+    tomb_cols = [c for c in value_cols if c != order_col]
+    if tombstones and tomb_cols:
+        is_tomb = F.lit(True)
+        for c in tomb_cols:
+            is_tomb = is_tomb & F.col(c).isNull()
+        upserts = batch.filter(~is_tomb)
+    else:
+        upserts = batch
+    return batch.select(*keys), upserts
+
+
 def keyed_table_sink(
     df: DataFrame,
     path: str,
@@ -147,51 +193,22 @@ def keyed_table_sink(
     import shutil
     import tempfile
 
-    from pyspark.sql import Window
-
     spark = df.sparkSession
     schema = df.schema
     value_cols = [c for c in df.columns if c not in keys]
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        # One row per key per batch, chosen DETERMINISTICALLY: a bare
-        # dropDuplicates keeps an arbitrary row, so a batch carrying
-        # both an upsert and a tombstone for one key would
-        # nondeterministically delete or update it.  With ``order_col``
-        # (an event-time / sequence column) the newest row wins —
-        # Kafka-changelog compaction order.  Without one, the
-        # tie-break is value-based: upserts beat tombstones (all-NULL
-        # sorts last), then the greatest value tuple — stable run to
-        # run on identical batch contents.
-        if value_cols:
-            order_exprs = (
-                [F.col(order_col).desc_nulls_last()] if order_col else []
-            ) + [F.struct(*[F.col(c) for c in value_cols]).desc_nulls_last()]
-            w = Window.partitionBy(*keys).orderBy(*order_exprs)
-            batch = (
-                batch_df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-        else:
-            batch = batch_df.dropDuplicates(keys)
-        # the ordering column is transport metadata (a sequence/event
-        # time), not part of the VALUE — a delete marker carries it
-        # non-null, so it must not defeat the all-null tombstone test
-        tomb_cols = [c for c in value_cols if c != order_col]
-        if tombstones and tomb_cols:
-            is_tomb = F.lit(True)
-            for c in tomb_cols:
-                is_tomb = is_tomb & F.col(c).isNull()
-            upserts = batch.filter(~is_tomb)
-        else:
-            upserts = batch
+        # One deterministic survivor per key + tombstone split — shared
+        # rule with layout.merge_upsert (see compact_changelog_batch).
+        batch_keys, upserts = compact_changelog_batch(
+            batch_df, keys, value_cols, order_col, tombstones
+        )
         if os.path.exists(path):
             current = spark.read.schema(schema).parquet(path)
             # anti-join on ALL batch keys (upserts AND tombstones), then
             # re-insert only the upserts — tombstoned keys just vanish
             merged = current.join(
-                batch.select(*keys), on=keys, how="left_anti"
+                batch_keys, on=keys, how="left_anti"
             ).unionByName(upserts)
         else:
             merged = upserts

@@ -1044,3 +1044,40 @@ def test_funnel_greedy_order_semantics(spark):
     assert ft[2].t2 is not None and ft[2].t3 is None
     rep = {r.step: r.n_users for r in funnel_report(ev, steps).collect()}
     assert rep == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_merge_upsert_batch_merge_semantics(spark, tmp_path):
+    from ksql_linq_spark.operators.layout import merge_upsert
+
+    path = str(tmp_path / "keyed_table")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    merge_upsert(spark, path, base, keys=["k"])
+    # update k=1, delete k=2 (tombstone), insert k=4; duplicate rows for
+    # k=4 must resolve deterministically (greatest value tuple wins)
+    upd = spark.createDataFrame(
+        [
+            (1, "a2", 11.0),
+            (2, None, None),
+            (4, "d", 40.0),
+            (4, "d", 39.0),
+        ],
+        "k long, name string, v double",
+    )
+    merge_upsert(spark, path, upd, keys=["k"])
+    got = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a2", 11.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_order_col_newest_wins(spark, tmp_path):
+    from ksql_linq_spark.operators.layout import merge_upsert
+
+    path = str(tmp_path / "keyed_table2")
+    upd = spark.createDataFrame(
+        [(1, 100, 5.0), (1, 200, 1.0)], "k long, seq long, v double"
+    )
+    merge_upsert(spark, path, upd, keys=["k"], order_col="seq")
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 1 and got[0].v == 1.0  # seq=200 row wins
