@@ -5505,3 +5505,38 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return funnel_report(ev, ["view", "click", "purchase"])
+
+
+# ======================================================================
+# Cohort retention matrix over the event stream
+# ======================================================================
+
+
+@q(
+    "events_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY 1),
+    a AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      FROM events)
+    SELECT cohort,
+           CAST(date_diff('day', cohort, wk) / 7 AS INT) AS period_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/funnel.retention_cohorts):
+    first-seen aggregate ⋈ distinct weekly activity, both user-keyed
+    (co-partitioned join), rolled up to the bounded (cohort, offset)
+    matrix.  Week anchors are Monday in both engines; offsets are
+    exact integer day-diffs / 7."""
+    from .operators.funnel import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev)

@@ -100,3 +100,42 @@ def funnel_report(
             F.col("s.n_users").cast("double") / F.col("n1"), 6
         ).alias("conversion"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen period
+    (cohort), counted distinct-active per period offset — the
+    product-analytics standard for "how many of week-N's new users
+    came back k weeks later".
+
+    Scale shape: the first-seen aggregate and the distinct-activity
+    projection are both keyed on user, so their join is co-partitioned
+    (one user exchange feeds both sides under AQE); the final
+    (cohort, offset) rollup has bounded cardinality (#periods²).
+    Offsets are exact integer day-diffs over period-truncated
+    timestamps — no float time arithmetic."""
+    first = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.date_trunc(granularity, F.min(ts_col)).alias("cohort")
+    )
+    activity = (
+        events.select(
+            F.col(user_col).alias("user"),
+            F.date_trunc(granularity, F.col(ts_col)).alias("wk"),
+        )
+        .distinct()
+    )
+    days = F.datediff(F.to_date("wk"), F.to_date("cohort"))
+    per = 7 if granularity == "week" else 1
+    return (
+        activity.join(first, "user")
+        .groupBy(
+            "cohort",
+            (days / per).cast("int").alias("period_offset"),
+        )
+        .agg(F.count_distinct("user").alias("n_active"))
+    )

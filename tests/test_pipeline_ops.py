@@ -1081,3 +1081,27 @@ def test_merge_upsert_order_col_newest_wins(spark, tmp_path):
     merge_upsert(spark, path, upd, keys=["k"], order_col="seq")
     got = spark.read.parquet(path).collect()
     assert len(got) == 1 and got[0].v == 1.0  # seq=200 row wins
+
+
+def test_retention_cohorts_matrix(spark):
+    from ksql_linq_spark.operators.funnel import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # Mon wk0 cohort
+        (1, "2024-01-09 10:00:00"),  # wk1 active
+        (2, "2024-01-02 10:00:00"),  # wk0 cohort
+        (3, "2024-01-10 10:00:00"),  # wk1 cohort
+        (3, "2024-01-10 11:00:00"),  # same week dup — one active row
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {
+        (str(r.cohort), r.period_offset): r.n_active
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 0): 2,
+        ("2024-01-01 00:00:00", 1): 1,
+        ("2024-01-08 00:00:00", 0): 1,
+    }

@@ -599,3 +599,104 @@ def test_incremental_merge_equals_direct_agg(spark, rows, split):
         }
 
     assert snap(flat) == snap(nested) == snap(direct)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=80
+    ),
+    tiles=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_distributed_ntile_matches_sql_ntile(spark, vals, tiles):
+    from ksql_linq_spark.operators.dataset import distributed_ntile
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["tier"]
+        for r in distributed_ntile(
+            df, n_tiles=tiles, value_col="v", tiebreak_col="id",
+            out_col="tier",
+        ).collect()
+    }
+    # brute-force model of SQL ntile over the same total order
+    order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+    n = len(order)
+    base, rem = divmod(n, tiles)
+    want = {}
+    pos = 0
+    for t in range(1, tiles + 1):
+        size = base + (1 if t <= rem else 0)
+        for _ in range(size):
+            if pos < n:
+                want[order[pos]] = t
+                pos += 1
+    assert got == want
+
+
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+    parts=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_global_order_index_is_rank_under_any_partitioning(spark, ids, parts):
+    from ksql_linq_spark.operators.dataset import global_order_index
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long").repartition(
+        min(parts, len(ids))
+    )
+    out = global_order_index(df, ["id"], partitions=parts)
+    got = {r["id"]: r["idx"] for r in out.collect()}
+    want = {v: i for i, v in enumerate(sorted(ids))}
+    assert got == want
+
+
+events_strat = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),            # user
+        st.integers(min_value=0, max_value=100),          # ts offset
+        st.sampled_from(["view", "click", "purchase"]),   # type
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(data=events_strat)
+@settings(**SETTINGS)
+def test_funnel_times_matches_greedy_model(spark, data):
+    from ksql_linq_spark.operators.funnel import funnel_times
+
+    rows = [
+        (u, BASE + dt.timedelta(seconds=s), t) for u, s, t in data
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["view", "click", "purchase"]
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_times(df, steps).collect()
+    }
+    # greedy model
+    per_user: dict[int, list] = {}
+    for u, ts, t in rows:
+        per_user.setdefault(u, []).append((ts, t))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        t_prev, times = None, []
+        for step in steps:
+            cand = [
+                ts for ts, t in evs
+                if t == step and (t_prev is None or ts > t_prev)
+            ]
+            cur = min(cand) if cand else None
+            times.append(cur)
+            if cur is None:
+                t_prev = None if t_prev is None else dt.datetime.max
+            else:
+                t_prev = cur
+        if times[0] is not None:
+            want[u] = tuple(times)
+    assert got == want
