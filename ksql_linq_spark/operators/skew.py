@@ -74,14 +74,25 @@ def salted_join(
 
     The right side is exploded ``salt_buckets`` times (every right row
     exists under every salt), the left side gets one deterministic salt
-    from ``left_salt_col`` (any high-cardinality column; defaults to the
-    first join key — fine unless that key IS the skewed one, in which
-    case pass e.g. the row's id).  Join keys become (on..., _salt), so
-    one hot key's rows land on ``salt_buckets`` different reducers.
+    — from ``left_salt_col`` if given (any column that varies within
+    the hot keys, e.g. a row id), else a hash of the whole left row.
+    Join keys become (on..., _salt), so one hot key's rows land on
+    ``salt_buckets`` different reducers.
     """
     on_cols = [on] if isinstance(on, str) else list(on)
-    salt_src = left_salt_col or on_cols[0]
-    l = left.withColumn("_salt", _salt(F.col(salt_src), salt_buckets))
+    if left_salt_col is not None:
+        salt_expr = _salt(F.col(left_salt_col), salt_buckets)
+    else:
+        # Default: hash the WHOLE left row.  The salt must vary WITHIN a
+        # hot key to spread it (a join-key-derived salt is constant per
+        # key — zero spread exactly where it matters); the full-row hash
+        # varies with the non-key columns and stays deterministic.  Rows
+        # that are complete duplicates share a salt — acceptable: their
+        # per-bucket share shrinks 1/buckets for every distinct value
+        # pattern.  Salt choice only routes rows; the join OUTPUT is
+        # identical for any salt assignment.
+        salt_expr = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    l = left.withColumn("_salt", salt_expr)
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

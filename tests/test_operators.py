@@ -192,3 +192,20 @@ def test_json_functions(spark):
 
     assert json.loads(row["merged"]) == {"a": "1", "b": "9", "c": "3"}
     assert row["rec"] == {"a": "1", "b": "2"}
+
+
+def test_salted_join_default_salt_spreads_hot_key(spark):
+    from ksql_linq_spark.operators.skew import salted_join
+
+    # one pathological key carrying every left row
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(200)], "k string, id long"
+    )
+    right = spark.createDataFrame([("hot", "dim")], "k string, name string")
+    out = salted_join(left, right, on="k", salt_buckets=8)
+    assert out.count() == 200  # correctness: same as the plain join
+    # the default (full-row hash) must actually SPREAD the hot key
+    spread = left.select(
+        F.pmod(F.hash("k", "id"), F.lit(8)).alias("s")
+    ).distinct().count()
+    assert spread > 1
