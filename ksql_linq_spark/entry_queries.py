@@ -5145,10 +5145,10 @@ def join_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_7'),
     pv AS (SELECT l_partkey, sum(v) AS val FROM natline GROUP BY 1),
-    tot AS (SELECT sum(val) AS total FROM pv)
+    tot AS (SELECT sum(val) AS total, count(*) AS nparts FROM pv)
     SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
     FROM pv, tot
-    WHERE CAST(val AS DOUBLE) > CAST(total AS DOUBLE) * 0.002
+    WHERE CAST(val AS DOUBLE) > CAST(total AS DOUBLE) / nparts * 3.0
     """,
 )
 def agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5158,7 +5158,11 @@ def agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     global total is a 1-row aggregate cross-broadcast back into the
     filter — never collected to the driver.  Both the per-part value
     and the grand total aggregate in DECIMAL and compare as doubles of
-    exact sums, so the threshold cut is deterministic across engines."""
+    exact sums, so the threshold cut is deterministic across engines.
+    The cut is MEAN-RELATIVE (3x the average part value), not a fixed
+    corpus fraction: TPC-H's 0.0001/SF literal returns an empty set
+    once part count outgrows the fraction — scale-free thresholds keep
+    the query meaningful at any SF (verified sf0.01 and sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
     su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     na = (
@@ -5177,12 +5181,14 @@ def agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(v).alias("val"))
     )
-    tot = pv.agg(F.sum("val").alias("total"))
+    tot = pv.agg(
+        F.sum("val").alias("total"), F.count(F.lit(1)).alias("nparts")
+    )
     return (
         pv.join(F.broadcast(tot))
         .where(
             F.col("val").cast("double")
-            > F.col("total").cast("double") * 0.002
+            > F.col("total").cast("double") / F.col("nparts") * 3.0
         )
         .select(
             F.col("l_partkey").alias("p_partkey"),
