@@ -2625,18 +2625,21 @@ def agg_moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey, count(*) AS cnt
     FROM lineitem
     GROUP BY 1
-    HAVING count(*) >= ceil(0.0005 * (SELECT count(*) FROM lineitem))
+    HAVING count(*) >= ceil(0.00006 * (SELECT count(*) FROM lineitem))
     """,
 )
 def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase frequent items (operators/sketch.py): local candidate
     generation (pigeonhole superset, no shuffle) + exact recount of
     candidates only — exact output, which is why it oracle-checks even
-    though the plan is the approximate-sketch shape."""
+    though the plan is the approximate-sketch shape.  Support is 6e-5
+    — ~2x the mean key frequency at sf0.1 (3138/20000 parts qualify, a
+    real selection) while staying non-empty at sf0.01; a fixed 5e-4
+    emptied the result at sf0.1 (threshold 300 vs mean 30)."""
     from .operators.sketch import heavy_hitters
 
     li = _t(spark, sf_dir, "lineitem")
-    return heavy_hitters(li, "l_partkey", support=0.0005)
+    return heavy_hitters(li, "l_partkey", support=0.00006)
 
 
 @q(
