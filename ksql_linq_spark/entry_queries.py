@@ -5549,3 +5549,61 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return retention_cohorts(ev)
+
+
+# ======================================================================
+# Product-quantization ANN (ADC shortlist + exact rerank)
+# ======================================================================
+
+
+@q(
+    "similarity_pq_ann",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT v.vec_id,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                 i -> v.e[i] * q.e[i])), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                    i -> v.e[i] * v.e[i])), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                    i -> q.e[i] * q.e[i])), (x, y) -> x + y))) AS cos
+      FROM v, q ORDER BY cos DESC, vec_id LIMIT 10)
+    SELECT array_to_string(list_transform(list_sort(list(vec_id)),
+               x -> x::VARCHAR), '|') AS exact_ids,
+           TRUE AS recall_ok
+    FROM scored
+    """,
+)
+def similarity_pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk): driver-
+    trained per-subspace codebooks (Jégou PQ), one Arrow pass assigns
+    m-byte codes, then the corpus-wide ADC scan is PURE codegen (LUT
+    array literals; no float vectors touched) with a bounded exact
+    rerank over the 100-candidate shortlist.  Invariant the oracle
+    reproduces: exact top-10 id set + recall@10 >= 0.8 (measured 1.0 at
+    sf0.01 AND sf0.1 with m=16, 32 codes, rerank=100; deterministic
+    given the fixed k-means seeds).  The compressed-domain sibling of
+    similarity_int8_topk and the storage complement of the IVF index."""
+    from .operators.similarity import brute_force_topk, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = brute_force_topk(e, qvec, k=10).select("vec_id")
+    approx = pq_topk(
+        e, qvec, k=10, m=16, n_codes=32, rerank=100
+    ).select(F.col("vec_id").alias("pq_id"))
+    hits = exact.join(approx, exact.vec_id == approx.pq_id, "inner").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    ids = exact.agg(
+        F.concat_ws(
+            "|", F.sort_array(F.collect_list("vec_id")).cast("array<string>")
+        ).alias("exact_ids"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return ids.crossJoin(hits).select(
+        "exact_ids",
+        (F.col("hits") / F.col("k") >= 0.8).alias("recall_ok"),
+    )

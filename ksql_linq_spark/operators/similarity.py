@@ -713,3 +713,174 @@ def centroid_outliers(
         .where(F.col("rn") <= bottom_k)
         .drop("rn")
     )
+
+
+# ----------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN, IVF's storage twin
+# ----------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+    train_rows: int = 4096,
+):
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    vector into ``m`` contiguous subvectors and k-means each subspace
+    independently to ``n_codes`` codewords.
+
+    Same scale discipline as :func:`ivf_assign` — training never touches
+    the corpus: a deterministic bounded sample (``train_rows`` smallest
+    md5(id) rows, one top-k) is collected to the driver and clustered
+    with in-process Lloyd's per subspace.  Returns
+    ``codebooks[m][n_codes][sub_dim]`` (plain python floats, broadcast-
+    able as literals).  At 100 TB the codebooks are a few KB regardless
+    of corpus size; assignment (below) is the only full-data pass.
+    """
+    import numpy as np
+
+    sample_rows = (
+        df.select(
+            F.col(vec_col).alias("_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(train_rows)
+        .collect()
+    )
+    pts = np.array([[float(x) for x in r["_v"]] for r in sample_rows])
+    dim = pts.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subvectors")
+    sub = dim // m
+    books = []
+    for mi in range(m):
+        seg = np.ascontiguousarray(pts[:, mi * sub : (mi + 1) * sub])
+        C = _lloyd(seg, n_codes, seed + mi)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def quantize_embeddings_pq(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Assign every vector its PQ code word per subspace: ``out_col`` is
+    an ``array<int>`` of length m — dim·4 bytes of float32 become m
+    bytes on disk (n_codes ≤ 256), the storage lever that makes
+    billion-vector search fit a cluster's memory.
+
+    One full-data pass, Arrow-vectorized (numpy argmin per subspace per
+    batch), no shuffle — rides the scan like int8 quantization."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    B = [np.array(b, dtype=np.float64) for b in codebooks]
+    Bn2 = [(b**2).sum(1) for b in B]
+    m = len(B)
+    sub = B[0].shape[1]
+
+    def _codes(vecs):
+        import pandas as pd
+
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        out = np.empty((M.shape[0], m), dtype=np.int64)
+        for mi in range(m):
+            seg = M[:, mi * sub : (mi + 1) * sub]
+            d2 = (seg**2).sum(1)[:, None] - 2 * seg @ B[mi].T + Bn2[mi][None, :]
+            out[:, mi] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    codes_of = pandas_udf(_codes, ArrayType(IntegerType()))
+    return df.withColumn(out_col, codes_of(F.col(vec_col)))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+    rerank: int = 0,
+) -> DataFrame:
+    """PQ ANN top-k by asymmetric distance computation (ADC): the query
+    stays in float space; every database vector is scored from its PQ
+    codes alone via per-subspace lookup tables.
+
+    ``rerank=r > 0`` runs the production two-stage shape: ADC shortlist
+    of r candidates (TakeOrdered over codes only — the corpus-wide pass
+    never touches float vectors), then EXACT cosine over just those r
+    rows.  Recall is set by r, not by the quantizer's error; the exact
+    stage costs O(r·dim) — independent of corpus size.
+
+    The LUTs (``m × n_codes`` floats) are baked in as array literals, so
+    after the one-pass Arrow quantization the scoring plan is PURE
+    codegen — ``element_at(array<lit>, code+1)`` per subspace, summed —
+    followed by TakeOrdered.  No shuffle, no Python in the scoring path.
+    Approximate cosine: ADC dot product over the reconstruction, divided
+    by ‖q‖ and the reconstruction norm (exact per-subspace: subspaces
+    are disjoint coordinates, so ‖recon‖² = Σ‖codeword‖²).
+
+    Recall < 1 by construction (quantization error); complements
+    :func:`ivf_topk` (cell pruning) and :func:`int8_topk` (exact
+    compressed scan) — production systems compose IVF+PQ; here they
+    compose by calling :func:`pq_topk` on an IVF cell subset.
+    """
+    import math
+
+    books = pq_train(df, m, n_codes, vec_col, id_col, seed)
+    sub = len(books[0][0])
+    qn = math.sqrt(sum(x * x for x in query_vec))
+
+    coded = quantize_embeddings_pq(df, books, vec_col, id_col)
+
+    dot_terms = []
+    nrm_terms = []
+    for mi in range(m):
+        qseg = query_vec[mi * sub : (mi + 1) * sub]
+        dlut = [sum(q * c for q, c in zip(qseg, cw)) for cw in books[mi]]
+        nlut = [sum(c * c for c in cw) for cw in books[mi]]
+        code = F.element_at(F.col("pq_codes"), mi + 1)
+        dot_terms.append(
+            F.element_at(F.array(*[F.lit(v) for v in dlut]), code + F.lit(1))
+        )
+        nrm_terms.append(
+            F.element_at(F.array(*[F.lit(v) for v in nlut]), code + F.lit(1))
+        )
+    adc_dot = sum(dot_terms[1:], dot_terms[0])
+    recon_n = F.sqrt(sum(nrm_terms[1:], nrm_terms[0]))
+    score = F.when(recon_n == 0.0, F.lit(-1.0)).otherwise(
+        adc_dot / (recon_n * F.lit(qn))
+    )
+    if rerank <= 0:
+        return (
+            coded.select(F.col(id_col), score.alias("pq_cos"))
+            .orderBy(F.col("pq_cos").desc(), F.col(id_col))
+            .limit(k)
+        )
+    shortlist = (
+        coded.select(F.col(id_col), F.col(vec_col), score.alias("pq_cos"))
+        .orderBy(F.col("pq_cos").desc(), F.col(id_col))
+        .limit(max(rerank, k))
+    )
+    qarr = F.transform(
+        F.array(*[F.lit(float(x)) for x in query_vec]), lambda x: x.cast("double")
+    )
+    exact = cosine(_dbl(vec_col), qarr)
+    return (
+        shortlist.select(F.col(id_col), exact.alias("pq_cos"))
+        .orderBy(F.col("pq_cos").desc(), F.col(id_col))
+        .limit(k)
+    )

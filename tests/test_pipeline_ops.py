@@ -1105,3 +1105,36 @@ def test_retention_cohorts_matrix(spark):
         ("2024-01-01 00:00:00", 1): 1,
         ("2024-01-08 00:00:00", 0): 1,
     }
+
+
+def test_pq_topk_rerank_matches_exact_topk(spark, sf_dir):
+    """PQ ADC shortlist + exact rerank reproduces the exact top-10 at
+    rerank=100 on the test embeddings (recall invariant the registered
+    query pins); pq-only recall stays above the quantizer floor."""
+    from ksql_linq_spark.operators.similarity import pq_topk, pq_train, quantize_embeddings_pq
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r.vec_id for r in brute_force_topk(e, qvec, k=10).collect()}
+    rer = [r.vec_id for r in pq_topk(e, qvec, k=10, m=16, n_codes=32, rerank=100).collect()]
+    assert len(exact & set(rer)) >= 8
+    adc = {r.vec_id for r in pq_topk(e, qvec, k=10, m=16, n_codes=32).collect()}
+    assert len(exact & adc) >= 4  # quantizer-only floor
+
+    # codes: one int per subspace, all within [0, n_codes)
+    books = pq_train(e, m=16, n_codes=32)
+    assert len(books) == 16 and all(len(b) <= 32 for b in books)
+    coded = quantize_embeddings_pq(e, books).select("pq_codes").limit(50).collect()
+    for r in coded:
+        assert len(r.pq_codes) == 16
+        assert all(0 <= c < 32 for c in r.pq_codes)
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    from ksql_linq_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        pq_train(df, m=2, n_codes=2, train_rows=8)
