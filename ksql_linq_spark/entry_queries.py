@@ -5607,3 +5607,74 @@ def similarity_pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_ids",
         (F.col("hits") / F.col("k") >= 0.8).alias("recall_ok"),
     )
+
+
+# ======================================================================
+# Linear-interpolation gap fill (time-series superset of W8 continuation)
+# ======================================================================
+
+
+@q(
+    "gapfill_linear_interpolation",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, min(bucket_start) AS lo, max(bucket_start) AS hi
+      FROM bars GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL '15 minutes'))
+               AS bucket_start
+      FROM bounds),
+    j AS (
+      SELECT s.event_type, s.bucket_start, b.v
+      FROM spine s LEFT JOIN bars b USING (event_type, bucket_start)),
+    n AS (
+      SELECT event_type, bucket_start, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN bucket_start END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY bucket_start
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN bucket_start END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY bucket_start
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM j)
+    SELECT event_type, bucket_start,
+           round(coalesce(v, pv + (nv - pv) *
+             (CAST(epoch(bucket_start) - epoch(pt) AS DOUBLE)
+              / CAST(epoch(nt) - epoch(pt) AS DOUBLE))), 6) AS v,
+           v IS NULL AS is_synthetic
+    FROM n
+    """,
+)
+def gapfill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation continuation (operators/gapfill.
+    interpolate_linear): missing 15-minute revenue buckets per event
+    type are synthesized as prev + (next-prev)·elapsed_frac — the
+    level-series variant of the reference's carry-forward close
+    (RowMonitor continuation, W8).  Per-key sequence spine + one window
+    shuffle; bar values are DECIMAL-exact sums so both engines
+    interpolate from bit-identical endpoints with fixed-order IEEE
+    arithmetic."""
+    from .operators.gapfill import interpolate_linear
+    from .operators.windows import bucket_start
+
+    ev = _t(spark, sf_dir, "events")
+    bars = (
+        ev.groupBy(
+            "event_type", bucket_start(F.col("ts"), "15m").alias("bucket_start")
+        )
+        .agg(F.sum(_dec2dbl(F.col("value"))).cast("double").alias("v"))
+    )
+    out = interpolate_linear(bars, ["event_type"], "bucket_start", "v", "15m")
+    return out.select(
+        "event_type", "bucket_start", F.round("v", 6).alias("v"), "is_synthetic"
+    )

@@ -139,3 +139,69 @@ def streaming_gap_fill(
     return bars.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    keys: list[str],
+    bucket_col: str,
+    value_col: str,
+    timeframe: str,
+) -> DataFrame:
+    """Linear-interpolation gap fill: missing buckets between each key's
+    first and last observation get ``prev + (next-prev) * elapsed_frac``
+    instead of the carry-forward close (:func:`gap_fill_bars`) — the
+    time-series variant every feature/metrics pipeline needs when the
+    quantity is a level, not a last-trade price.
+
+    Same topology as the carry-forward path: per-key ``sequence`` spine
+    (flatMap, spine size = keys × buckets, independent of row volume) +
+    ONE window shuffle computing both neighbors.  prev/next are the
+    nearest non-null observations strictly before/after; inside the
+    [min, max] spine both always exist for a missing bucket.  The
+    arithmetic is fixed-order IEEE binary64 (div, mul, add), so engines
+    agree bit-for-bit before any cosmetic rounding.
+    """
+    step = timeframe_seconds(timeframe)
+    if step is None:
+        raise ValueError("interpolation needs a fixed-duration timeframe")
+
+    spine = (
+        df.groupBy(*keys)
+        .agg(F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step} SECONDS"))
+            ).alias(bucket_col),
+        )
+    )
+    joined = spine.join(df, on=[*keys, bucket_col], how="left")
+    back = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    obs_ts = F.when(v.isNotNull(), F.col(bucket_col))
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_ts = F.last(obs_ts, ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_ts = F.first(obs_ts, ignorenulls=True).over(fwd)
+    frac = (
+        F.unix_timestamp(F.col(bucket_col)) - F.unix_timestamp(prev_ts)
+    ).cast("double") / (
+        F.unix_timestamp(next_ts) - F.unix_timestamp(prev_ts)
+    ).cast("double")
+    interp = prev_v + (next_v - prev_v) * frac
+    return joined.select(
+        *keys,
+        F.col(bucket_col),
+        F.coalesce(v, interp).alias(value_col),
+        v.isNull().alias("is_synthetic"),
+    )

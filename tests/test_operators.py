@@ -209,3 +209,27 @@ def test_salted_join_default_salt_spreads_hot_key(spark):
         F.pmod(F.hash("k", "id"), F.lit(8)).alias("s")
     ).distinct().count()
     assert spread > 1
+
+
+def test_interpolate_linear_fills_between_observations(spark):
+    from datetime import datetime
+
+    from ksql_linq_spark.operators.gapfill import interpolate_linear
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0), 10.0),
+        ("a", datetime(2024, 1, 1, 0, 45), 40.0),  # 2 missing 15m buckets
+        ("b", datetime(2024, 1, 1, 0, 0), 5.0),
+        ("b", datetime(2024, 1, 1, 0, 15), 7.0),   # dense: nothing to fill
+    ]
+    df = spark.createDataFrame(rows, "k string, b timestamp, v double")
+    out = {
+        (r.k, r.b.isoformat()): (r.v, r.is_synthetic)
+        for r in interpolate_linear(df, ["k"], "b", "v", "15m").collect()
+    }
+    assert out[("a", "2024-01-01T00:00:00")] == (10.0, False)
+    assert out[("a", "2024-01-01T00:15:00")] == (20.0, True)
+    assert out[("a", "2024-01-01T00:30:00")] == (30.0, True)
+    assert out[("a", "2024-01-01T00:45:00")] == (40.0, False)
+    assert out[("b", "2024-01-01T00:15:00")] == (7.0, False)
+    assert len(out) == 6
