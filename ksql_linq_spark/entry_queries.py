@@ -5678,3 +5678,66 @@ def gapfill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "bucket_start", F.round("v", 6).alias("v"), "is_synthetic"
     )
+
+
+# ======================================================================
+# SCD type-2 dimension history (version-interval superset of TABLE
+# latest-value semantics)
+# ======================================================================
+
+
+@q(
+    "events_scd2_history",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(CAST(json_extract_string(props, '$.k') AS INT)
+                        / 25.0) AS INT) AS band
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id, band,
+             CASE WHEN lag(band) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM band THEN 1 ELSE 0 END AS opens
+      FROM e),
+    versioned AS (
+      SELECT user_id, ts, band,
+             sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS v
+      FROM flagged),
+    runs AS (
+      SELECT user_id, v, min(ts) AS valid_from, min(band) AS band,
+             count(*) AS n_events
+      FROM versioned GROUP BY 1, 2)
+    SELECT user_id, band, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY v)
+             AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id ORDER BY v))
+             IS NULL AS is_current,
+           n_events
+    FROM runs
+    """,
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (operators/scd.scd2_history): the reference's
+    TABLE keeps only the latest value per key (Streamiz RocksDB cache /
+    pull queries); this derives the full version history with validity
+    intervals from the same changelog — consecutive runs of an
+    attribute collapse, valid_to chains from the next version.  All
+    key-local windows + one run-collapse groupBy on the same key
+    partitioning."""
+    from .operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(
+            F.get_json_object("props", "$.k").cast("int") / F.lit(25.0)
+        )
+        .cast("int")
+        .alias("band"),
+    )
+    return scd2_history(
+        ev, ["user_id"], "ts", ["band"], tiebreak_cols=["event_id"]
+    )

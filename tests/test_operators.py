@@ -233,3 +233,33 @@ def test_interpolate_linear_fills_between_observations(spark):
     assert out[("a", "2024-01-01T00:45:00")] == (40.0, False)
     assert out[("b", "2024-01-01T00:15:00")] == (7.0, False)
     assert len(out) == 6
+
+
+def test_scd2_history_versions_and_intervals(spark):
+    from datetime import datetime
+
+    from ksql_linq_spark.operators.scd import scd2_history
+
+    rows = [
+        (1, datetime(2024, 1, 1), 100, "gold"),
+        (1, datetime(2024, 1, 2), 101, "gold"),    # same run
+        (1, datetime(2024, 1, 3), 102, "silver"),  # new version
+        (1, datetime(2024, 1, 4), 103, "gold"),    # back again -> 3rd version
+        (2, datetime(2024, 1, 1), 104, None),      # null attr opens v1
+        (2, datetime(2024, 1, 2), 105, None),      # null == null: same run
+        (2, datetime(2024, 1, 3), 106, "bronze"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, eid long, tier string")
+    out = scd2_history(df, ["uid"], "ts", ["tier"], tiebreak_cols=["eid"]).collect()
+    byk = sorted(
+        [(r.uid, r.tier, r.valid_from.day, r.valid_to.day if r.valid_to else None,
+          r.is_current, r.n_events) for r in out],
+        key=lambda t: (t[0], t[1] or "", t[2]),
+    )
+    assert byk == [
+        (1, "gold", 1, 3, False, 2),
+        (1, "gold", 4, None, True, 1),
+        (1, "silver", 3, 4, False, 1),
+        (2, None, 1, 3, False, 2),
+        (2, "bronze", 3, None, True, 1),
+    ]
