@@ -5741,3 +5741,69 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(
         ev, ["user_id"], "ts", ["band"], tiebreak_cols=["event_id"]
     )
+
+
+# ======================================================================
+# Cross-document duplicate-substring removal (ExactSubstr at n-grams)
+# ======================================================================
+
+
+@q(
+    "dataset_remove_dup_ngrams",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             {_DK_TOKS.format(src=_DK_NORM)} AS l
+      FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS pos
+      FROM norm),
+    grams AS (
+      SELECT doc_id, pos,
+             concat_ws(' ', tok,
+               lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos),
+               lead(tok,2) OVER (PARTITION BY doc_id ORDER BY pos),
+               lead(tok,3) OVER (PARTITION BY doc_id ORDER BY pos),
+               lead(tok,4) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
+             lead(tok,4) OVER (PARTITION BY doc_id ORDER BY pos)
+               IS NOT NULL AS is_full
+      FROM toks),
+    dup AS (
+      SELECT s FROM (SELECT DISTINCT doc_id, s FROM grams WHERE is_full)
+      GROUP BY s HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.pos + gs.d AS cpos
+      FROM grams g JOIN dup USING (s)
+      CROSS JOIN (SELECT unnest(generate_series(0,4)) AS d) gs
+      WHERE g.is_full),
+    surv AS (
+      SELECT t.doc_id, t.tok, t.pos
+      FROM toks t LEFT JOIN cov
+        ON t.doc_id = cov.doc_id AND t.pos = cov.cpos
+      WHERE cov.doc_id IS NULL),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+             count(*) AS n_kept
+      FROM surv GROUP BY doc_id),
+    totals AS (SELECT doc_id, count(*) AS n_total FROM toks GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(r.text, '') AS text,
+           coalesce(t.n_total, 0) AS n_total,
+           coalesce(r.n_kept, 0) AS n_kept
+    FROM documents d
+    LEFT JOIN totals t ON d.doc_id = t.doc_id
+    LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def dataset_remove_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-substring removal (operators/dataset.remove_dup_ngrams;
+    ExactSubstr dedup of Lee et al. 2022 relaxed to 5-gram spans): any
+    token covered by a 5-gram occurring in >= 2 distinct documents is
+    dropped everywhere, documents reassemble from survivors in order.
+    The dup dim is the broadcastable boilerplate tail; coverage
+    expansion is bounded to matched occurrences; removal acts where
+    text_dup_ngram_fraction only measures."""
+    from .operators.dataset import remove_dup_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_dup_ngrams(d, n=5, min_docs=2)

@@ -433,3 +433,97 @@ def epoch_shuffle(
         df.withColumn("_h", h), ["_h", id_col], idx_col=idx_col
     )
     return out.drop("_h")
+
+
+def remove_dup_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    broadcast_dup: bool = True,
+) -> DataFrame:
+    """Cross-document duplicate-substring REMOVAL at n-gram granularity
+    (the ExactSubstr recipe of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499, relaxed from
+    suffix-array substrings to fixed-n token grams so it stays a pure
+    dataflow): every token covered by an n-gram occurring in ≥
+    ``min_docs`` DISTINCT documents is dropped from ALL documents, and
+    each document reassembles from its surviving tokens in order.
+    text.cross_doc_dup_stats MEASURES this signal; this operator acts
+    on it.
+
+    Returns (id, text, n_total, n_kept) over the normalized token
+    stream; fully-boilerplate documents come back with empty text (the
+    caller owns the drop policy, like paragraph_dedup).
+
+    Dataflow: positioned tokens (one doc-keyed window assembles grams
+    via lead) → distinct (doc, gram) → gram doc-frequency → the
+    ≥min_docs tail is the ONLY cross-doc structure, and it is the
+    boilerplate dim — tiny and broadcast by default; matched gram
+    occurrences expand n× into covered positions (matched only, never
+    the corpus); anti-join tokens on (doc, pos); ordered reassembly per
+    doc.  No all-pairs anywhere; every wide exchange is keyed by doc,
+    gram, or (doc, pos).  At web scale the dup dim grows with shared
+    boilerplate, not corpus size — if it outgrows broadcast, pass
+    ``broadcast_dup=False`` for the shuffle semi-join.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import normalize_text, tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = toks.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
+        leads[-1].isNotNull().alias("full"),
+    ).filter(F.col("full"))
+    dup_dim = (
+        grams.select(id_col, "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("s")
+    )
+    if broadcast_dup:
+        dup_dim = F.broadcast(dup_dim)
+    covered = (
+        grams.join(dup_dim, "s", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    survivors = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+            F.coalesce("n_total", F.lit(0)).cast("bigint").alias("n_total"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

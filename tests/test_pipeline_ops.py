@@ -1138,3 +1138,36 @@ def test_pq_train_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError):
         pq_train(df, m=2, n_codes=2, train_rows=8)
+
+
+def test_remove_dup_ngrams_strips_shared_spans(spark):
+    from ksql_linq_spark.operators.dataset import remove_dup_ngrams
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon unique1 tail1"),
+        (2, "prefix2 alpha beta gamma delta epsilon unique2"),
+        (3, "totally different words with no shared span at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_dup_ngrams(df, n=5, min_docs=2).collect()}
+    # the shared 5-gram "alpha beta gamma delta epsilon" is removed from BOTH
+    assert out[1].text == "unique1 tail1"
+    assert out[2].text == "prefix2 unique2"
+    assert out[3].text == rows[2][1]
+    assert out[1].n_total == 7 and out[1].n_kept == 2
+    assert out[3].n_kept == out[3].n_total == 9
+
+
+def test_remove_dup_ngrams_empty_and_all_boilerplate_docs(spark):
+    from ksql_linq_spark.operators.dataset import remove_dup_ngrams
+
+    rows = [
+        (1, "one two three four five"),
+        (2, "one two three four five"),  # fully covered -> empty
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_dup_ngrams(df, n=5, min_docs=2).collect()}
+    assert out[1].text == "" and out[1].n_kept == 0 and out[1].n_total == 5
+    assert out[2].text == ""
+    assert out[3].n_total == 0 and out[3].text == ""
