@@ -5807,3 +5807,51 @@ def dataset_remove_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return remove_dup_ngrams(d, n=5, min_docs=2)
+
+
+# ======================================================================
+# Z-order (Morton) multi-dimensional clustering key
+# ======================================================================
+
+
+def _zorder_oracle_expr(cols: list[str], bits: int) -> str:
+    d = len(cols)
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(f"((({c} >> {i}) & 1) << {i * d + j})")
+    return " | ".join(terms)
+
+
+@q(
+    "layout_zorder_key",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_id,
+             least(65535, greatest(0, user_id)) AS ru,
+             least(65535, greatest(0, CAST(floor(value) AS BIGINT))) AS rv
+      FROM events)
+    SELECT event_id, {_zorder_oracle_expr(['ru', 'rv'], 16)} AS z
+    FROM r
+    """,
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key (operators/layout.zorder_value):
+    bit-interleaves (user_id, floor(value)) ranks into one BIGINT so a
+    range sort clusters BOTH dimensions — the key write_zordered lays
+    files out by (Delta/Iceberg OPTIMIZE ZORDER semantics).  Pure
+    integer bit arithmetic, value-checked bit-for-bit against the
+    oracle's shift/or chain."""
+    from .operators.layout import zorder_value
+
+    ev = _t(spark, sf_dir, "events")
+    cap = F.lit((1 << 16) - 1)
+    r = ev.select(
+        "event_id",
+        F.least(cap, F.greatest(F.lit(0), F.col("user_id"))).alias("ru"),
+        F.least(
+            cap,
+            F.greatest(F.lit(0), F.floor(F.col("value")).cast("bigint")),
+        ).alias("rv"),
+    )
+    return r.select("event_id", zorder_value(["ru", "rv"], 16).alias("z"))

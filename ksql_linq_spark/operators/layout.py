@@ -169,3 +169,72 @@ def merge_upsert(
     else:
         materialized.write.mode("overwrite").format(fmt).save(path)
     shutil.rmtree(staged, ignore_errors=True)
+
+
+def zorder_value(cols: list, bits: int = 16):
+    """Morton (Z-order) interleave of ``len(cols)`` NON-NEGATIVE integer
+    rank columns into one BIGINT sort key.  Bit i of every dimension
+    lands at position i·d + dim_index, so sorting by the result gives
+    locality in ALL dimensions at once — the multi-dimensional
+    clustering trick behind Delta/Iceberg OPTIMIZE ZORDER.
+
+    Inputs must already be bounded ranks in [0, 2^bits): at scale derive
+    them once per column with ``F.ntile`` over a sampled CDF or
+    ``distributed_ntile`` (operators/dataset.py) so value skew cannot
+    starve bit positions.  bits·d must stay ≤ 63.  Pure bit arithmetic —
+    codegen, no shuffle of its own.
+    """
+    from pyspark.sql import functions as F
+
+    d = len(cols)
+    if bits * d > 63:
+        raise ValueError(f"{bits} bits x {d} dims overflows BIGINT")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            src = F.col(c) if isinstance(c, str) else c
+            bit = F.shiftright(src.cast("bigint"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * d + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    target_files: int = 32,
+) -> None:
+    """Persist ``df`` clustered along a Z-order curve over
+    ``zorder_cols``: range-partition + sort by the interleaved key, so
+    every output file owns a compact hyper-rectangle of the key space
+    and parquet min/max stats on EACH zorder column become selective —
+    a point/range filter on ANY of the columns prunes most files at
+    scan time (one layout serves all of them, where a plain sort serves
+    only its leading column).
+
+    One range-exchange (sampled boundaries, no global single-partition
+    sort).  The z key is computed from per-column ranks; here the rank
+    is the raw value clamped to [0, 2^bits) — callers with unbounded or
+    skewed domains should pre-rank (see :func:`zorder_value`).
+    """
+    from pyspark.sql import functions as F
+
+    cap = (1 << bits) - 1
+    ranks = [
+        F.least(
+            F.lit(cap),
+            F.greatest(F.lit(0), F.col(c).cast("bigint")),
+        ).alias(f"_zr_{c}")
+        for c in zorder_cols
+    ]
+    z = zorder_value([f"_zr_{c}" for c in zorder_cols], bits)
+    (
+        df.select("*", *ranks)
+        .withColumn("_z", z)
+        .repartitionByRange(target_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *[f"_zr_{c}" for c in zorder_cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

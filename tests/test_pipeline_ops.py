@@ -1171,3 +1171,48 @@ def test_remove_dup_ngrams_empty_and_all_boilerplate_docs(spark):
     assert out[1].text == "" and out[1].n_kept == 0 and out[1].n_total == 5
     assert out[2].text == ""
     assert out[3].n_total == 0 and out[3].text == ""
+
+
+def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
+    """Z-order layout: every output file owns a compact hyper-rectangle,
+    so per-file min/max spans of BOTH columns shrink far below the
+    global span (that is what makes parquet stats prune on either
+    filter column)."""
+    import pyarrow.parquet as pq
+    import glob as g
+
+    from ksql_linq_spark.operators.layout import write_zordered
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.crc32(F.col("id").cast("string")) % 256).alias("x"),
+        (F.crc32(F.concat(F.lit("y"), F.col("id").cast("string"))) % 256).alias("y"),
+    )
+    path = str(tmp_path / "zo")
+    write_zordered(df, path, ["x", "y"], bits=8, target_files=16)
+
+    files = g.glob(path + "/part-*.parquet")
+    assert len(files) >= 8
+    spans_x, spans_y = [], []
+    for f in files:
+        md = pq.read_metadata(f)
+        lo_x = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        hi_x = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        lo_y = min(md.row_group(i).column(2).statistics.min for i in range(md.num_row_groups))
+        hi_y = max(md.row_group(i).column(2).statistics.max for i in range(md.num_row_groups))
+        spans_x.append(hi_x - lo_x)
+        spans_y.append(hi_y - lo_y)
+    # global span is 255 on each axis; z-clustered files must average
+    # well under half of it on BOTH axes simultaneously
+    assert sum(spans_x) / len(spans_x) < 128
+    assert sum(spans_y) / len(spans_y) < 128
+    # round trip intact
+    assert spark.read.parquet(path).count() == n
+
+
+def test_zorder_value_rejects_bigint_overflow(spark):
+    from ksql_linq_spark.operators.layout import zorder_value
+
+    with pytest.raises(ValueError):
+        zorder_value(["a", "b", "c", "d"], bits=16)
