@@ -973,3 +973,44 @@ def test_keyed_table_sink_same_batch_upsert_and_tombstone_deterministic(spark):
         finally:
             for d in (src, out_dir, ckpt):
                 shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark):
+    """J5 LEFT OUTER under streaming: the unmatched left row must emit
+    with null right columns once the watermark passes its join window —
+    driven here by a later flush batch (maxFilesPerTrigger=1 forces
+    multiple micro-batches so the watermark actually advances)."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    flush = dt.datetime(2024, 1, 1, 6, 0, 0)
+    tmp = tempfile.mkdtemp()
+    ldf1 = spark.createDataFrame(
+        [(1, base, "m"), (3, base, "u")], "k long, lts timestamp, lv string"
+    )
+    rdf1 = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=60), "r1")], "k long, rts timestamp, rv string"
+    )
+    ldf2 = spark.createDataFrame([(99, flush, "f")], "k long, lts timestamp, lv string")
+    rdf2 = spark.createDataFrame([(99, flush, "rf")], "k long, rts timestamp, rv string")
+    ldf1.write.parquet(f"{tmp}/l/1")
+    rdf1.write.parquet(f"{tmp}/r/1")
+    ldf2.write.parquet(f"{tmp}/l/2")
+    rdf2.write.parquet(f"{tmp}/r/2")
+    ls = (
+        spark.readStream.schema(ldf1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/l/*")
+    )
+    rs = (
+        spark.readStream.schema(rdf1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/r/*")
+    )
+    joined = stream_stream_join(
+        ls, rs, on=["k"], left_ts="lts", right_ts="rts", how="leftOuter"
+    )
+    q = start_memory_sink(joined, "t_ssj_lo", "append")
+    _drain(q)
+    rows = {r["k"]: r for r in spark.sql("SELECT * FROM t_ssj_lo").collect()}
+    assert rows[1]["rv"] == "r1"           # matched pair joins
+    assert 3 in rows and rows[3]["rv"] is None  # unmatched left emits nulls
+    shutil.rmtree(tmp, ignore_errors=True)
