@@ -5855,3 +5855,121 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rv"),
     )
     return r.select("event_id", zorder_value(["ru", "rv"], 16).alias("z"))
+
+
+# ======================================================================
+# PII redaction / robust MAD outliers / weighted sampling
+# ======================================================================
+
+
+@q(
+    "text_redact_pii",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR ||
+             '@mail.example.com from 10.0.' ||
+             (doc_id % 256)::VARCHAR || '.7 ref ' ||
+             (doc_id * 1234567)::VARCHAR AS t
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.redact_pii) — the action half of
+    text_repetition_pii's pii_counts signal: emails → <EMAIL>, IPv4s →
+    <IP>, ≥6-digit runs → <NUM>, in that fixed order.  The corpus text
+    is word-salad, so each doc is first augmented with deterministic
+    synthetic PII (email + ip + numeric ref derived from doc_id) that
+    BOTH engines construct identically — the redaction is genuinely
+    exercised on every row.  Pure regexp chain, zero shuffle."""
+    from .operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ref "),
+        (F.col("doc_id") * 1234567).cast("string"),
+    )
+    return d.select("doc_id", redact_pii(aug).alias("redacted"))
+
+
+@q(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1),
+    mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY 1)
+    SELECT e.event_type,
+           round(m.med, 6) AS med,
+           round(d.mad, 6) AS mad,
+           sum(CASE WHEN abs(e.value - m.med) > 5.0 * d.mad
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           count(*) AS n
+    FROM events e
+    JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screen (operators/stats.mad_outliers): per-key
+    median/MAD flags |v − med| > 5·MAD — stddev-based z-scores move
+    with the outliers they hunt; the median pair does not.  Two exact
+    grouped percentiles (bounded per-key summary, broadcast back) +
+    one codegen flag; the GK sketch swaps in above the size gate
+    exactly as in group_percentiles."""
+    from .operators.stats import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    flagged = mad_outliers(ev, ["event_type"], "value", k=5.0)
+    return flagged.groupBy("event_type").agg(
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.sum(F.col("is_outlier").cast("bigint")).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "dataset_weighted_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             round(pow(
+               (('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                + 0.5) / 4294967296.0,
+               1.0 / CAST(n_chars AS DOUBLE)), 9) AS sk
+      FROM documents WHERE n_chars > 0),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY sk DESC, doc_id)
+               AS rn
+      FROM scored)
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 5
+    """,
+)
+def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/dataset.
+    weighted_sample, Efraimidis–Spirakis A-ES): inclusion odds ∝
+    n_chars, top-5 per language.  md5-derived uniforms make every draw
+    engine- and rerun-stable (hash_split discipline); 9-dp rounding +
+    id tie-break erases pow()'s last-ulp so both engines rank
+    identically.  WindowGroupLimit prunes before the exchange."""
+    from .operators.dataset import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        d, "n_chars", 5, id_col="doc_id", group_cols=["lang"]
+    ).select("doc_id", "lang", "n_chars")

@@ -527,3 +527,58 @@ def remove_dup_ngrams(
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    seed: int = 42,
+    round_to: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis–Spirakis A-ES scheme): each row draws key = u^(1/w) from
+    a hash-derived uniform u and the k largest keys win [per group] —
+    inclusion probability proportional to weight, one pass, no state.
+
+    Engine-portable by the same md5 discipline as :func:`hash_split`:
+    u comes from the first 8 md5 hex chars of (id, seed), so reruns,
+    engines, and incremental appends all agree on every draw.  The key
+    is rounded (9 dp) before ranking with an id tie-break — pow()'s
+    last-ulp is the only cross-engine wiggle and rounding + total
+    tie-order removes it.  Per-group selection is a WindowGroupLimit
+    (rank prunes map-side before the exchange); ungrouped selection is
+    TakeOrdered — no global sort either way.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / w), round_to)
+    scored = df.withColumn("_sk", F.when(w > 0, key).otherwise(F.lit(-1.0)))
+    if group_cols:
+        win = Window.partitionBy(*group_cols).orderBy(
+            F.col("_sk").desc(), F.col(id_col)
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(win))
+            .where((F.col("_rn") <= k) & (F.col("_sk") >= 0))
+            .drop("_rn", "_sk")
+        )
+    return (
+        scored.where(F.col("_sk") >= 0)
+        .orderBy(F.col("_sk").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_sk")
+    )

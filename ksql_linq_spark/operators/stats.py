@@ -210,3 +210,42 @@ def twap(
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+def mad_outliers(
+    df,
+    keys: list[str],
+    value_col: str,
+    k: float = 5.0,
+):
+    """Robust per-group outlier screen: |v − median| > k·MAD (median
+    absolute deviation) — the heavy-tail-safe sibling of z-scores
+    (mean/stddev move with the outliers they are meant to find; the
+    median/MAD pair does not break until half the data is corrupt).
+
+    Two grouped EXACT percentile aggregates (the per-group summary is
+    bounded by group count, broadcast back into the row stream both
+    times) + one codegen'd flag projection.  Same size regime as
+    sketch.group_percentiles' exact path; at unbounded group
+    cardinality swap the percentile calls for the GK sketch exactly as
+    there.  Returns the input plus ``med``, ``mad``, ``is_outlier``.
+    """
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("double")
+    med_dim = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(F.broadcast(med_dim), keys)
+    mad_dim = (
+        with_med.select(*keys, F.abs(v - F.col("med")).alias("_ad"))
+        .groupBy(*keys)
+        .agg(F.expr("percentile(_ad, 0.5)").alias("mad"))
+    )
+    out = with_med.join(F.broadcast(mad_dim), keys)
+    return out.withColumn(
+        "is_outlier",
+        F.when(F.col("mad") == 0.0, F.abs(v - F.col("med")) > 0.0).otherwise(
+            F.abs(v - F.col("med")) > F.lit(float(k)) * F.col("mad")
+        ),
+    )

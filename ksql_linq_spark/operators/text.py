@@ -454,3 +454,25 @@ def unigram_logprob_score(
             ).alias("logprob_per_tok"),
         )
     )
+
+
+def redact_pii(
+    text,
+    email_token: str = "<EMAIL>",
+    ip_token: str = "<IP>",
+    num_token: str = "<NUM>",
+    min_digit_run: int = 6,
+) -> Column:
+    """Redaction policy acting on :func:`pii_counts`'s signals: emails,
+    IPv4s, then digit runs of ≥ ``min_digit_run`` (account/phone-shaped;
+    the floor keeps ordinary small numbers intact) each collapse to a
+    typed placeholder token.  Order matters and is fixed — emails before
+    digit runs so 'user123@x.com' redacts as one email, not a number
+    inside an email.  Same intersection-of-dialects regexes as
+    pii_counts (identical matches in Java regex and RE2), pure
+    regexp_replace chain — codegen, zero shuffle, streams as-is."""
+    c = _c(text)
+    c = F.regexp_replace(c, _EMAIL_RE, email_token)
+    c = F.regexp_replace(c, _IPV4_RE, ip_token)
+    c = F.regexp_replace(c, f"[0-9]{{{min_digit_run},}}", num_token)
+    return c

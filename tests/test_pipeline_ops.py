@@ -1216,3 +1216,44 @@ def test_zorder_value_rejects_bigint_overflow(spark):
 
     with pytest.raises(ValueError):
         zorder_value(["a", "b", "c", "d"], bits=16)
+
+
+def test_redact_pii_order_and_floor(spark):
+    from ksql_linq_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob123@x.co ip 192.168.0.1 acct 12345678 small 42")],
+        "id long, t string",
+    )
+    out = df.select(redact_pii("t").alias("r")).first().r
+    assert out == "mail <EMAIL> ip <IP> acct <NUM> small 42"
+
+
+def test_mad_outliers_flags_planted_extreme(spark):
+    from ksql_linq_spark.operators.stats import mad_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 1000]] + [
+        ("b", 5.0), ("b", 5.0), ("b", 9.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = mad_outliers(df, ["k"], "v", k=5.0).collect()
+    flagged = {(r.k, r.v) for r in out if r.is_outlier}
+    assert ("a", 1000.0) in flagged
+    assert all(v != ("a", 12.0) for v in flagged)
+    # zero-MAD group: any deviation from the median is an outlier
+    assert ("b", 9.0) in flagged and ("b", 5.0) not in flagged
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from ksql_linq_spark.operators.dataset import weighted_sample
+
+    rows = [(i, "g", 1000.0 if i < 10 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    a = sorted(r.doc_id for r in weighted_sample(df, "w", 8, group_cols=["g"]).collect())
+    b = sorted(r.doc_id for r in weighted_sample(df, "w", 8, group_cols=["g"]).collect())
+    assert a == b  # deterministic
+    # heavy-weight rows (ids 0-9, weight 1000x) should dominate the sample
+    assert sum(1 for i in a if i < 10) >= 6
+    # global (ungrouped) path returns exactly k
+    g = weighted_sample(df, "w", 8).collect()
+    assert len(g) == 8
