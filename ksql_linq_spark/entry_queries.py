@@ -5973,3 +5973,69 @@ def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         d, "n_chars", 5, id_col="doc_id", group_cols=["lang"]
     ).select("doc_id", "lang", "n_chars")
+
+
+@q(
+    "events_point_in_time_features",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(CAST(json_extract_string(props, '$.k') AS INT)
+                        / 25.0) AS INT) AS band
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id, band,
+             CASE WHEN lag(band) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM band THEN 1 ELSE 0 END AS opens
+      FROM e),
+    versioned AS (
+      SELECT user_id, ts, band,
+             sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS v
+      FROM flagged),
+    runs AS (
+      SELECT user_id, v, min(ts) AS valid_from, min(band) AS band
+      FROM versioned GROUP BY 1, 2),
+    hist AS (
+      SELECT user_id, band, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY v)
+               AS valid_to
+      FROM runs),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, h.band
+    FROM clicks c LEFT JOIN hist h
+      ON c.user_id = h.user_id AND c.ts >= h.valid_from
+         AND (h.valid_to IS NULL OR c.ts < h.valid_to)
+    """,
+)
+def events_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature lookup (operators/scd.point_in_time_join):
+    click facts fetch the dimension version IN EFFECT at their event
+    time from the scd2_history changelog — the anti-leakage join every
+    feature store runs (training rows must never see future attribute
+    values).  Key-equi join with the interval as residual: candidates
+    are bounded by versions-per-key, never range-exploded."""
+    from .operators.scd import point_in_time_join, scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    dim_src = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(
+            F.get_json_object("props", "$.k").cast("int") / F.lit(25.0)
+        )
+        .cast("int")
+        .alias("band"),
+    )
+    hist = scd2_history(
+        dim_src, ["user_id"], "ts", ["band"], tiebreak_cols=["event_id"]
+    ).drop("is_current", "n_events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return point_in_time_join(
+        clicks, hist, ["user_id"], "ts"
+    ).select("event_id", "user_id", "band")

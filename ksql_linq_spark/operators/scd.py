@@ -69,3 +69,48 @@ def scd2_history(
         nxt.isNull().alias("is_current"),
         F.col("n_events"),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (as-of-dimension) join: each fact row picks the
+    dimension version whose validity interval contains its timestamp —
+    the lookup that makes :func:`scd2_history` a feature store
+    (training-serving skew dies here: a model trained with point-in-
+    time features never sees the future).
+
+    Interval containment is ``valid_from <= ts < valid_to`` with an
+    open-ended current version (NULL valid_to).  Because versions
+    partition time per key, at most ONE history row matches — no
+    fan-out.  The plan is an equi-join on the key with the interval
+    predicate as a residual filter: it shuffles on the key (or
+    broadcasts a small dimension), never a range-explode — version
+    count per key, not corpus size, bounds the join's candidate rows.
+    """
+    h = history.select(
+        *[F.col(c).alias(f"_h_{c}") for c in history.columns]
+    )
+    cond = None
+    for k in key_cols:
+        c = facts[k] == h[f"_h_{k}"]
+        cond = c if cond is None else cond & c
+    ts = facts[fact_ts]
+    cond = (
+        cond
+        & (ts >= h[f"_h_{valid_from}"])
+        & (h[f"_h_{valid_to}"].isNull() | (ts < h[f"_h_{valid_to}"]))
+    )
+    joined = facts.join(h, cond, how)
+    keep = [
+        F.col(f"_h_{c}").alias(c)
+        for c in history.columns
+        if c not in set(key_cols)
+    ]
+    return joined.select(*[facts[c] for c in facts.columns], *keep)

@@ -263,3 +263,28 @@ def test_scd2_history_versions_and_intervals(spark):
         (2, None, 1, 3, False, 2),
         (2, "bronze", 3, None, True, 1),
     ]
+
+
+def test_point_in_time_join_picks_version_in_effect(spark):
+    from datetime import datetime
+
+    from ksql_linq_spark.operators.scd import point_in_time_join
+
+    hist = spark.createDataFrame(
+        [
+            (1, "gold", datetime(2024, 1, 1), datetime(2024, 1, 10)),
+            (1, "silver", datetime(2024, 1, 10), None),
+        ],
+        "uid long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, datetime(2024, 1, 5)),    # inside v1
+            (101, 1, datetime(2024, 1, 10)),   # boundary: belongs to v2
+            (102, 1, datetime(2024, 2, 1)),    # open-ended current
+            (103, 2, datetime(2024, 1, 5)),    # unknown key -> nulls
+        ],
+        "fid long, uid long, ts timestamp",
+    )
+    out = {r.fid: r.tier for r in point_in_time_join(facts, hist, ["uid"], "ts").collect()}
+    assert out == {100: "gold", 101: "silver", 102: "silver", 103: None}
