@@ -6039,3 +6039,75 @@ def events_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame
     return point_in_time_join(
         clicks, hist, ["user_id"], "ts"
     ).select("event_id", "user_id", "band")
+
+
+@q(
+    "text_gopher_rules",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x != '') AS t,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+        len(t) AS n_words,
+        CASE WHEN len(t) > 0
+             THEN list_reduce(list_prepend(0::BIGINT,
+                    list_transform(t, w -> length(w))), (a, b) -> a + b)
+                  / len(t)
+             ELSE 0.0 END AS mwl,
+        len(regexp_extract_all(text, '[#…]'))
+          + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+        greatest(len(lines), 1) AS n_lines,
+        len(list_filter(lines,
+            ln -> regexp_matches(trim(ln), '^([-*•])'))) AS bullet_lines,
+        len(list_filter(lines,
+            ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))
+          AS ellipsis_lines,
+        len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+          AS alpha_words,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+            sw -> list_contains(list_transform(t, x -> lower(x)), sw)))
+          AS stop_hits
+      FROM toks)
+    SELECT doc_id,
+      n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+      mwl >= 3.0 AND mwl <= 10.0 AS mean_word_len_ok,
+      CAST(n_sym AS DOUBLE) / greatest(n_words, 1) <= 0.1 AS symbol_ratio_ok,
+      CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9 AS bullet_ok,
+      CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3 AS ellipsis_ok,
+      CAST(alpha_words AS DOUBLE) / greatest(n_words, 1) >= 0.8 AS alpha_ok,
+      stop_hits >= 2 AS stopwords_ok,
+      (n_words >= 50 AND n_words <= 100000)
+        AND (mwl >= 3.0 AND mwl <= 10.0)
+        AND (CAST(n_sym AS DOUBLE) / greatest(n_words, 1) <= 0.1)
+        AND (CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9)
+        AND (CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3)
+        AND (CAST(alpha_words AS DOUBLE) / greatest(n_words, 1) >= 0.8)
+        AND (stop_hits >= 2) AS keep
+    FROM feat
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher filter rule set (operators/text.gopher_rules; Rae et
+    al. 2021 A1.1) with per-rule attribution: word count, mean word
+    length, symbol ratio, bullet/ellipsis line ratios, alphabetic word
+    fraction, required stopwords — and the conjunctive keep.  One fused
+    zero-shuffle projection; complements quality_score's scalar with
+    the WHICH-rule answer every curation audit needs."""
+    from .operators.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents").withColumn("g", gopher_rules("text"))
+    return d.select(
+        "doc_id",
+        F.col("g.word_count_ok").alias("word_count_ok"),
+        F.col("g.mean_word_len_ok").alias("mean_word_len_ok"),
+        F.col("g.symbol_ratio_ok").alias("symbol_ratio_ok"),
+        F.col("g.bullet_ok").alias("bullet_ok"),
+        F.col("g.ellipsis_ok").alias("ellipsis_ok"),
+        F.col("g.alpha_ok").alias("alpha_ok"),
+        F.col("g.stopwords_ok").alias("stopwords_ok"),
+        F.col("g.keep").alias("keep"),
+    )

@@ -476,3 +476,78 @@ def redact_pii(
     c = F.regexp_replace(c, _IPV4_RE, ip_token)
     c = F.regexp_replace(c, f"[0-9]{{{min_digit_run},}}", num_token)
     return c
+
+
+def gopher_rules(text, lang: str = "en") -> Column:
+    """The full Gopher document-filter rule set (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from
+    Training Gopher", appendix A1.1) as one struct of booleans plus the
+    conjunctive ``keep`` — the attributable form: a curation pipeline
+    needs to know WHICH rule dropped a document, not just that one did
+    (same philosophy as operators/quality.py's violation routing).
+
+    Rules (thresholds per the paper): 50 ≤ word count ≤ 100k; mean word
+    length in [3, 10]; symbol-to-word ratio (# or …) ≤ 0.1; ≤ 90% lines
+    starting with a bullet; ≤ 30% lines ending with an ellipsis; ≥ 80%
+    words contain an alphabetic char; ≥ 2 distinct required stopwords.
+    One fused projection — every rule is a codegen'd expression over the
+    same row, zero shuffle, streams as-is.
+    """
+    c = _c(text)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    mwl = mean_word_length(c)
+    n_sym = F.size(F.regexp_extract_all(c, F.lit("[#…]"), F.lit(0))) + F.size(
+        F.regexp_extract_all(c, F.lit("\\.\\.\\."), F.lit(0))
+    )
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike("^([-*•])"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike("(\\.\\.\\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    required = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    stop_hits = sum(
+        (
+            F.when(F.array_contains(F.transform(toks, F.lower), sw), 1).otherwise(0)
+            for sw in required
+        ),
+        F.lit(0),
+    )
+    word_count_ok = (n_words >= 50) & (n_words <= 100000)
+    mean_word_len_ok = (mwl >= 3.0) & (mwl <= 10.0)
+    symbol_ratio_ok = (
+        n_sym.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    ) <= 0.1
+    bullet_ok = (
+        bullet_lines.cast("double") / n_lines.cast("double")
+    ) <= 0.9
+    ellipsis_ok = (
+        ellipsis_lines.cast("double") / n_lines.cast("double")
+    ) <= 0.3
+    alpha_ok = (
+        alpha_words.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    ) >= 0.8
+    stopwords_ok = stop_hits >= 2
+    keep = (
+        word_count_ok
+        & mean_word_len_ok
+        & symbol_ratio_ok
+        & bullet_ok
+        & ellipsis_ok
+        & alpha_ok
+        & stopwords_ok
+    )
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_word_len_ok.alias("mean_word_len_ok"),
+        symbol_ratio_ok.alias("symbol_ratio_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopwords_ok.alias("stopwords_ok"),
+        keep.alias("keep"),
+    )

@@ -1257,3 +1257,18 @@ def test_weighted_sample_determinism_and_bias(spark):
     # global (ungrouped) path returns exactly k
     g = weighted_sample(df, "w", 8).collect()
     assert len(g) == 8
+
+
+def test_gopher_rules_attribution(spark):
+    from ksql_linq_spark.operators.text import gopher_rules
+
+    good = " ".join(["the quick brown fox jumps over and that have with be to of"] * 6)
+    bully = "\n".join(["- item " + str(i) for i in range(20)])
+    symbols = "the be to of " + "# " * 50
+    rows = [(1, good), (2, bully), (3, symbols), (4, "tiny doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.g for r in df.select("doc_id", gopher_rules("text").alias("g")).collect()}
+    assert out[1].keep  # clean doc passes every rule
+    assert not out[2].bullet_ok and not out[2].keep  # all-bullet doc
+    assert not out[3].symbol_ratio_ok and not out[3].keep
+    assert not out[4].word_count_ok and not out[4].keep
