@@ -193,11 +193,12 @@ def interpolate_linear(
     prev_ts = F.last(obs_ts, ignorenulls=True).over(back)
     next_v = F.first(v, ignorenulls=True).over(fwd)
     next_ts = F.first(obs_ts, ignorenulls=True).over(fwd)
+    # timestamp→double is fractional epoch seconds (µs-exact), matching
+    # DuckDB's epoch(); unix_timestamp() would truncate to seconds and
+    # silently mis-weight sub-second buckets
     frac = (
-        F.unix_timestamp(F.col(bucket_col)) - F.unix_timestamp(prev_ts)
-    ).cast("double") / (
-        F.unix_timestamp(next_ts) - F.unix_timestamp(prev_ts)
-    ).cast("double")
+        F.col(bucket_col).cast("double") - prev_ts.cast("double")
+    ) / (next_ts.cast("double") - prev_ts.cast("double"))
     interp = prev_v + (next_v - prev_v) * frac
     return joined.select(
         *keys,
