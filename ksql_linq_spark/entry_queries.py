@@ -6111,3 +6111,43 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g.stopwords_ok").alias("stopwords_ok"),
         F.col("g.keep").alias("keep"),
     )
+
+
+@q("embedding_rp_reduce")
+def embedding_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection reduction
+    (operators/similarity.reduce_dim_rp): 64-dim float vectors project
+    onto 8 md5-derived hyperplanes — the cheap front-end for clustering
+    / ANN / semantic dedup at a fraction of the IO.  Pure codegen fold
+    per output dim, zero shuffle; the projection matrix lives in the
+    plan as literals.  Oracle (generated below) reduces the SAME
+    left-to-right fold in DuckDB — md5-derived planes are engine-
+    portable by construction."""
+    from .operators.similarity import reduce_dim_rp
+
+    e = _t(spark, sf_dir, "embeddings")
+    r = reduce_dim_rp(e, dim=64, out_dim=8)
+    return r.select(
+        "vec_id", *[F.round(F.col(f"rp_{d}"), 6).alias(f"rp_{d}") for d in range(8)]
+    )
+
+
+def _rp_oracle() -> str:
+    from .operators.similarity import _hyperplane
+
+    cols = []
+    for d in range(8):
+        plane = _hyperplane(d, 64)
+        lits = ", ".join(repr(x) for x in plane)
+        cols.append(
+            f"round(list_reduce(list_prepend(0.0, list_transform(range(1, 65),"
+            f" i -> e[i] * ([{lits}])[i])), (a, b) -> a + b), 6) AS rp_{d}"
+        )
+    return (
+        "SELECT vec_id, "
+        + ", ".join(cols)
+        + " FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
+    )
+
+
+ORACLES["embedding_rp_reduce"] = _rp_oracle()

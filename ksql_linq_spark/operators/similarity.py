@@ -884,3 +884,37 @@ def pq_topk(
         .orderBy(F.col("pq_cos").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def reduce_dim_rp(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    jl_scale: bool = False,
+) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson–Lindenstrauss
+    / Achlioptas dense variant): project each vector onto ``out_dim``
+    deterministic md5-derived hyperplanes (:func:`_hyperplane` — the
+    same family sign-LSH thresholds, here kept as real coordinates).
+    Distances are preserved within (1±ε) for out_dim = O(log n / ε²);
+    the reduced vectors feed cheaper clustering / ANN / dedup stages at
+    1/‖dim/out_dim‖ the IO.
+
+    ``jl_scale`` multiplies by 1/√out_dim (the isometry normalization);
+    off by default so the oracle is a plain dot product.  Pure per-row
+    fold expressions — codegen, zero shuffle, rides the scan; the
+    projection matrix is literals in the plan, no broadcast.
+    """
+    import math
+
+    v = _dbl(vec_col)
+    cols = []
+    for d in range(out_dim):
+        plane = _hyperplane(d, dim)
+        proj = dot(v, F.array(*[F.lit(x) for x in plane]))
+        if jl_scale:
+            proj = proj / F.lit(math.sqrt(float(out_dim)))
+        cols.append(proj.alias(f"rp_{d}"))
+    return df.select(F.col(id_col), *cols)

@@ -1272,3 +1272,18 @@ def test_gopher_rules_attribution(spark):
     assert not out[2].bullet_ok and not out[2].keep  # all-bullet doc
     assert not out[3].symbol_ratio_ok and not out[3].keep
     assert not out[4].word_count_ok and not out[4].keep
+
+
+def test_reduce_dim_rp_linearity_and_determinism(spark):
+    from ksql_linq_spark.operators.similarity import reduce_dim_rp
+
+    v = [float(i % 7) - 3.0 for i in range(16)]
+    df = spark.createDataFrame(
+        [(1, v), (2, [2.0 * x for x in v]), (3, v)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: [r[f"rp_{d}"] for d in range(4)]
+           for r in reduce_dim_rp(df, dim=16, out_dim=4).collect()}
+    assert out[1] == out[3]  # deterministic (md5 planes, no RNG state)
+    for a, b in zip(out[1], out[2]):  # projection is linear: rp(2v) = 2 rp(v)
+        assert abs(b - 2.0 * a) < 1e-9
