@@ -6151,3 +6151,54 @@ def _rp_oracle() -> str:
 
 
 ORACLES["embedding_rp_reduce"] = _rp_oracle()
+
+
+@q(
+    "pipeline_near_dedup_full",
+    oracle=f"""
+    WITH RECURSIVE {_DK_LSH_PAIRS},
+    und AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und)
+      UNION
+      SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.node),
+    cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+    kept AS (SELECT doc_id FROM lab WHERE doc_id = cluster_id)
+    SELECT d.lang,
+           count(*) AS docs,
+           sum(len({_DK_TOKS.format(src='d.text')}))::BIGINT AS tokens
+    FROM documents d JOIN kept USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def pipeline_near_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dedup corpus build — the flagship LLM-curation
+    composition: MinHash signatures → banded LSH candidate pairs →
+    connected components (bounded min-label propagation) → keep each
+    cluster's min-id representative → per-language corpus inventory.
+    Every stage is the already-verified operator (dedup.py / graph.py);
+    this query pins that they COMPOSE — the form every production
+    corpus refresh actually runs.  Cluster representative = the doc
+    whose id equals its component label, so the keep step is a filter,
+    not another join."""
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.graph import dedup_clusters
+    from .operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_n=3)
+    clusters = dedup_clusters(d.select("doc_id"), pairs, loop_partitions=8)
+    kept = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return (
+        d.join(kept, "doc_id")
+        .select("lang", token_count("text").alias("tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("tok").cast("bigint").alias("tokens"),
+        )
+    )
