@@ -304,3 +304,46 @@ def test_quality_deciles_no_corpus_global_window(spark, sf_dir):
     for i in win_idx:
         below = "\n".join(lines[i:i + 6])
         assert "HashAggregate" in below or "Sort" in below, below
+
+
+def test_runtime_bloom_filter_engages_on_selective_fact_join(spark, sf_dir):
+    """Scale posture: Spark's runtime bloom-filter join pruning
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, on in
+    session.py's defaults) injects a BloomFilterMightContain probe on
+    the large side when a selective creation side qualifies.  Local
+    inputs are far below the production thresholds (10 MB creation /
+    10 GB application), so the thresholds are dropped to force the
+    rewrite and pin that the machinery actually engages — at 100 TB the
+    defaults fire on exactly this shape (filtered dim -> fact join)."""
+    from ksql_linq_spark.sources import read_table
+
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "8mb"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # disable broadcast so the join is shuffle-based (bloom targets SMJ/SHJ)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, sf_dir, "lineitem")
+        od = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan or "BloomFilter" in plan or "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
