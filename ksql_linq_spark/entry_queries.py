@@ -6202,3 +6202,85 @@ def pipeline_near_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok").cast("bigint").alias("tokens"),
         )
     )
+
+
+@q(
+    "window_count_distinct_users",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           count(DISTINCT user_id) AS u,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed COUNT DISTINCT (ksqlDB COUNT_DISTINCT over a tumbling
+    window — A8 x W1 composition): exact distinct users per (type,
+    hour).  Catalyst expands this to a two-stage aggregate (partial
+    distinct then merge) — at unbounded key cardinality swap in
+    approx_count_distinct exactly as the HLL twin below does."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.window("ts", "1 hour").alias("w")
+        )
+        .agg(
+            F.count_distinct("user_id").alias("u"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("window_start"), "u", "n"
+        )
+    )
+
+
+@q(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, count(*) AS orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'orders->customer', count(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'customer->nation', count(*)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_nationkey IS NULL
+    UNION ALL
+    SELECT 'supplier->nation', count(*)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_nationkey IS NULL
+    """,
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse FK-integrity audit: orphan counts per relationship via
+    left_anti joins (the quality.py rule family lifted to CROSS-table
+    constraints).  Dim-side keys broadcast; each leg is one anti-join +
+    a 1-row count — at 100 TB the fact scans dominate and Catalyst
+    shares nothing ACROSS legs, so run it as the off-peak audit job it
+    is in production."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    su = _t(spark, sf_dir, "supplier")
+
+    def leg(name, fact, dim, fk, pk):
+        orphans = fact.join(
+            F.broadcast(dim.select(pk).distinct()),
+            fact[fk] == F.col(pk),
+            "left_anti",
+        )
+        return orphans.agg(
+            F.lit(name).alias("fk"), F.count(F.lit(1)).alias("orphans")
+        )
+
+    return (
+        leg("lineitem->orders", li, od, "l_orderkey", "o_orderkey")
+        .unionAll(leg("orders->customer", od, cu, "o_custkey", "c_custkey"))
+        .unionAll(leg("customer->nation", cu, na, "c_nationkey", "n_nationkey"))
+        .unionAll(leg("supplier->nation", su, na, "s_nationkey", "n_nationkey"))
+    )
