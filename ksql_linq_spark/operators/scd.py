@@ -30,6 +30,7 @@ def scd2_history(
     ts_col: str,
     attr_cols: list[str],
     tiebreak_cols: list[str] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Collapse an ordered event log into type-2 dimension versions.
 
@@ -39,6 +40,11 @@ def scd2_history(
     current version); ``is_current`` flags the open row.  Ordering
     within a key is (ts, *tiebreak_cols) — pass a unique tiebreak for
     deterministic output when timestamps collide.
+
+    ``weight_col`` makes ``n_events`` a weighted sum instead of a count
+    — the hook :func:`scd2_apply_batch` uses to fold an already-
+    collapsed current version (weight = its prior n_events) into a new
+    batch without losing the tally.
     """
     order = [F.col(ts_col), *[F.col(c) for c in (tiebreak_cols or [])]]
     w = Window.partitionBy(*key_cols).orderBy(*order)
@@ -54,10 +60,15 @@ def scd2_history(
         "_version",
         F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    tally = (
+        F.sum(F.col(weight_col)).cast("bigint")
+        if weight_col
+        else F.count(F.lit(1))
+    )
     runs = versioned.groupBy(*key_cols, "_version").agg(
         F.min(ts_col).alias("valid_from"),
         *[F.first(a).alias(a) for a in attr_cols],
-        F.count(F.lit(1)).alias("n_events"),
+        tally.alias("n_events"),
     )
     wv = Window.partitionBy(*key_cols).orderBy("_version")
     nxt = F.lead("valid_from").over(wv)
@@ -114,3 +125,63 @@ def point_in_time_join(
         if c not in set(key_cols)
     ]
     return joined.select(*[facts[c] for c in facts.columns], *keep)
+
+
+def scd2_apply_batch(
+    history: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incrementally maintain an SCD2 history: fold a new batch of
+    events into an existing :func:`scd2_history` table WITHOUT
+    reprocessing the closed past — the micro-batch form (call it from
+    ``foreachBatch`` against the stored history, exactly like
+    operators/incremental.py maintains aggregates).
+
+    Invariant (the whole point, pinned by test):
+    ``apply(apply(hist, b1), b2) == scd2_history(b1 ∪ b2)`` for batches
+    arriving in event-time order.  Mechanics: closed versions pass
+    through untouched; each key's OPEN version re-enters the collapse
+    as one pseudo-event at its ``valid_from`` carrying its accumulated
+    ``n_events`` as weight — if the batch's first attrs match, the run
+    extends seamlessly (same valid_from, counts add); if not, it closes
+    at the first differing event.  Cost per batch: the key-local
+    windows over (open versions + batch), never the full history.
+
+    Assumes batch events are not earlier than their key's open
+    ``valid_from`` (the contract of an in-order changelog; late data
+    needs a rebuild of the affected keys, same as every SCD2 store).
+    """
+    tiebreaks = tiebreak_cols or []
+    cur = history.filter(F.col("is_current"))
+    closed = history.filter(~F.col("is_current"))
+
+    pseudo = cur.select(
+        *key_cols,
+        F.col("valid_from").alias(ts_col),
+        *attr_cols,
+        # the open version predates every batch row for its key; a
+        # constant minimal tiebreak keeps it first on ts collisions
+        *[F.lit(None).cast("long").alias(c) for c in tiebreaks],
+        F.col("n_events").alias("_w"),
+    )
+    batch_ev = batch.select(
+        *key_cols,
+        F.col(ts_col),
+        *attr_cols,
+        *[F.col(c) for c in tiebreaks],
+        F.lit(1).cast("bigint").alias("_w"),
+    )
+    merged = pseudo.unionByName(batch_ev)
+    fresh = scd2_history(
+        merged,
+        key_cols,
+        ts_col,
+        attr_cols,
+        tiebreak_cols=tiebreaks,
+        weight_col="_w",
+    )
+    return closed.unionByName(fresh)

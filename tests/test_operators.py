@@ -288,3 +288,24 @@ def test_point_in_time_join_picks_version_in_effect(spark):
     )
     out = {r.fid: r.tier for r in point_in_time_join(facts, hist, ["uid"], "ts").collect()}
     assert out == {100: "gold", 101: "silver", 102: "silver", 103: None}
+
+
+def test_scd2_apply_batch_equals_full_rebuild(spark, sf_dir):
+    """Incremental SCD2 invariant: folding batch 2 into the history of
+    batch 1 reproduces the full rebuild bit-for-bit (versions, validity
+    intervals, open flags AND accumulated n_events)."""
+    from ksql_linq_spark.operators.scd import scd2_apply_batch, scd2_history
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        (F.col("value") > 50.0).alias("hi"),
+    )
+    cut = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
+    b1 = ev.filter(F.unix_micros("ts") <= cut)
+    b2 = ev.filter(F.unix_micros("ts") > cut)
+    full = scd2_history(ev, ["user_id"], "ts", ["hi"], ["event_id"])
+    h1 = scd2_history(b1, ["user_id"], "ts", ["hi"], ["event_id"])
+    inc = scd2_apply_batch(h1, b2, ["user_id"], "ts", ["hi"], ["event_id"])
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, inc.collect()))
+    assert a == b
