@@ -700,3 +700,112 @@ def test_funnel_times_matches_greedy_model(spark, data):
         if times[0] is not None:
             want[u] = tuple(times)
     assert got == want
+
+
+@given(
+    present=st.lists(st.integers(min_value=0, max_value=20), min_size=2, max_size=12),
+    vals=st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+        min_size=12,
+        max_size=12,
+    ),
+)
+@settings(**SETTINGS)
+def test_interpolation_bounded_by_neighbors(spark, present, vals):
+    """Interpolated fillers always lie within [min(prev, next),
+    max(prev, next)] of their surrounding observations, observed rows
+    pass through untouched, and the spine is gap-free."""
+    from ksql_linq_spark.operators.gapfill import interpolate_linear
+
+    buckets = sorted(set(present))
+    rows = [
+        ("k", BASE + dt.timedelta(minutes=15 * b), float(vals[i % len(vals)]))
+        for i, b in enumerate(buckets)
+    ]
+    df = spark.createDataFrame(rows, "k string, b timestamp, v double")
+    out = sorted(
+        interpolate_linear(df, ["k"], "b", "v", "15m").collect(),
+        key=lambda r: r.b,
+    )
+    lo, hi = min(buckets), max(buckets)
+    assert len(out) == hi - lo + 1  # complete spine
+    obs = {r[1]: r[2] for r in rows}
+    seq = [(r.b, r.v, r.is_synthetic) for r in out]
+    for i, (b, v, synth) in enumerate(seq):
+        mins = 15 * lo + 15 * i
+        t = BASE + dt.timedelta(minutes=mins)
+        assert b == t
+        if not synth:
+            assert v == obs[t]
+        else:
+            prev_obs = max(x for x in obs if x < t)
+            next_obs = min(x for x in obs if x > t)
+            lo_v, hi_v = sorted((obs[prev_obs], obs[next_obs]))
+            assert lo_v - 1e-6 <= v <= hi_v + 1e-6
+
+
+@given(
+    n=st.integers(min_value=1, max_value=30),
+    k=st.integers(min_value=1, max_value=12),
+    w_zero=st.integers(min_value=0, max_value=5),
+)
+@settings(**SETTINGS)
+def test_weighted_sample_size_contract(spark, n, k, w_zero):
+    """Selection size = min(k, #positive-weight rows); zero/negative
+    weights never selected; output is a subset of the input."""
+    from ksql_linq_spark.operators.dataset import weighted_sample
+
+    rows = [(i, "g", float(1 + i)) for i in range(n)] + [
+        (1000 + j, "g", 0.0) for j in range(w_zero)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    got = [r.doc_id for r in weighted_sample(df, "w", k, group_cols=["g"]).collect()]
+    assert len(got) == min(k, n)
+    assert all(i < 1000 for i in got)
+    assert len(set(got)) == len(got)
+
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=20),
+    ys=st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=20),
+)
+@settings(**SETTINGS)
+def test_zorder_interleave_is_bijective(spark, xs, ys):
+    """Morton interleave round-trips: de-interleaving the BIGINT key
+    recovers both coordinates exactly (no bit collisions/overlap)."""
+    from ksql_linq_spark.operators.layout import zorder_value
+
+    pairs = list(zip(xs, ys))
+    df = spark.createDataFrame(
+        [(x, y) for x, y in pairs], "x long, y long"
+    ).select("x", "y", zorder_value(["x", "y"], bits=8).alias("z"))
+    for r in df.collect():
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(8))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x, y) == (r.x, r.y)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_remove_dup_ngrams_identity_without_cross_doc_dups(spark, texts):
+    """A corpus whose documents share no full n-gram passes through
+    remove_dup_ngrams with every token kept (n_kept == n_total)."""
+    from ksql_linq_spark.operators.dataset import remove_dup_ngrams
+    from ksql_linq_spark.operators.text import normalize_text, tokens
+
+    # make docs pairwise n-gram-disjoint by prefixing a unique word to
+    # every token ("d0w1 d0w2 ..."), so no 3-gram can repeat across docs
+    rows = [
+        (i, " ".join(f"d{i}w{j}x{tok}" for j, tok in enumerate(t.split())))
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_dup_ngrams(df, n=3, min_docs=2).collect()
+    for r in out:
+        assert r.n_kept == r.n_total

@@ -1014,3 +1014,62 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark):
     assert rows[1]["rv"] == "r1"           # matched pair joins
     assert 3 in rows and rows[3]["rv"] is None  # unmatched left emits nulls
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_scd2_maintenance_matches_batch(spark, tmp_path):
+    """foreachBatch + scd2_apply_batch maintains the SCD2 table across
+    micro-batches; after the stream drains, the maintained history
+    equals the batch rebuild over all events (the incremental.py
+    pattern applied to dimension history)."""
+    import datetime as dtm
+
+    from ksql_linq_spark.operators.scd import scd2_apply_batch, scd2_history
+
+    rows = [
+        (1, dtm.datetime(2024, 1, 1, 0, 0, i), i, ("gold" if i < 3 else "silver"))
+        for i in range(6)
+    ] + [
+        (2, dtm.datetime(2024, 1, 1, 0, 0, i), 100 + i, "bronze") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, eid long, tier string")
+    # two event-time-ordered files -> two micro-batches
+    df.filter(F.col("ts") < dtm.datetime(2024, 1, 1, 0, 0, 3)).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "1")
+    )
+    df.filter(F.col("ts") >= dtm.datetime(2024, 1, 1, 0, 0, 3)).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "2")
+    )
+    hist_path = str(tmp_path / "hist")
+    empty = spark.createDataFrame(
+        [],
+        "uid long, tier string, valid_from timestamp, valid_to timestamp,"
+        " is_current boolean, n_events bigint",
+    )
+    empty.write.mode("overwrite").parquet(hist_path)
+
+    def upd(batch_df, batch_id):
+        hist = spark.read.parquet(hist_path)
+        new_hist = scd2_apply_batch(
+            hist, batch_df, ["uid"], "ts", ["tier"], ["eid"]
+        )
+        # rewrite via temp dir (read side and write side share the path)
+        new_hist.cache().count()
+        new_hist.write.mode("overwrite").parquet(hist_path + "_tmp")
+        spark.read.parquet(hist_path + "_tmp").write.mode("overwrite").parquet(hist_path)
+
+    src = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = src.writeStream.foreachBatch(upd).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    maintained = sorted(map(tuple, spark.read.parquet(hist_path).collect()))
+    rebuilt = sorted(
+        map(tuple, scd2_history(df, ["uid"], "ts", ["tier"], ["eid"]).collect())
+    )
+    assert maintained == rebuilt
