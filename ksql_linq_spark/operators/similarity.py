@@ -918,3 +918,69 @@ def reduce_dim_rp(
             proj = proj / F.lit(math.sqrt(float(out_dim)))
         cols.append(proj.alias(f"rp_{d}"))
     return df.select(F.col(id_col), *cols)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    train_rows: int = 4096,
+    mode: str = "overwrite",
+) -> list:
+    """Persist the corpus PARTITIONED BY its IVF cell — the trained-
+    quantizer sibling of :func:`build_ann_index` (sign-LSH needs no
+    training but ignores the data distribution; IVF cells adapt to it).
+    One bounded driver training + one assignment pass + partitioned
+    write; the centroid table is co-persisted at ``<path>__centroids``
+    so probes reopen the index without retraining.  Probe cost =
+    n_probes/n_centroids of the corpus, pruned at file listing.
+
+    Unlike LSH buckets, cell assignments change if the index is
+    retrained — append new data with the SAME persisted centroids
+    (recompute assignment only), and retrain/rewrite on drift like
+    every production IVF deployment.
+    """
+    assigned, centroids = ivf_assign(
+        df, n_centroids, vec_col, id_col, seed, train_rows
+    )
+    assigned.write.mode(mode).partitionBy("cell").parquet(path)
+    spark = df.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode(mode).parquet(path + "__centroids")
+    return centroids
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k probe against a :func:`build_ivf_index` layout: rank the
+    persisted centroids by cosine to the query (driver-side — the
+    centroid table is n_centroids rows), read ONLY the n_probes nearest
+    cell partitions (listing-time pruning), exact cosine within them."""
+    import math
+
+    cent = spark.read.parquet(path + "__centroids").collect()
+
+    def _cos(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dp / (na * nb) if na and nb else -1.0
+
+    probes = [
+        r["cell"]
+        for r in sorted(cent, key=lambda r: -_cos(query_vec, r["centroid"]))
+    ][:n_probes]
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    return brute_force_topk(cand.drop("cell"), query_vec, k, vec_col, id_col)

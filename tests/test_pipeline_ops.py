@@ -1287,3 +1287,35 @@ def test_reduce_dim_rp_linearity_and_determinism(spark):
     assert out[1] == out[3]  # deterministic (md5 planes, no RNG state)
     for a, b in zip(out[1], out[2]):  # projection is linear: rp(2v) = 2 rp(v)
         assert abs(b - 2.0 * a) < 1e-9
+
+
+def test_ivf_index_partition_pruning_and_parity(spark, sf_dir, tmp_path):
+    """Persisted IVF index: the probe query equals the in-memory
+    ivf_topk for the same seed/params, and the scan prunes to the
+    probed cell partitions at listing time (PartitionFilters on cell)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ksql_linq_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        query_ivf_index,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ivf_idx")
+    build_ivf_index(e, path, n_centroids=8, seed=7)
+
+    got = query_ivf_index(spark, path, qvec, k=10, n_probes=4).collect()
+    want = ivf_topk(e, qvec, k=10, n_centroids=8, n_probes=4, seed=7).collect()
+    assert [(r["vec_id"], round(r["cos"], 9)) for r in got] == [
+        (r["vec_id"], round(r["cos"], 9)) for r in want
+    ]
+
+    probe_df = query_ivf_index(spark, path, qvec, k=10, n_probes=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan
