@@ -6284,3 +6284,53 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(leg("customer->nation", cu, na, "c_nationkey", "n_nationkey"))
         .unionAll(leg("supplier->nation", su, na, "s_nationkey", "n_nationkey"))
     )
+
+
+@q(
+    "similarity_ivfpq_ann",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT v.vec_id,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                 i -> v.e[i] * q.e[i])), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                    i -> v.e[i] * v.e[i])), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                    i -> q.e[i] * q.e[i])), (x, y) -> x + y))) AS cos
+      FROM v, q ORDER BY cos DESC, vec_id LIMIT 10)
+    SELECT array_to_string(list_transform(list_sort(list(vec_id)),
+               x -> x::VARCHAR), '|') AS exact_ids,
+           TRUE AS recall_ok
+    FROM scored
+    """,
+)
+def similarity_ivfpq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN (operators/similarity.ivfpq_topk — the FAISS
+    IVFPQ shape): coarse cells prune the corpus, ADC scores m-byte
+    codes in the probed cells only, bounded exact rerank fixes the
+    shortlist.  Invariant: exact top-10 ids + recall@10 >= 0.6
+    (measured 1.0 @ sf0.01, 0.8 @ sf0.1 with c=8, p=5, rerank=150;
+    deterministic seeds)."""
+    from .operators.similarity import brute_force_topk, ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = brute_force_topk(e, qvec, k=10).select("vec_id")
+    approx = ivfpq_topk(
+        e, qvec, k=10, n_centroids=8, n_probes=5, rerank=150
+    ).select(F.col("vec_id").alias("aid"))
+    hits = exact.join(approx, exact.vec_id == approx.aid, "inner").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    ids = exact.agg(
+        F.concat_ws(
+            "|", F.sort_array(F.collect_list("vec_id")).cast("array<string>")
+        ).alias("exact_ids"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return ids.crossJoin(hits).select(
+        "exact_ids",
+        (F.col("hits") / F.col("k") >= 0.6).alias("recall_ok"),
+    )

@@ -984,3 +984,56 @@ def query_ivf_index(
     ][:n_probes]
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
     return brute_force_topk(cand.drop("cell"), query_vec, k, vec_col, id_col)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probes: int = 3,
+    m: int = 16,
+    n_codes: int = 32,
+    rerank: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF+PQ composed search — the production billion-vector index
+    shape (FAISS IVFPQ): the IVF coarse quantizer prunes the corpus to
+    ``n_probes`` cells, PQ's ADC scores ONLY the surviving cells from
+    m-byte codes, and a bounded exact rerank fixes the shortlist.
+
+    Composition of the two verified operators, not new machinery:
+    :func:`ivf_assign` (bounded driver k-means + one broadcast
+    assignment pass) then :func:`pq_topk` (codebooks trained on the
+    same bounded sample discipline) over the cell-filtered candidates.
+    Cost at scale: (n_probes/n_centroids) of the corpus touched, codes
+    not floats scanned, exact math on ≤ rerank rows."""
+    import math
+
+    assigned, centroids = ivf_assign(
+        df, n_centroids, vec_col, id_col, seed
+    )
+
+    def _cos(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dp / (na * nb) if na and nb else -1.0
+
+    probes = sorted(
+        range(len(centroids)), key=lambda c: -_cos(query_vec, centroids[c])
+    )[:n_probes]
+    cand = assigned.filter(F.col("cell").isin(probes)).drop("cell")
+    return pq_topk(
+        cand,
+        query_vec,
+        k=k,
+        m=m,
+        n_codes=n_codes,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed + 100,
+        rerank=rerank,
+    )
