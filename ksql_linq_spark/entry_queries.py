@@ -6334,3 +6334,61 @@ def similarity_ivfpq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_ids",
         (F.col("hits") / F.col("k") >= 0.6).alias("recall_ok"),
     )
+
+
+@q(
+    "events_psi_drift",
+    oracle="""
+    WITH ref AS (SELECT event_type, value FROM events
+                 WHERE ts < TIMESTAMP '2024-01-16'),
+    cur AS (SELECT event_type, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16'),
+    edges AS (
+      SELECT event_type,
+             quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+               AS e
+      FROM ref GROUP BY 1),
+    rb AS (SELECT r.event_type,
+                  len(list_filter(e.e, x -> r.value > x)) AS b
+           FROM ref r JOIN edges e USING (event_type)),
+    cb AS (SELECT c.event_type,
+                  len(list_filter(e.e, x -> c.value > x)) AS b
+           FROM cur c JOIN edges e USING (event_type)),
+    rc AS (SELECT event_type, b, count(*) AS c_ref FROM rb GROUP BY 1, 2),
+    cc AS (SELECT event_type, b, count(*) AS c_cur FROM cb GROUP BY 1, 2),
+    nr AS (SELECT event_type, count(*) AS n_ref FROM ref GROUP BY 1),
+    nc AS (SELECT event_type, count(*) AS n_cur FROM cur GROUP BY 1),
+    bo AS (
+      SELECT coalesce(rc.event_type, cc.event_type) AS event_type,
+             coalesce(rc.b, cc.b) AS b,
+             coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur
+      FROM rc FULL OUTER JOIN cc
+        ON rc.event_type = cc.event_type AND rc.b = cc.b)
+    SELECT bo.event_type,
+           round(sum(((c_cur + 0.5) / (n_cur + 5.0)
+                      - (c_ref + 0.5) / (n_ref + 5.0))
+                     * ln(((c_cur + 0.5) / (n_cur + 5.0))
+                          / ((c_ref + 0.5) / (n_ref + 5.0)))), 6) AS psi,
+           n_ref, n_cur
+    FROM bo JOIN nr ON bo.event_type = nr.event_type
+            JOIN nc ON bo.event_type = nc.event_type
+    GROUP BY 1, n_ref, n_cur
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift alarm (operators/stats.
+    psi_drift): first half-month is the reference, second the current;
+    reference deciles bin both sides (bounded per-key edge summary
+    broadcast back, codegen bin-of-v), Laplace smoothing keeps empty
+    bins finite.  The distribution monitor every deployed
+    feature/score pipeline runs."""
+    from .operators.stats import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.filter(F.col("ts") < cut).select("event_type", "value")
+    cur = ev.filter(F.col("ts") >= cut).select("event_type", "value")
+    out = psi_drift(ref, cur, "value", keys=["event_type"], n_bins=10)
+    return out.select(
+        "event_type", F.round("psi", 6).alias("psi"), "n_ref", "n_cur"
+    )

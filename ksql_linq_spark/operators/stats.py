@@ -249,3 +249,77 @@ def mad_outliers(
             F.abs(v - F.col("med")) > F.lit(float(k)) * F.col("mad")
         ),
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    n_bins: int = 10,
+):
+    """Population Stability Index between a reference and a current
+    snapshot — THE production drift alarm for feature/score
+    distributions (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 broken).
+
+    Bin edges are the REFERENCE's exact inner quantiles (one grouped
+    ``percentile(value, array(...))`` — a bounded per-key summary,
+    broadcast back), so the reference distribution is uniform over bins
+    by construction and the statistic measures the CURRENT snapshot's
+    departure.  Bin of v = #edges strictly below v (codegen filter over
+    the broadcast edge array); both sides then need only one grouped
+    count each.  Laplace-smoothed fractions ((c+0.5)/(n+bins/2)) keep
+    empty current bins finite and deterministic.  ln() is the one
+    libm-vs-JVM wiggle — round the result (callers: 6 dp).
+
+    Returns one row per key: psi, n_ref, n_cur.
+    """
+    from pyspark.sql import functions as F
+
+    keys = keys or []
+    qs = [i / n_bins for i in range(1, n_bins)]
+    qlit = "array(" + ", ".join(str(q) for q in qs) + ")"
+    edges = ref.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, {qlit})").alias("_edges")
+    )
+
+    def binned_counts(df, name):
+        j = df.join(F.broadcast(edges), keys) if keys else df.crossJoin(
+            F.broadcast(edges)
+        )
+        b = F.size(
+            F.filter(F.col("_edges"), lambda e: F.col(value_col).cast("double") > e)
+        )
+        return (
+            j.select(*keys, b.alias("_bin"))
+            .groupBy(*keys, "_bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    rc = binned_counts(ref, "c_ref")
+    cc = binned_counts(cur, "c_cur")
+    on = [*keys, "_bin"]
+    both = rc.join(cc, on, "full_outer").na.fill({"c_ref": 0, "c_cur": 0})
+    totals_r = ref.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_ref"))
+    totals_c = cur.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_cur"))
+    both = (
+        both.join(F.broadcast(totals_r), keys) if keys
+        else both.crossJoin(F.broadcast(totals_r))
+    )
+    both = (
+        both.join(F.broadcast(totals_c), keys) if keys
+        else both.crossJoin(F.broadcast(totals_c))
+    )
+    half = F.lit(0.5)
+    pad = F.lit(n_bins * 0.5)
+    p = (F.col("c_ref") + half) / (F.col("n_ref") + pad)
+    q = (F.col("c_cur") + half) / (F.col("n_cur") + pad)
+    term = (q - p) * F.log(q / p)
+    return (
+        both.groupBy(*keys)
+        .agg(
+            F.sum(term).alias("psi"),
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+        )
+    )

@@ -1319,3 +1319,22 @@ def test_ivf_index_partition_pruning_and_parity(spark, sf_dir, tmp_path):
         probe_df.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_psi_drift_detects_shift(spark):
+    from ksql_linq_spark.operators.stats import psi_drift
+
+    ref = spark.createDataFrame(
+        [("a", float(i % 100)) for i in range(1000)], "k string, v double"
+    )
+    same = spark.createDataFrame(
+        [("a", float((i * 7) % 100)) for i in range(1000)], "k string, v double"
+    )
+    shifted = spark.createDataFrame(
+        [("a", 50.0 + float(i % 100)) for i in range(1000)], "k string, v double"
+    )
+    psi_same = psi_drift(ref, same, "v", ["k"]).first().psi
+    psi_shift = psi_drift(ref, shifted, "v", ["k"]).first().psi
+    assert psi_same < 0.05          # same distribution: stable
+    assert psi_shift > 0.25         # +50 shift: flagged broken
+    assert psi_shift > psi_same
