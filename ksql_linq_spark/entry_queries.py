@@ -6392,3 +6392,55 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", F.round("psi", 6).alias("psi"), "n_ref", "n_cur"
     )
+
+
+@q(
+    "text_bpe_tokenize",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t,
+             length(regexp_replace(lower(text), '\\s', '', 'g')) AS n_chars_nows
+      FROM documents)
+    SELECT doc_id,
+           array_to_string(list_transform(t, w -> w || '</w>'), '') AS detok,
+           TRUE AS bounds_ok
+    FROM toks
+    """,
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE subword tokenization (operators/bpe.py, Sennrich 2016):
+    merges train DRIVER-SIDE on the corpus word-frequency dict (one
+    Spark pass — the dict is Heaps-law bounded), application is one
+    Arrow pass with word-level memoization.  The oracle value-checks
+    the LOSSLESS-SEGMENTATION identity — concatenating a doc's subword
+    tokens must reproduce its lowercased words with </w> boundaries —
+    and the token count rides as a bounded invariant (≥ words, ≤
+    non-space chars + words; iterative merge learning itself is not
+    SQL-expressible)."""
+    from .operators.bpe import bpe_apply, bpe_train, word_frequencies
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(word_frequencies(d), num_merges=120)
+    enc = bpe_apply(d, merges)
+    toks = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower("text")), "\\s+"), lambda x: x != ""
+            )
+        ).alias("n_words"),
+        F.length(F.regexp_replace(F.lower("text"), "\\s", "")).alias("n_chars"),
+    )
+    return (
+        enc.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            F.concat_ws("", "bpe_tokens").alias("detok"),
+            (
+                (F.col("n_bpe") >= F.col("n_words"))
+                & (F.col("n_bpe") <= F.col("n_chars") + F.col("n_words"))
+            ).alias("bounds_ok"),
+        )
+    )

@@ -1338,3 +1338,49 @@ def test_psi_drift_detects_shift(spark):
     assert psi_same < 0.05          # same distribution: stable
     assert psi_shift > 0.25         # +50 shift: flagged broken
     assert psi_shift > psi_same
+
+
+def test_bpe_canonical_merges_and_roundtrip(spark):
+    """BPE semantics on the classic toy corpus: merge order follows pair
+    frequency with deterministic ties, detokenization reproduces every
+    word, and the distributed apply agrees with driver-side encoding."""
+    from ksql_linq_spark.operators.bpe import (
+        END,
+        _encode_word,
+        bpe_apply,
+        bpe_train,
+        word_frequencies,
+    )
+
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_train(wf, num_merges=10)
+    # the classic Sennrich example: 'es' (9) then 'est' (9) then 'est</w>'
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", END)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in wf:
+        toks = _encode_word(w, ranks)
+        assert "".join(toks) == w + END  # lossless segmentation
+
+    df = spark.createDataFrame(
+        [(1, "newest widest LOW"), (2, ""), (3, "low lower newest")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bpe_apply(df, merges).collect()}
+    joined = "".join(out[3].bpe_tokens)
+    assert joined == f"low{END}lower{END}newest{END}"
+    assert out[2].n_bpe == 0 and out[2].bpe_tokens == []
+    # lowercase=True folds LOW into the learned 'low'
+    assert out[1].bpe_tokens[-len(_encode_word("low", ranks)):] == _encode_word("low", ranks)
+
+
+def test_bpe_word_frequencies_bounded_and_deterministic(spark):
+    from ksql_linq_spark.operators.bpe import word_frequencies
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta alpha gamma") for i in range(10)],
+        "doc_id long, text string",
+    )
+    wf = word_frequencies(df, max_words=2)
+    assert wf == {"alpha": 20, "beta": 10}  # top-2 by (count desc, word)
