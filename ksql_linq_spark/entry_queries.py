@@ -6444,3 +6444,63 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bounds_ok"),
         )
     )
+
+
+@q(
+    "approx_cm_frequency",
+    oracle="""
+    WITH ds AS (SELECT unnest([0,1,2,3]) AS d),
+    us AS (SELECT unnest([1,2,3,4,5]) AS u),
+    counters AS (
+      SELECT ds.d AS depth,
+             ('0x' || substr(md5(ds.d::VARCHAR || ':' || e.user_id::VARCHAR),
+                             1, 8))::BIGINT % 256 AS slot,
+             count(*) AS n
+      FROM events e CROSS JOIN ds
+      GROUP BY 1, 2),
+    probes AS (
+      SELECT us.u::VARCHAR AS key, ds.d AS depth,
+             ('0x' || substr(md5(ds.d::VARCHAR || ':' || us.u::VARCHAR),
+                             1, 8))::BIGINT % 256 AS slot
+      FROM us CROSS JOIN ds),
+    est AS (
+      SELECT p.key, min(coalesce(c.n, 0)) AS est
+      FROM probes p LEFT JOIN counters c
+        ON p.depth = c.depth AND p.slot = c.slot
+      GROUP BY 1),
+    exact AS (
+      SELECT user_id::VARCHAR AS key, count(*) AS exact_n
+      FROM events WHERE user_id IN (1, 2, 3, 4, 5) GROUP BY 1)
+    SELECT e.key, coalesce(x.exact_n, 0) AS exact_n, e.est,
+           e.est >= coalesce(x.exact_n, 0) AS never_undercounts
+    FROM est e LEFT JOIN exact x ON e.key = x.key
+    """,
+)
+def approx_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries (operators/sketch.cm_sketch /
+    cm_estimate): a FIXED 4x256 counter table answers per-key frequency
+    estimates without rescanning the data, and merges across
+    batches/partitions by slot-wise sum.  md5 slots make the sketch
+    fully SQL-expressible, so — unusually for a sketch — the oracle
+    value-checks the ESTIMATES themselves, plus the one-sided
+    never-undercounts guarantee."""
+    from .operators.sketch import cm_estimate, cm_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    counters = cm_sketch(ev, "user_id", depth=4, width=256)
+    est = cm_estimate(counters, [1, 2, 3, 4, 5], key_name="key")
+    exact = (
+        ev.filter(F.col("user_id").isin([1, 2, 3, 4, 5]))
+        .groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return (
+        est.join(exact, "key", "left")
+        .na.fill({"exact_n": 0})
+        .select(
+            "key",
+            "exact_n",
+            "est",
+            (F.col("est") >= F.col("exact_n")).alias("never_undercounts"),
+        )
+    )

@@ -130,3 +130,91 @@ def group_percentiles(
                     F.percentile_approx(col, F.lit(p), F.lit(accuracy)).alias(alias)
                 )
     return df.groupBy(*keys).agg(*aggs)
+
+
+def cm_sketch(
+    df,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a DataFrame:
+    ``depth × width`` counters from md5-derived row hashes.  The sketch
+    answers frequency point queries in O(depth) from a table whose size
+    is FIXED (depth·width rows) no matter how many keys stream through —
+    and it is MERGEABLE: counters from partitions/batches/days combine
+    by summing slot-wise, the same associative-carrier property
+    operators/incremental.py exploits.
+
+    One explode (depth copies per row — bounded constant fan-out) + one
+    groupBy; md5 slots are engine-portable, so estimates are exactly
+    reproducible (and the whole sketch is SQL-expressible — the oracle
+    value-checks the estimates, unusual for a sketch).
+
+    Guarantee: est ≥ true count; est ≤ true + εN with prob 1−δ for
+    ε = e/width, δ = e^−depth.
+    """
+    from pyspark.sql import functions as F
+
+    copies = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":", F.lit(str(d)), F.col(key_col).cast("string")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % width
+                ).alias("slot"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(copies).alias("c"))
+        .groupBy(F.col("c.depth").alias("depth"), F.col("c.slot").alias("slot"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_estimate(
+    counters,
+    keys,
+    key_name: str = "key",
+    depth: int = 4,
+    width: int = 256,
+):
+    """Point-query the sketch for a literal key list: est(k) = min over
+    depths of counter[d, slot_d(k)].  The probe dim is depth·|keys| rows
+    joined against the fixed-size counter table — broadcast, no scan of
+    the original data (that is the sketch's point)."""
+    from pyspark.sql import functions as F
+
+    spark = counters.sparkSession
+    probe_rows = []
+    for k in keys:
+        for d in range(depth):
+            import hashlib
+
+            h = hashlib.md5(f"{d}:{k}".encode()).hexdigest()[:8]
+            probe_rows.append((str(k), d, int(h, 16) % width))
+    probes = spark.createDataFrame(
+        probe_rows, f"{key_name} string, depth int, slot bigint"
+    )
+    return (
+        F.broadcast(probes)
+        .join(counters, ["depth", "slot"], "left")
+        .na.fill({"n": 0})
+        .groupBy(key_name)
+        .agg(F.min("n").alias("est"))
+    )

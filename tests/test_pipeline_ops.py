@@ -1384,3 +1384,23 @@ def test_bpe_word_frequencies_bounded_and_deterministic(spark):
     )
     wf = word_frequencies(df, max_words=2)
     assert wf == {"alpha": 20, "beta": 10}  # top-2 by (count desc, word)
+
+
+def test_cm_sketch_merge_and_guarantee(spark):
+    """CM mergeability: sketch(A) + sketch(B) slot-wise == sketch(A∪B);
+    estimates never undercount the true frequency."""
+    from ksql_linq_spark.operators.sketch import cm_estimate, cm_sketch
+
+    a = spark.createDataFrame([(i % 7,) for i in range(300)], "k long")
+    b = spark.createDataFrame([(i % 11,) for i in range(200)], "k long")
+    u = a.unionByName(b)
+    sa, sb, su = cm_sketch(a, "k"), cm_sketch(b, "k"), cm_sketch(u, "k")
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("depth", "slot")
+        .agg(F.sum("n").alias("n"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, su.collect()))
+    true_counts = {str(r.k): r.c for r in u.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for r in cm_estimate(su, list(range(12))).collect():
+        assert r.est >= true_counts.get(r.key, 0)
