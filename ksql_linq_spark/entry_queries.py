@@ -6504,3 +6504,42 @@ def approx_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") >= F.col("exact_n")).alias("never_undercounts"),
         )
     )
+
+
+@q(
+    "approx_hll_mergeable_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+           count(DISTINCT user_id) AS exact_u,
+           TRUE AS err_ok
+    FROM events GROUP BY 1
+    """,
+)
+def approx_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-sketch rollup — THE at-scale distinct-count pattern:
+    per-day HLL sketches (datasketches hll_sketch_agg) merge into
+    weekly estimates via hll_union_agg WITHOUT touching row data again;
+    a day's sketch is built once and serves every enclosing rollup
+    (week/month/campaign), the same associative-carrier contract as
+    operators/incremental.py.  Oracle pins the exact weekly distincts
+    and the ≤5% HLL error envelope (the estimate itself is
+    implementation-defined, so it rides as the err_ok invariant —
+    approx_count_distinct precedent)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("d").cast("timestamp")).alias("wk")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    exact = ev.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
+        F.count_distinct("user_id").alias("exact_u")
+    )
+    return weekly.join(exact, "wk").select(
+        "wk",
+        "exact_u",
+        (
+            F.abs(F.col("est") - F.col("exact_u"))
+            <= F.greatest(F.col("exact_u") * 0.05, F.lit(1.0))
+        ).alias("err_ok"),
+    )
