@@ -347,3 +347,37 @@ def test_runtime_bloom_filter_engages_on_selective_fact_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_parquet_aggregate_pushdown_serves_count_from_metadata(spark, sf_dir):
+    """Scale posture: with spark.sql.parquet.aggregatePushdown on, a
+    bare COUNT(*)/MIN/MAX over a parquet table is answered from footer
+    metadata — zero row groups decoded.  At 100 TB that turns a
+    full-scan inventory query into a metadata listing.  (Off by
+    default; the conf is scoped to this test — it only applies to
+    unfiltered aggregates over non-nested columns, so it is a
+    deliberate opt-in per query, not a session default.)"""
+    import os
+
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    # aggregate pushdown lives in the DSv2 reader; parquet is on the V1
+    # list by default, so route it through V2 for this query
+    spark.conf.set(
+        "spark.sql.sources.useV1SourceList",
+        ",".join(x for x in old_v1.split(",") if x != "parquet"),
+    )
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("lo"),
+            F.max("l_orderkey").alias("hi"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*)" in plan or "PushedAggregation" in plan
+        row = agg.first()
+        assert row["n"] == df.count() and row["lo"] <= row["hi"]
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
