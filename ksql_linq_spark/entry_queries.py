@@ -6543,3 +6543,77 @@ def approx_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.col("exact_u") * 0.05, F.lit(1.0))
         ).alias("err_ok"),
     )
+
+
+@q(
+    "audit_table_profile",
+    oracle="""
+    WITH base AS (
+      SELECT count(*) AS n,
+             count(l_quantity) AS nn_q,
+             count(l_extendedprice) AS nn_p,
+             count(l_returnflag) AS nn_r,
+             CAST(min(l_quantity) AS DOUBLE) AS min_q,
+             CAST(max(l_quantity) AS DOUBLE) AS max_q,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_q,
+             CAST(min(l_extendedprice) AS DOUBLE) AS min_p,
+             CAST(max(l_extendedprice) AS DOUBLE) AS max_p,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS sum_p,
+             count(DISTINCT l_quantity) AS xd_q,
+             count(DISTINCT l_extendedprice) AS xd_p,
+             count(DISTINCT l_returnflag) AS xd_r
+      FROM lineitem)
+    SELECT 'l_quantity' AS column, round(CAST(nn_q AS DOUBLE) / n, 6)
+             AS completeness,
+           min_q AS min, max_q AS max, round(sum_q / nn_q, 6) AS mean,
+           TRUE AS distinct_ok
+    FROM base
+    UNION ALL
+    SELECT 'l_extendedprice', round(CAST(nn_p AS DOUBLE) / n, 6),
+           min_p, max_p, round(sum_p / nn_p, 6), TRUE FROM base
+    UNION ALL
+    SELECT 'l_returnflag', round(CAST(nn_r AS DOUBLE) / n, 6),
+           NULL, NULL, NULL, TRUE FROM base
+    """,
+)
+def audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (operators/quality.profile_table,
+    Deequ-style): completeness, min/max, decimal-exact mean for every
+    profiled column from a SINGLE scan + single aggregate (never one
+    job per column), unpivoted to a row per column.  The sketch-based
+    distinctness rides as a ≤10%-of-exact invariant (2x the default
+    HLL rsd; approx_count_distinct precedent)."""
+    from .operators.quality import profile_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    prof = profile_table(
+        li,
+        numeric_cols=["l_quantity", "l_extendedprice"],
+        string_cols=["l_returnflag"],
+    )
+    exact = li.agg(
+        F.count_distinct("l_quantity").alias("l_quantity"),
+        F.count_distinct("l_extendedprice").alias("l_extendedprice"),
+        F.count_distinct("l_returnflag").alias("l_returnflag"),
+    ).first()
+    exact_map = F.create_map(
+        *[
+            x
+            for c in ("l_quantity", "l_extendedprice", "l_returnflag")
+            for x in (F.lit(c), F.lit(exact[c]))
+        ]
+    )
+    xd = exact_map[F.col("column")]
+    return prof.select(
+        "column",
+        F.round("completeness", 6).alias("completeness"),
+        "min",
+        "max",
+        F.round("mean", 6).alias("mean"),
+        (
+            # default HLL rsd is 5% (one sigma) — gate at 2 sigma
+            F.abs(F.col("approx_distinct") - xd)
+            <= F.greatest(xd.cast("double") * 0.10, F.lit(1.0))
+        ).alias("distinct_ok"),
+    )

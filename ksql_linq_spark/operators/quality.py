@@ -192,3 +192,64 @@ def corpus_report(
             "top_lang",
         )
     )
+
+
+def profile_table(
+    df: DataFrame,
+    numeric_cols: list[str] | None = None,
+    string_cols: list[str] | None = None,
+):
+    """Deequ-style column profile in ONE aggregate pass: per column —
+    completeness (non-null fraction), approx distinctness, and for
+    numerics min/max/decimal-exact mean.  All statistics compute as
+    parallel aggregate expressions over a single scan (no per-column
+    jobs — the mistake naïve profilers make at 100 TB), then unpivot
+    via a literal Expand to one row per column.
+
+    approx_count_distinct keeps the pass sketch-bounded; swap for exact
+    count_distinct per column only when the profile job owns the budget
+    (it multiplies the aggregate state by each column's cardinality).
+    Ratios are BIGINT/BIGINT or decimal-sum divisions — deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    numeric_cols = numeric_cols or []
+    string_cols = string_cols or []
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in numeric_cols + string_cols:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"_ad_{c}"))
+    for c in numeric_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_max_{c}"))
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(28,6)")).alias(f"_sum_{c}")
+        )
+    one = df.agg(*aggs)
+    rows = []
+    for c in numeric_cols + string_cols:
+        is_num = c in numeric_cols
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                (F.col(f"_nn_{c}").cast("double") / F.col("_n")).alias(
+                    "completeness"
+                ),
+                F.col(f"_ad_{c}").cast("bigint").alias("approx_distinct"),
+                (F.col(f"_min_{c}") if is_num else F.lit(None).cast("double")).alias(
+                    "min"
+                ),
+                (F.col(f"_max_{c}") if is_num else F.lit(None).cast("double")).alias(
+                    "max"
+                ),
+                (
+                    # exact decimal sum cast to double, THEN one IEEE
+                    # division — decimal-division scale rules differ
+                    # across engines, double division does not
+                    (F.col(f"_sum_{c}").cast("double") / F.col(f"_nn_{c}"))
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("mean"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
