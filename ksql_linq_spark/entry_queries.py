@@ -6617,3 +6617,102 @@ def audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(xd.cast("double") * 0.10, F.lit(1.0))
         ).alias("distinct_ok"),
     )
+
+
+@q(
+    "similarity_ann_join",
+    oracle="""
+    WITH l AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id % 20 = 0),
+    r AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT l.vec_id AS lid, r.vec_id AS rid,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                 i -> l.e[i] * r.e[i])), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                    i -> l.e[i] * l.e[i])), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                    i -> r.e[i] * r.e[i])), (x, y) -> x + y))) AS cos
+      FROM l JOIN r ON l.vec_id != r.vec_id),
+    best AS (
+      SELECT lid, rid FROM (
+        SELECT lid, rid,
+               row_number() OVER (PARTITION BY lid
+                                  ORDER BY cos DESC, rid) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT array_to_string(list_transform(list_sort(list(lid || ':' || rid)),
+               x -> x::VARCHAR), '|') AS exact_pairs,
+           TRUE AS recall_ok
+    FROM best
+    """,
+)
+def similarity_ann_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN JOIN (operators/similarity.ann_join): every 20th
+    vector retrieves its nearest neighbor from the full corpus through
+    the IVF cell join — bounded candidates, never a cross product.
+    Invariant the oracle reproduces: the exact top-1 pair list (both
+    engines compute it exactly) plus ANN recall@1 >= 0.6 over those
+    queries (measured 1.0 @ sf0.01, 0.78 @ sf0.1 with c=8, p=4)."""
+    from pyspark.sql.window import Window as _W
+
+    from .operators.similarity import ann_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    lq = e.filter(F.col("vec_id") % 20 == 0)
+    ann = (
+        ann_join(lq, e, k=2, n_centroids=8, n_probes=4, dim=64)
+        .where(F.col("left_vec_id") != F.col("right_vec_id"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("left_vec_id")
+                .orderBy(F.col("cos").desc(), F.col("right_vec_id"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("left_vec_id").alias("lid"),
+            F.col("right_vec_id").alias("ann_rid"),
+        )
+    )
+    from .operators.similarity import cosine as _cos
+
+    r = e.select(
+        F.col("vec_id").alias("rid"), F.col("embedding").alias("re")
+    )
+    exact = (
+        lq.select(F.col("vec_id").alias("lid"), F.col("embedding").alias("le"))
+        .join(r, F.col("lid") != F.col("rid"))
+        .select(
+            "lid",
+            "rid",
+            _cos(F.col("le"), F.col("re"), 64, cast_elements=True).alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("lid").orderBy(F.col("cos").desc(), F.col("rid"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("lid", F.col("rid").alias("exact_rid"))
+    )
+    j = exact.join(ann, "lid", "left")
+    agg = j.agg(
+        F.concat_ws(
+            "|",
+            F.sort_array(
+                F.collect_list(
+                    F.concat_ws(":", F.col("lid"), F.col("exact_rid"))
+                )
+            ),
+        ).alias("exact_pairs"),
+        (
+            F.sum(
+                (F.col("ann_rid") == F.col("exact_rid")).cast("int")
+            )
+            / F.count(F.lit(1))
+            >= 0.6
+        ).alias("recall_ok"),
+    )
+    return agg

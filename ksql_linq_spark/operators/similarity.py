@@ -1037,3 +1037,82 @@ def ivfpq_topk(
         seed=seed + 100,
         rerank=rerank,
     )
+
+
+def ann_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 1,
+    n_centroids: int = 8,
+    n_probes: int = 2,
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate k-NN JOIN between two embedding tables — the
+    retrieval join (each left row fetches its nearest right rows)
+    behind RAG indexing, cross-corpus near-dedup, and label transfer.
+    NEVER an all-pairs product: the IVF quantizer trains on the RIGHT
+    (corpus) side, both sides assign/probe cells, and candidates are
+    bounded by cell size × n_probes.
+
+    Left-side probing is one Arrow pass (vectorized top-p centroid
+    argsort per batch); the cell equi-join shuffles both sides on the
+    cell key; per-left top-k is a WindowGroupLimit (rank prunes
+    map-side).  Output: (left_id, right_id, cos, rank).  Self-matches
+    survive when the same table is on both sides — filter on the
+    caller's identity columns if unwanted.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    assigned_r, centroids = ivf_assign(
+        right, n_centroids, vec_col, right_id, seed
+    )
+    C = np.array(centroids, dtype=np.float64)
+    Cn = np.sqrt((C**2).sum(1))
+    p = min(n_probes, len(centroids))
+
+    def _probes(vecs):
+        import pandas as pd
+
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        Mn = np.sqrt((M**2).sum(1))
+        Mn[Mn == 0] = 1.0
+        cos = (M @ C.T) / (Mn[:, None] * Cn[None, :])
+        top = np.argsort(-cos, axis=1)[:, :p]
+        return pd.Series(list(top.astype(np.int64)))
+
+    probes_of = pandas_udf(_probes, ArrayType(IntegerType()))
+    lp = left.select(
+        F.col(left_id).alias("_lid"),
+        F.col(vec_col).alias("_lv"),
+        F.explode(probes_of(F.col(vec_col))).alias("cell"),
+    )
+    rp = assigned_r.select(
+        F.col(right_id).alias("_rid"), F.col(vec_col).alias("_rv"), "cell"
+    )
+    d = dim
+    cand = lp.join(rp, "cell").select(
+        "_lid",
+        "_rid",
+        cosine(F.col("_lv"), F.col("_rv"), d, cast_elements=True).alias("cos"),
+    )
+    # distinct: a right row can appear in several probed cells? no — each
+    # right row has ONE cell; but a (left,right) pair can repeat only if
+    # the same right cell is probed twice, which explode prevents.
+    w = Window.partitionBy("_lid").orderBy(F.col("cos").desc(), F.col("_rid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_lid").alias(f"left_{left_id}"),
+            F.col("_rid").alias(f"right_{right_id}"),
+            "cos",
+            "rank",
+        )
+    )

@@ -1404,3 +1404,22 @@ def test_cm_sketch_merge_and_guarantee(spark):
     true_counts = {str(r.k): r.c for r in u.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
     for r in cm_estimate(su, list(range(12))).collect():
         assert r.est >= true_counts.get(r.key, 0)
+
+
+def test_ann_join_bounded_and_self_match(spark, sf_dir):
+    """ann_join: every left row's self-pair survives (cos=1 in its own
+    cell), candidates stay cell-bounded (never the cross product), and
+    ranks are dense per left row."""
+    from ksql_linq_spark.operators.similarity import ann_join
+
+    e = read_table(spark, sf_dir, "embeddings")
+    lq = e.limit(10)
+    out = ann_join(lq, e, k=3, n_centroids=4, n_probes=2, dim=64).collect()
+    by_left = {}
+    for r in out:
+        by_left.setdefault(r.left_vec_id, []).append(r)
+    for lid, rows in by_left.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        top = min(rows, key=lambda r: r.rank)
+        assert top.right_vec_id == lid and abs(top.cos - 1.0) < 1e-9
