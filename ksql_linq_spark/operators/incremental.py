@@ -116,3 +116,52 @@ def finalize(
             name, F.col(sum_name).cast("double") / F.col(cnt_name)
         )
     return out
+
+
+def repair_late_buckets(
+    spark,
+    bars_path: str,
+    all_ticks,
+    late_ticks,
+    keys: list[str],
+    ts_col: str,
+    price_col: str,
+    timeframe: str,
+    extra_aggs=None,
+):
+    """Late-data repair for a materialized bar table: recompute ONLY the
+    (key, bucket) cells the late ticks touch and MERGE them in — the
+    batch answer to W4's streaming grace period.  A watermark bounds
+    how late the STREAM accepts data; anything later lands here, as a
+    surgical backfill job, instead of forcing an unbounded watermark
+    (unbounded state) or a full-table rebuild.
+
+    Dataflow: late ticks → their distinct (keys, bucket) cells (tiny —
+    bounded by late volume, broadcast); semi-join gates the tick scan
+    to those cells (partition-prune when the table is date-partitioned,
+    SCALING.md OHLC sink layout); ohlc_bars re-aggregates just that
+    slice; layout.merge_upsert swaps the refreshed cells in atomically.
+    Cost scales with LATE volume, never table size.
+    """
+    from pyspark.sql import functions as F
+
+    from .ohlc import ohlc_bars
+    from .windows import bucket_start
+    from .layout import merge_upsert
+
+    b = bucket_start(F.col(ts_col), timeframe).alias("bucket_start")
+    touched = late_ticks.select(*keys, b).distinct()
+    t = touched.select(
+        *[F.col(k).alias(f"_t_{k}") for k in keys],
+        F.col("bucket_start").alias("_t_bucket"),
+    )
+    cond = bucket_start(F.col(ts_col), timeframe) == t["_t_bucket"]
+    for k in keys:
+        cond = cond & (all_ticks[k] == t[f"_t_{k}"])
+    affected = all_ticks.join(F.broadcast(t), cond, "left_semi")
+    refreshed = ohlc_bars(
+        affected, keys, ts_col, price_col, timeframe, extra_aggs=extra_aggs
+    )
+    merge_upsert(
+        spark, bars_path, refreshed, keys=[*keys, "bucket_start"]
+    )

@@ -309,3 +309,27 @@ def test_scd2_apply_batch_equals_full_rebuild(spark, sf_dir):
     a = sorted(map(tuple, full.collect()))
     b = sorted(map(tuple, inc.collect()))
     assert a == b
+
+
+def test_repair_late_buckets_matches_full_rebuild(spark, tmp_path, sf_dir):
+    """Late-data repair: materialize bars from on-time ticks, then
+    repair with the late slice — the merged table must equal the bars
+    of ALL ticks, and the repair recomputes only touched cells."""
+    from ksql_linq_spark.operators.incremental import repair_late_buckets
+    from ksql_linq_spark.operators.ohlc import ohlc_bars
+
+    ev = read_table(spark, sf_dir, "events")
+    # deterministic split: ~5% of rows are "late"
+    late = ev.filter(F.crc32(F.col("event_id").cast("string")) % 20 == 0)
+    ontime = ev.exceptAll(late)
+    path = str(tmp_path / "bars")
+    ohlc_bars(ontime, ["event_type"], "ts", "value", "5m").write.parquet(path)
+
+    repair_late_buckets(
+        spark, path, ev, late, ["event_type"], "ts", "value", "5m"
+    )
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    want = sorted(
+        map(tuple, ohlc_bars(ev, ["event_type"], "ts", "value", "5m").collect())
+    )
+    assert got == want
