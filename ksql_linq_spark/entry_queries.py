@@ -6623,7 +6623,7 @@ def audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_ann_join",
     oracle="""
     WITH l AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE vec_id % 20 = 0),
+               WHERE vec_id % 100 = 0),
     r AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     scored AS (
       SELECT l.vec_id AS lid, r.vec_id AS rid,
@@ -6647,7 +6647,7 @@ def audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_ann_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate k-NN JOIN (operators/similarity.ann_join): every 20th
+    """Approximate k-NN JOIN (operators/similarity.ann_join): every 100th
     vector retrieves its nearest neighbor from the full corpus through
     the IVF cell join — bounded candidates, never a cross product.
     Invariant the oracle reproduces: the exact top-1 pair list (both
@@ -6658,7 +6658,7 @@ def similarity_ann_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_join
 
     e = _t(spark, sf_dir, "embeddings")
-    lq = e.filter(F.col("vec_id") % 20 == 0)
+    lq = e.filter(F.col("vec_id") % 100 == 0)
     ann = (
         ann_join(lq, e, k=2, n_centroids=8, n_probes=4, dim=64)
         .where(F.col("left_vec_id") != F.col("right_vec_id"))
