@@ -333,3 +333,30 @@ def test_repair_late_buckets_matches_full_rebuild(spark, tmp_path, sf_dir):
         map(tuple, ohlc_bars(ev, ["event_type"], "ts", "value", "5m").collect())
     )
     assert got == want
+
+
+def test_scd2_apply_batch_empty_batch_is_identity(spark):
+    from datetime import datetime
+
+    from ksql_linq_spark.operators.scd import scd2_apply_batch, scd2_history
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "a"), (1, datetime(2024, 1, 2), 2, "b")],
+        "uid long, ts timestamp, eid long, tier string",
+    )
+    hist = scd2_history(ev, ["uid"], "ts", ["tier"], ["eid"])
+    empty = spark.createDataFrame([], ev.schema)
+    out = scd2_apply_batch(hist, empty, ["uid"], "ts", ["tier"], ["eid"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, hist.collect()))
+
+
+def test_interpolate_single_observation_passthrough(spark):
+    from datetime import datetime
+
+    from ksql_linq_spark.operators.gapfill import interpolate_linear
+
+    df = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1), 5.0)], "k string, b timestamp, v double"
+    )
+    out = interpolate_linear(df, ["k"], "b", "v", "15m").collect()
+    assert len(out) == 1 and out[0].v == 5.0 and not out[0].is_synthetic

@@ -1423,3 +1423,18 @@ def test_ann_join_bounded_and_self_match(spark, sf_dir):
         assert ranks == list(range(1, len(rows) + 1))
         top = min(rows, key=lambda r: r.rank)
         assert top.right_vec_id == lid and abs(top.cos - 1.0) < 1e-9
+
+
+def test_ann_join_empty_left_and_psi_empty_current(spark, sf_dir):
+    from ksql_linq_spark.operators.similarity import ann_join
+    from ksql_linq_spark.operators.stats import psi_drift
+
+    e = read_table(spark, sf_dir, "embeddings")
+    empty = e.limit(0)
+    assert ann_join(empty, e, k=1, n_centroids=4, n_probes=1, dim=64).count() == 0
+
+    ref = spark.createDataFrame([("a", float(i)) for i in range(100)], "k string, v double")
+    cur_empty = ref.limit(0)
+    # empty current snapshot: no rows for the key -> no PSI row (inner
+    # join on totals), never a crash or a fabricated zero
+    assert psi_drift(ref, cur_empty, "v", ["k"]).count() == 0
