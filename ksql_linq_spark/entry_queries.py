@@ -6716,3 +6716,51 @@ def similarity_ann_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall_ok"),
     )
     return agg
+
+
+@q(
+    "events_seasonal_residuals",
+    oracle="""
+    WITH prof AS (
+      SELECT event_type, dayofweek(ts) AS dow, hour(ts) AS hr,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+               AS expected
+      FROM events GROUP BY 1, 2, 3),
+    r AS (
+      SELECT e.event_id, e.event_type,
+             round(p.expected, 6) AS expected,
+             round(e.value - p.expected, 6) AS residual
+      FROM events e JOIN prof p
+        ON e.event_type = p.event_type
+       AND dayofweek(e.ts) = p.dow AND hour(e.ts) = p.hr)
+    SELECT event_id, event_type, expected, residual
+    FROM r ORDER BY abs(residual) DESC, event_id LIMIT 20
+    """,
+)
+def events_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality de-trending (operators/stats.seasonal_baseline):
+    expected value per (type, dow, hour) from a bounded broadcast
+    profile, residual as a codegen projection, top-20 absolute
+    residuals via TakeOrdered — the de-seasonalized anomaly feed.
+    DuckDB dayofweek() is 0-6 Sunday-first vs Spark's 1-7; both only
+    key the profile, so the cells align without translation."""
+    from .operators.stats import seasonal_baseline
+
+    ev = _t(spark, sf_dir, "events")
+    r = seasonal_baseline(ev, ["event_type"], "ts", "value")
+    return (
+        r.select(
+            "event_id",
+            "event_type",
+            F.round("expected", 6).alias("expected"),
+            F.round(F.col("value") - F.col("expected"), 6).alias("residual"),
+        )
+        .orderBy(
+            # order on the ROUNDED residual, matching the oracle's sort
+            # key exactly — otherwise rounding collapses near-ties
+            # differently across engines
+            F.abs(F.round(F.col("residual"), 6)).desc(),
+            "event_id",
+        )
+        .limit(20)
+    )

@@ -323,3 +323,38 @@ def psi_drift(
             F.first("n_cur").alias("n_cur"),
         )
     )
+
+
+def seasonal_baseline(
+    df,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+):
+    """Weekly-seasonality baseline: expected value per (key, day-of-week,
+    hour-of-day) as a DECIMAL-exact mean — the de-seasonalizing step
+    before any residual-based anomaly rule (a Monday-9am spike is only
+    a spike relative to Monday 9am).
+
+    The profile is a bounded dim (keys × 168 cells) built in one
+    grouped aggregate and broadcast back; residual = value − expected
+    is a codegen projection.  Returns the input plus ``expected`` and
+    ``residual``.
+    """
+    from pyspark.sql import functions as F
+
+    dow = F.dayofweek(F.col(ts_col)).alias("_dow")
+    hr = F.hour(F.col(ts_col)).alias("_hr")
+    cells = df.select(*keys, dow, hr, F.col(value_col))
+    prof = cells.groupBy(*keys, "_dow", "_hr").agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("expected")
+    )
+    out = df.select("*", dow, hr).join(
+        F.broadcast(prof), [*keys, "_dow", "_hr"]
+    )
+    return out.withColumn(
+        "residual", F.col(value_col) - F.col("expected")
+    ).drop("_dow", "_hr")
