@@ -6764,3 +6764,28 @@ def events_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@q(
+    "dedup_graph_triangles",
+    oracle=f"""
+    WITH {_DK_LSH_PAIRS}
+    SELECT count(*)::BIGINT AS triangles
+    FROM pairs p1
+    JOIN pairs p2 ON p1.id_a = p2.id_a AND p1.id_b < p2.id_b
+    JOIN pairs p3 ON p3.id_a = p1.id_b AND p3.id_b = p2.id_b
+    """,
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the MinHash-LSH near-dup graph
+    (operators/graph.triangle_count): dense template clusters close
+    triangles, incremental-edit chains do not — the structural signal
+    separating the two dedup policies.  Degree-ordered orientation
+    bounds the two-path join by arboricity (hub-proof); the oracle
+    enumerates a<b<c triangles directly."""
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.graph import triangle_count
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_n=3)
+    return triangle_count(pairs)

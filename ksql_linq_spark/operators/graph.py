@@ -113,3 +113,54 @@ def dedup_clusters(
     return df.join(cc, df[id_col] == cc["node"], "left").select(
         df["*"], F.coalesce("component", df[id_col]).alias("cluster_id")
     )
+
+
+def triangle_count(pairs, id_a: str = "id_a", id_b: str = "id_b"):
+    """Exact triangle count over an undirected edge list — the
+    clustering-coefficient numerator that distinguishes a near-dup
+    CLUSTER (template pages: dense, many triangles) from a CHAIN
+    (incremental edits: sparse, none).  Degree-ordered edge orientation
+    (each edge points low-degree → high-degree, ties by id) bounds the
+    join fan-out by the graph's arboricity — the classic trick that
+    keeps the two-path join from exploding on hubs.
+
+    Two self-joins on the oriented edge list, both key-partitioned.
+    Returns a 1-row DataFrame: ``triangles``.
+    """
+    from pyspark.sql import functions as F
+
+    e = pairs.select(
+        F.least(id_a, id_b).alias("u"), F.greatest(id_a, id_b).alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("o")
+        )
+        .select(F.col("o.s").alias("s"), F.col("o.t").alias("t"))
+    )
+    p2 = (
+        ed.alias("a")
+        .join(ed.alias("b"), F.col("a.s") == F.col("b.s"))
+        .where(F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("x"), F.col("b.t").alias("y"))
+    )
+    closed = p2.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("triangles"))

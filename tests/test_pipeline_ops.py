@@ -1438,3 +1438,26 @@ def test_ann_join_empty_left_and_psi_empty_current(spark, sf_dir):
     # empty current snapshot: no rows for the key -> no PSI row (inner
     # join on totals), never a crash or a fabricated zero
     assert psi_drift(ref, cur_empty, "v", ["k"]).count() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    from ksql_linq_spark.operators.graph import triangle_count
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    assert triangle_count(tri).first().triangles == 1
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "id_a long, id_b long",
+    )
+    assert triangle_count(k4).first().triangles == 4
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    assert triangle_count(chain).first().triangles == 0
+    # duplicate + reversed edges collapse before counting
+    dup = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)], "id_a long, id_b long"
+    )
+    assert triangle_count(dup).first().triangles == 1

@@ -1073,3 +1073,40 @@ def test_streaming_scd2_maintenance_matches_batch(spark, tmp_path):
         map(tuple, scd2_history(df, ["uid"], "ts", ["tier"], ["eid"]).collect())
     )
     assert maintained == rebuilt
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir, event_stream):
+    """W-superset: native session windows under Structured Streaming —
+    append-mode emission after watermark close matches the batch
+    session_window aggregation on the same data."""
+    agg = (
+        event_stream.withWatermark("ts", "1 second")
+        .groupBy("event_type", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.col("session_window.start").alias("s"),
+            "n",
+        )
+    )
+    q = start_memory_sink(agg, "t_sess_stream", "append")
+    _drain(q)
+    got = {
+        (r["event_type"], r["s"]): r["n"]
+        for r in spark.sql("SELECT * FROM t_sess_stream").collect()
+    }
+    from ksql_linq_spark.sources import read_table
+
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("session_window.start").alias("s"), "n")
+    )
+    want = {(r["event_type"], r["s"]): r["n"] for r in batch.collect()}
+    # streaming emits every session whose close precedes the final
+    # watermark; with a 1s grace all but the tail sessions emit
+    assert got
+    for k, v in got.items():
+        assert want.get(k) == v
+    assert len(got) >= len(want) - 5 * 2  # at most the open tail missing
