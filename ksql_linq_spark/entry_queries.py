@@ -6789,3 +6789,65 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_n=3)
     return triangle_count(pairs)
+
+
+@q(
+    "audit_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 3 != 0),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 != 0),
+    j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+             o.o_orderkey IS NULL AS only_new,
+             n.o_orderkey IS NULL AS only_old,
+             (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) AS d_status,
+             (o.o_totalprice IS DISTINCT FROM n.o_totalprice) AS d_price
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT CASE WHEN only_new THEN 'added'
+                WHEN only_old THEN 'removed'
+                WHEN d_status OR d_price THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n,
+           sum(CASE WHEN NOT only_new AND NOT only_old AND d_status
+                    THEN 1 ELSE 0 END) AS n_diff_o_orderstatus,
+           sum(CASE WHEN NOT only_new AND NOT only_old AND d_price
+                    THEN 1 ELSE 0 END) AS n_diff_o_totalprice
+    FROM j GROUP BY 1
+    """,
+)
+def audit_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators/quality.table_diff): two
+    deterministic synthetic runs of the orders pipeline (one drops
+    keys, one perturbs prices) roll up to added/removed/changed/
+    unchanged with per-column change attribution — one full-outer key
+    join + a bounded summary, the CI gate between pipeline runs."""
+    from .operators.quality import table_diff
+
+    od = _t(spark, sf_dir, "orders")
+    old = od.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = od.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    _, summary = table_diff(old, new, ["o_orderkey"])
+    return summary.select(
+        "status",
+        "n",
+        F.coalesce("n_diff_o_orderstatus", F.lit(0)).alias(
+            "n_diff_o_orderstatus"
+        ),
+        F.coalesce("n_diff_o_totalprice", F.lit(0)).alias(
+            "n_diff_o_totalprice"
+        ),
+    )

@@ -253,3 +253,65 @@ def profile_table(
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+):
+    """Keyed snapshot diff — the regression gate between two runs of
+    the same pipeline: per-key status ``added`` / ``removed`` /
+    ``changed`` / ``unchanged``, with changed-ness attributed per
+    compared column (null-safe equality).  One full-outer join on the
+    key; at scale both snapshots shuffle once on the same key (or
+    co-locate for free from a bucketed layout, operators/layout.py).
+
+    Returns (per_key_df, summary_df): the row-level statuses and the
+    bounded per-status/per-column rollup a CI check asserts on.
+    """
+    from pyspark.sql import functions as F
+
+    compare_cols = compare_cols or [
+        c for c in old.columns if c not in keys and c in new.columns
+    ]
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_o"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_n"),
+    )
+    j = o.join(n, keys, "full_outer")
+    in_both = F.col("_in_o").isNotNull() & F.col("_in_n").isNotNull()
+    # per-column diffs only count for keys present in BOTH snapshots —
+    # added/removed rows differ by existence, not by column value
+    diffs = [
+        (in_both & ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))).alias(
+            f"diff_{c}"
+        )
+        for c in compare_cols
+    ]
+    any_diff = None
+    for c in compare_cols:
+        d = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        any_diff = d if any_diff is None else (any_diff | d)
+    status = (
+        F.when(F.col("_in_o").isNull(), "added")
+        .when(F.col("_in_n").isNull(), "removed")
+        .when(any_diff, "changed")
+        .otherwise("unchanged")
+    )
+    per_key = j.select(*keys, status.alias("status"), *diffs)
+    summary = per_key.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col(f"diff_{c}").cast("int")).alias(f"n_diff_{c}")
+            for c in compare_cols
+        ],
+    )
+    return per_key, summary

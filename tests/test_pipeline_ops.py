@@ -1461,3 +1461,22 @@ def test_triangle_count_known_graphs(spark):
         [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)], "id_a long, id_b long"
     )
     assert triangle_count(dup).first().triangles == 1
+
+
+def test_table_diff_statuses_and_attribution(spark):
+    from ksql_linq_spark.operators.quality import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    per_key, summary = table_diff(old, new, ["k"])
+    st = {r.k: r.status for r in per_key.collect()}
+    assert st == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    sm = {r.status: r for r in summary.collect()}
+    assert sm["changed"].n_diff_s == 1 and sm["changed"].n_diff_v == 0
+    assert sm["removed"].n_diff_s == 0  # existence, not value, differs
