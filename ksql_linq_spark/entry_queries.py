@@ -6851,3 +6851,62 @@ def audit_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_diff_o_totalprice"
         ),
     )
+
+
+@q(
+    "events_pattern_view_purchase_no_error",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM events),
+    a AS (SELECT user_id, ts, event_id, cum AS ca FROM base
+          WHERE event_type = 'view'),
+    b0 AS (SELECT user_id, ts AS b_ts, event_id AS b_id, cum AS cb
+           FROM base WHERE event_type = 'purchase'),
+    b AS (SELECT user_id, b_ts, cb FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, b_ts
+                                         ORDER BY b_id) AS rn
+            FROM b0) WHERE rn = 1)
+    SELECT a.user_id, a.event_id, a.ts,
+           l.b_ts IS NOT NULL AS matched,
+           coalesce(l.b_ts IS NOT NULL AND l.cb - a.ca > 0, FALSE)
+             AS blocked,
+           (l.b_ts IS NOT NULL
+            AND NOT coalesce(l.cb - a.ca > 0, FALSE)) AS fired,
+           round(CASE WHEN l.b_ts IS NOT NULL
+                      THEN epoch(l.b_ts) - epoch(a.ts) END, 6) AS gap_s
+    FROM a LEFT JOIN LATERAL (
+      SELECT b.b_ts, b.cb FROM b
+      WHERE b.user_id = a.user_id AND b.b_ts > a.ts
+        AND b.b_ts <= a.ts + INTERVAL 1800 seconds
+      ORDER BY b.b_ts LIMIT 1) l ON true
+    """,
+)
+def events_pattern_view_purchase_no_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CEP pattern view→purchase within 30 min with no error between
+    (operators/funnel.pattern_a_then_b_without_c): the MATCH_RECOGNIZE
+    shape as one running-count window + one forward as-of join —
+    "no C between" is a subtraction of cumulative deny counts, never
+    an interval self-join.  B events dedup to one row per (user, ts)
+    so the as-of match is unambiguous under timestamp ties."""
+    from pyspark.sql.window import Window as _W
+
+    from .operators.funnel import pattern_a_then_b_without_c
+
+    ev = _t(spark, sf_dir, "events")
+    b_first = _W.partitionBy("user_id", "ts").orderBy("event_id")
+    dedup_b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("_rn", F.row_number().over(b_first))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    src = ev.filter(F.col("event_type") != "purchase").unionByName(dedup_b)
+    return pattern_a_then_b_without_c(
+        src, "view", "purchase", "error", 1800
+    )

@@ -16,7 +16,7 @@ one row per user per step; nothing collects, nothing sorts globally.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -138,4 +138,75 @@ def retention_cohorts(
             (days / per).cast("int").alias("period_offset"),
         )
         .agg(F.count_distinct("user").alias("n_active"))
+    )
+
+
+def pattern_a_then_b_without_c(
+    df: DataFrame,
+    a: str,
+    b: str,
+    deny: str,
+    within_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Complex-event pattern: for every A event, did a B follow within
+    T seconds WITHOUT a deny event (C) in between — MATCH_RECOGNIZE's
+    bread-and-butter shape (fraud checks, abandoned-cart alerts,
+    SLA breach detection), which neither ksqlDB's reference surface nor
+    Spark exposes natively.
+
+    Dataflow — no interval self-join anywhere: one user-keyed window
+    computes the running deny count; the A→B step is the ordered as-of
+    join (operators/asof.py, forward, strict, tolerance=T — one
+    shuffle, no candidate expansion); "no C between" falls out as a
+    SUBTRACTION of running counts (deny_between = cum_at_B − cum_at_A),
+    because denies partition the (ts, id) order.  Returns one row per A:
+    matched (B exists within T), blocked (a deny intervened),
+    fired (matched ∧ ¬blocked), gap_s.
+    """
+    from .asof import asof_join
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    cum = F.sum((F.col(type_col) == deny).cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = df.select(
+        user_col, ts_col, id_col, type_col, cum.alias("_cum")
+    )
+    A = base.filter(F.col(type_col) == a).select(
+        user_col, ts_col, id_col, F.col("_cum").alias("_ca")
+    )
+    B = base.filter(F.col(type_col) == b).select(
+        user_col,
+        F.col(ts_col).alias("_b_ts"),
+        F.col("_cum").alias("_cb"),
+    )
+    j = asof_join(
+        A,
+        B,
+        on=[user_col],
+        left_ts=ts_col,
+        right_ts="_b_ts",
+        direction="forward",
+        strict=True,
+        tolerance=float(within_seconds),
+        how="left",
+    )
+    matched = F.col("_b_ts").isNotNull()
+    blocked = matched & (F.col("_cb") - F.col("_ca") > 0)
+    gap = F.when(
+        matched,
+        F.col("_b_ts").cast("double") - F.col(ts_col).cast("double"),
+    )
+    return j.select(
+        user_col,
+        id_col,
+        F.col(ts_col),
+        matched.alias("matched"),
+        F.coalesce(blocked, F.lit(False)).alias("blocked"),
+        (matched & ~F.coalesce(blocked, F.lit(False))).alias("fired"),
+        F.round(gap, 6).alias("gap_s"),
     )

@@ -360,3 +360,30 @@ def test_interpolate_single_observation_passthrough(spark):
     )
     out = interpolate_linear(df, ["k"], "b", "v", "15m").collect()
     assert len(out) == 1 and out[0].v == 5.0 and not out[0].is_synthetic
+
+
+def test_pattern_a_then_b_without_c_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from ksql_linq_spark.operators.funnel import pattern_a_then_b_without_c
+
+    t0 = datetime(2024, 1, 1)
+
+    def e(i, u, typ, secs):
+        return (i, u, typ, t0 + timedelta(seconds=secs))
+
+    rows = [
+        e(1, 1, "view", 0), e(2, 1, "purchase", 60),            # fired
+        e(3, 2, "view", 0), e(4, 2, "error", 30), e(5, 2, "purchase", 60),  # blocked
+        e(6, 3, "view", 0), e(7, 3, "purchase", 4000),          # outside 30min
+        e(8, 4, "view", 0),                                     # no B at all
+        e(9, 5, "view", 0), e(10, 5, "purchase", 1800),         # boundary: exactly T
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = {r.event_id: r for r in pattern_a_then_b_without_c(
+        df, "view", "purchase", "error", 1800).collect()}
+    assert out[1].fired and not out[1].blocked and out[1].gap_s == 60.0
+    assert out[3].matched and out[3].blocked and not out[3].fired
+    assert not out[6].matched and not out[6].fired
+    assert not out[8].matched
+    assert out[9].matched and out[9].gap_s == 1800.0  # tolerance inclusive
