@@ -381,3 +381,27 @@ def test_parquet_aggregate_pushdown_serves_count_from_metadata(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
         spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+
+
+def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
+    """Scale posture: a date-partitioned fact joined to a filtered dim
+    must plan a dynamicpruning#N subquery on the partition column —
+    at 100 TB DPP is the difference between scanning 3 partitions and
+    3000.  The fact is written partitioned here (the OHLC sink layout
+    SCALING.md prescribes); the dim filter is non-partition-key."""
+    from ksql_linq_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    fact = ev.withColumn("d", F.to_date("ts"))
+    path = str(tmp_path / "fact_part")
+    fact.write.partitionBy("d").parquet(path)
+    dim = (
+        ev.select(F.to_date("ts").alias("d"), F.col("event_type").alias("et"))
+        .distinct()
+        .filter(F.col("et") == "purchase")
+        .limit(3)
+    )
+    f = spark.read.parquet(path)
+    j = f.join(dim, "d").groupBy("et").count()
+    plan = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in plan
