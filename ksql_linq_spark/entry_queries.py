@@ -6910,3 +6910,50 @@ def events_pattern_view_purchase_no_error(
     return pattern_a_then_b_without_c(
         src, "view", "purchase", "error", 1800
     )
+
+
+@q(
+    "events_session_funnel",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS ns
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_type,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    f1 AS (SELECT user_id, sid, min(ts) AS t1 FROM s
+           WHERE event_type = 'view' GROUP BY 1, 2),
+    f2 AS (SELECT s.user_id, s.sid, min(s.ts) AS t2
+           FROM s JOIN f1 ON s.user_id = f1.user_id AND s.sid = f1.sid
+           WHERE s.event_type = 'click' AND s.ts > f1.t1 GROUP BY 1, 2),
+    f3 AS (SELECT s.user_id, s.sid, min(s.ts) AS t3
+           FROM s JOIN f2 ON s.user_id = f2.user_id AND s.sid = f2.sid
+           WHERE s.event_type = 'purchase' AND s.ts > f2.t2 GROUP BY 1, 2),
+    c AS (SELECT (SELECT count(*) FROM f1) AS n1,
+                 (SELECT count(*) FROM f2) AS n2,
+                 (SELECT count(*) FROM f3) AS n3)
+    SELECT 1 AS step_no, 'view' AS step, n1 AS n_sessions,
+           round(CAST(n1 AS DOUBLE) / n1, 6) AS conversion FROM c
+    UNION ALL
+    SELECT 2, 'click', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM c
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-session funnel view→click→purchase with a 30-min inactivity
+    gap (operators/funnel.session_funnel): gap-rule session ids from
+    one lag+running-sum window, then funnel_times verbatim on the
+    composite (user, session) key — conversion within one visit, the
+    number product analytics reports."""
+    from .operators.funnel import session_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return session_funnel(ev, ["view", "click", "purchase"], 1800)

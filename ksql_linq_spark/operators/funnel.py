@@ -210,3 +210,59 @@ def pattern_a_then_b_without_c(
         (matched & ~F.coalesce(blocked, F.lit(False))).alias("fired"),
         F.round(gap, 6).alias("gap_s"),
     )
+
+
+def session_funnel(
+    events: DataFrame,
+    steps: list[str],
+    gap_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Funnel conversion at SESSION granularity: the ordered chain must
+    complete within one inactivity-bounded visit, not across a user's
+    lifetime — the form product analytics actually reports ("in-session
+    conversion").  Sessions come from the standard gap rule (new
+    session when the user pauses > gap_seconds), assigned with one
+    lag + running-sum window — the same key-local topology as
+    scd2_history's version counter, and expressible identically in
+    SQL (unlike F.session_window, whose merge step has no oracle twin).
+
+    The per-session funnel then REUSES funnel_times verbatim on the
+    composite (user, session) key.  Returns one row per step:
+    (step_no, step, n_sessions, conversion vs step 1).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_s = (
+        prev.isNull()
+        | ((F.col(ts_col).cast("double") - prev.cast("double")) > gap_seconds)
+    ).cast("int")
+    sess = events.withColumn(
+        "_sid", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        "_skey",
+        F.concat_ws(":", F.col(user_col).cast("string"), F.col("_sid")),
+    )
+    ft = funnel_times(sess, steps, user_col="_skey", ts_col=ts_col,
+                      type_col=type_col)
+    counts = ft.agg(
+        *[
+            F.count(F.col(f"t{i}")).alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    step_structs = [
+        F.struct(
+            F.lit(i).alias("step_no"),
+            F.lit(s).alias("step"),
+            F.col(f"n{i}").alias("n_sessions"),
+            F.round(F.col(f"n{i}") / F.col("n1"), 6).alias("conversion"),
+        )
+        for i, s in enumerate(steps, start=1)
+    ]
+    return counts.select(
+        F.explode(F.array(*step_structs)).alias("r")
+    ).select("r.*")

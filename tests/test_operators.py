@@ -387,3 +387,30 @@ def test_pattern_a_then_b_without_c_semantics(spark):
     assert not out[6].matched and not out[6].fired
     assert not out[8].matched
     assert out[9].matched and out[9].gap_s == 1800.0  # tolerance inclusive
+
+
+def test_session_funnel_does_not_convert_across_sessions(spark):
+    from datetime import datetime, timedelta
+
+    from ksql_linq_spark.operators.funnel import session_funnel
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # session 1: view only; purchase happens hours later (new session)
+        (1, 1, "view", t0),
+        (2, 1, "click", t0 + timedelta(hours=5)),          # session 2
+        (3, 1, "purchase", t0 + timedelta(hours=5, minutes=1)),
+        # user 2: full chain inside one session
+        (4, 2, "view", t0),
+        (5, 2, "click", t0 + timedelta(minutes=1)),
+        (6, 2, "purchase", t0 + timedelta(minutes=2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r.step: r for r in session_funnel(df, ["view", "click", "purchase"], 1800).collect()}
+    # sessions with a view: user1-s1 and user2-s1 (user1-s2 has no view)
+    assert out["view"].n_sessions == 2
+    assert out["click"].n_sessions == 1    # only user 2 converts in-session
+    assert out["purchase"].n_sessions == 1
+    assert out["purchase"].conversion == 0.5
