@@ -212,8 +212,10 @@ def cm_estimate(
         probe_rows, f"{key_name} string, depth int, slot bigint"
     )
     return (
-        F.broadcast(probes)
-        .join(counters, ["depth", "slot"], "left")
+        # broadcast the COUNTER table (fixed depth x width rows) — a
+        # broadcast hint on the preserved side of a left join is
+        # silently ignored; the build side is the right one anyway
+        probes.join(F.broadcast(counters), ["depth", "slot"], "left")
         .na.fill({"n": 0})
         .groupBy(key_name)
         .agg(F.min("n").alias("est"))
