@@ -6957,3 +6957,117 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return session_funnel(ev, ["view", "click", "purchase"], 1800)
+
+
+@q(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM act),
+    dau AS (SELECT day, count(*) AS dau FROM act GROUP BY 1),
+    wau AS (
+      SELECT d.day, count(DISTINCT a.user_id) AS wau
+      FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1)
+    SELECT d.day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM days d JOIN dau ON d.day = dau.day JOIN wau ON d.day = wau.day
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness — the product-analytics
+    headline metric.  Scale shape: activity reduces to DISTINCT
+    (user, day) FIRST (the only corpus-sized pass); each activity day
+    then EXPLODES into the ≤7 window days it serves (bounded fan-out,
+    no day×activity range join, no per-day rescans) and one
+    count_distinct per day finishes.  The day spine semi-gates the
+    explode so partial leading windows match the oracle's clipped
+    BETWEEN join."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = act.select("day").distinct()
+    contrib = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+    ).join(F.broadcast(days.withColumnRenamed("day", "wday")), "wday", "left_semi")
+    wau = contrib.groupBy(F.col("wday").alias("day")).agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    dau = act.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+@q(
+    "events_type_cooccurrence_lift",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    singles AS (SELECT event_type, count(*) AS c FROM ut GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS c_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.t1, p.t2, p.c_ab,
+           round((CAST(p.c_ab AS DOUBLE) / n.n_users)
+                 / ((CAST(s1.c AS DOUBLE) / n.n_users)
+                    * (CAST(s2.c AS DOUBLE) / n.n_users)), 6) AS lift
+    FROM pairs p
+    JOIN singles s1 ON p.t1 = s1.event_type
+    JOIN singles s2 ON p.t2 = s2.event_type
+    CROSS JOIN n
+    """,
+)
+def events_type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift between event types (market-basket shape):
+    co-occurrence counted over the DISTINCT (user, type) projection —
+    the self-join runs on the reduced frame (users × ≤|types|), never
+    raw events; lift = P(ab)/(P(a)P(b)) from one broadcast singles dim
+    and a 1-row user total.  Bounded output: type-pair matrix."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().count()
+    a = ut.select("user_id", F.col("event_type").alias("t1"))
+    b = ut.select("user_id", F.col("event_type").alias("t2"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    s1 = singles.select(F.col("event_type").alias("t1"), F.col("c").alias("c1"))
+    s2 = singles.select(F.col("event_type").alias("t2"), F.col("c").alias("c2"))
+    nu = F.lit(float(n_users))
+    return (
+        pairs.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "c_ab",
+            F.round(
+                (F.col("c_ab").cast("double") / nu)
+                / (
+                    (F.col("c1").cast("double") / nu)
+                    * (F.col("c2").cast("double") / nu)
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
