@@ -7071,3 +7071,40 @@ def events_type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("lift"),
         )
     )
+
+
+@q(
+    "corpus_weighted_median_length",
+    oracle="""
+    WITH t AS (
+      SELECT lang, n_chars,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x != '')) AS toks
+      FROM documents),
+    cum AS (
+      SELECT lang, n_chars, toks,
+             sum(toks) OVER (PARTITION BY lang ORDER BY n_chars
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(toks) OVER (PARTITION BY lang) AS tw
+      FROM t)
+    SELECT lang, min(n_chars) AS weighted_median
+    FROM cum WHERE cw * 2 >= tw GROUP BY lang
+    """,
+)
+def corpus_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass-weighted median document length per language
+    (operators/sketch.weighted_median): the length at which half the
+    language's TOKEN MASS sits — the budget-relevant center, where the
+    unweighted median over-counts short docs.  One value-ordered
+    window + broadcast totals, all-integer comparisons.
+
+    Tie contract: duplicate n_chars values make the running sum
+    order-dependent WITHIN the tie group, but the reported minimum
+    qualifying VALUE is order-free — any permutation of a tie block
+    crosses the half-mass threshold inside the same block."""
+    from .operators.sketch import weighted_median
+    from .operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("lang", "n_chars", token_count("text").alias("toks"))
+    return weighted_median(t, "n_chars", "toks", keys=["lang"])

@@ -220,3 +220,41 @@ def cm_estimate(
         .groupBy(key_name)
         .agg(F.min("n").alias("est"))
     )
+
+
+def weighted_median(
+    df,
+    value_col: str,
+    weight_col: str,
+    keys: list[str] | None = None,
+):
+    """Exact weighted median per group: the smallest value whose running
+    weight reaches half the group's total — e.g. the document length at
+    which half the corpus's TOKEN MASS sits (unweighted medians
+    over-represent short documents; budget decisions follow mass).
+
+    One value-ordered window per group for the running sum + one 1-row
+    (per-group) total broadcast back; both shuffles key on the group.
+    All-integer comparisons when weights are integers — engine-exact.
+    At unbounded group cardinality this is the exact regime; the GK
+    sketch generalizes to weighted ranks the same way group_percentiles
+    switches.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = keys or []
+    w = Window.partitionBy(*keys).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = df.select(
+        *keys, F.col(value_col), F.col(weight_col)
+    ).withColumn("_cw", F.sum(weight_col).over(w))
+    totals = cum.groupBy(*keys).agg(F.sum(weight_col).alias("_tw"))
+    j = cum.join(F.broadcast(totals), keys) if keys else cum.crossJoin(
+        F.broadcast(totals)
+    )
+    hit = j.where(F.col("_cw") * 2 >= F.col("_tw"))
+    return hit.groupBy(*keys).agg(
+        F.min(value_col).alias("weighted_median")
+    )

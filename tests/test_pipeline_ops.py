@@ -1480,3 +1480,16 @@ def test_table_diff_statuses_and_attribution(spark):
     sm = {r.status: r for r in summary.collect()}
     assert sm["changed"].n_diff_s == 1 and sm["changed"].n_diff_v == 0
     assert sm["removed"].n_diff_s == 0  # existence, not value, differs
+
+
+def test_weighted_median_vs_model(spark):
+    from ksql_linq_spark.operators.sketch import weighted_median
+
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 10), ("g", 4, 1),
+            ("h", 5, 3), ("h", 7, 1)]
+    df = spark.createDataFrame(rows, "k string, v int, w int")
+    out = {r.k: r.weighted_median for r in weighted_median(df, "v", "w", ["k"]).collect()}
+    # g: total 13, half 6.5 -> crossing inside v=3's mass
+    assert out["g"] == 3
+    # h: total 4, half 2 -> v=5 (cum 3 >= 2)
+    assert out["h"] == 5
