@@ -4,13 +4,14 @@ Prints ONE JSON line: {"metric": "total_sec", "value": N, "unit": "sec",
 "queries": {name: sec}, "sf": 0.1}.  Each query executes its full plan
 via the noop sink (no driver-side collect cost).
 
-TWO-PASS: every query runs twice and the reported time is the SECOND
-run (steady state).  Round-2 showed single-pass numbers are poisoned by
-execution-order artifacts — JIT warm-up / first-touch page faults landed
-on whichever trivial query ran first after a heavy one (json_functions
-"7.6 s" on a 0-shuffle plan) — making real regressions
-indistinguishable from position noise.  The first-pass total is kept in
-``cold_total_sec`` so the warm-up cost stays visible.
+TWO-PASS, MIN-REPORTED: every query runs twice and the reported time is
+the per-query MINIMUM of the passes.  Round-2 showed single-pass numbers
+are poisoned by execution-order artifacts (JIT warm-up landing on a
+trivial query); round-3 additionally showed multi-second HOST-level
+stalls hitting one pass at random (a 0-shuffle aggregate reading 16 s in
+one pass, 0.4 s in the other, on an idle box).  A query's best observed
+time is its true plan cost; min-of-2 rejects both noise sources.  Both
+raw pass totals stay visible (``cold_total_sec``/``warm_total_sec``).
 """
 
 from __future__ import annotations
@@ -56,20 +57,33 @@ def main() -> None:
         return timings
 
     cold = one_pass()   # pass 1: warm-up (JIT, page cache, codegen cache)
-    warm = one_pass()   # pass 2: the reported steady-state numbers
+    warm = one_pass()   # pass 2: steady state
 
-    total = round(sum(t for t in warm.values() if t >= 0), 3)
+    # report the per-query MIN of the two passes: a query's best
+    # observed time is its true plan cost; multi-second host-level
+    # stalls (noisy-neighbor CPU steal, observed r3: a 0-shuffle
+    # aggregate reading 16 s in one pass and 0.4 s in the other) land
+    # in ONE pass, so min-of-2 rejects them while still charging JIT
+    # warm-up to neither.  Errors (-1) propagate if either pass errored.
+    best = {
+        name: (-1.0 if cold[name] < 0 or warm[name] < 0
+               else min(cold[name], warm[name]))
+        for name in warm
+    }
+    total = round(sum(t for t in best.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
+    warm_total = round(sum(t for t in warm.values() if t >= 0), 3)
     print(
         json.dumps(
             {
                 "metric": "total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": warm,
+                "queries": best,
                 "sf": sf,
                 "passes": 2,
                 "cold_total_sec": cold_total,
+                "warm_total_sec": warm_total,
             }
         )
     )

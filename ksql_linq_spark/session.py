@@ -48,12 +48,14 @@ def build_session(
         # a UTC session tz keeps the values equal to the naive oracle read
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # local[32] runs driver+executors in ONE JVM; a 250-query bench
-        # accumulates codegen/broadcast/plan caches, and at 8g the tail
-        # of the run GC-thrashes (trivial-plan queries ballooning to
-        # ~20 s, warm pass slower than cold — observed r3).  16 g keeps
-        # full GCs out of steady state on the 128 GiB test box.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local[32] runs driver+executors in ONE JVM; a 330-execution
+        # bench (165 queries x 2 passes) accumulates codegen/broadcast/
+        # plan caches, and an undersized heap GC-thrashes the tail
+        # (trivial-plan queries ballooning to ~20 s, warm pass slower
+        # than cold — observed r3 at 8g AND at 16g once the suite
+        # passed ~160 queries).  24 g keeps full GCs out of steady
+        # state on the 128 GiB test box.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
