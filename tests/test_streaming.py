@@ -1110,3 +1110,51 @@ def test_streaming_session_window_matches_batch(spark, sf_dir, event_stream):
     for k, v in got.items():
         assert want.get(k) == v
     assert len(got) >= len(want) - 5 * 2  # at most the open tail missing
+
+
+def test_streaming_curation_pipeline_end_to_end(spark, tmp_path):
+    """Flagship streaming composition: document stream -> quality gate
+    (fused rules, violation reasons) -> exact-dedup within watermark ->
+    clean sink, with rejects routed to a quarantine table carrying
+    their reasons.  Every stage is the already-tested operator; this
+    pins that they COMPOSE under Structured Streaming."""
+    import datetime as dtm
+
+    from ksql_linq_spark.operators.quality import in_range, not_null, validate
+    from ksql_linq_spark.operators.text import fingerprint
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        (1, "good doc body with plenty of text", 34, t0),
+        (2, "good doc body with plenty of text", 34, t0),   # dup of 1
+        (3, None, 0, t0),                                    # null text
+        (4, "x", 1, t0),                                     # too short
+        (5, "another clean document entirely", 31, t0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long, ts timestamp")
+    df.coalesce(1).write.parquet(str(tmp_path / "in" / "1"))
+    src = spark.readStream.schema(df.schema).parquet(str(tmp_path / "in" / "*"))
+
+    validated = validate(
+        src, [not_null("text"), in_range("n_chars", 10, 100000)]
+    )
+    clean = (
+        validated.where(F.size("_violations") == 0)
+        .withColumn("fp", fingerprint(F.col("text")))
+        .withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("_violations")
+    )
+    quarantine = validated.where(F.size("_violations") > 0).select(
+        "doc_id", F.col("_violations").alias("reasons")
+    )
+    q1 = start_memory_sink(clean, "t_cur_clean", "append")
+    q2 = start_memory_sink(quarantine, "t_cur_quar", "append")
+    _drain(q1)
+    _drain(q2)
+    kept = {r.doc_id for r in spark.sql("SELECT * FROM t_cur_clean").collect()}
+    quar = {r.doc_id: r.reasons for r in spark.sql("SELECT * FROM t_cur_quar").collect()}
+    assert kept in ({1, 5}, {2, 5})  # one of the dups survives
+    assert set(quar) == {3, 4}
+    assert quar[3] == ["text_not_null", "n_chars_in_range"]  # n_chars=0 fails both
+    assert quar[4] == ["n_chars_in_range"]
