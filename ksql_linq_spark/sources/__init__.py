@@ -279,3 +279,52 @@ def write_csv(df: DataFrame, path: str, header: bool = True,
     df.write.mode(mode).option("header", str(header).lower()).option(
         "timestampFormat", _TS_FMT
     ).csv(path)
+
+
+def incremental_read(
+    spark,
+    data_glob: str,
+    manifest_path: str,
+    schema=None,
+    fmt: str = "parquet",
+):
+    """Manifest-tracked incremental batch ingest — the batch twin of a
+    streaming file source's checkpoint (Auto-Loader-lite): read ONLY
+    files not yet recorded in the manifest, and expose an explicit
+    ``commit()`` so the manifest advances exactly when the caller's
+    write succeeds (crash before commit ⇒ the batch is re-read — at-
+    least-once with idempotent sinks, the same contract as
+    streaming/windows.idempotent_append_sink).
+
+    Returns ``(df, new_files, commit)``; ``df`` is None when nothing is
+    new.  Listing is driver-side over the glob (file COUNT, not data,
+    bounds it); at real scale swap the glob for the storage system's
+    listing API or notification queue — the manifest contract is the
+    portable part.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    seen: set[str] = set()
+    if _os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    seen.add(_json.loads(line)["file"])
+    all_files = sorted(_glob.glob(data_glob))
+    new_files = [p for p in all_files if p not in seen]
+
+    def commit() -> None:
+        _os.makedirs(_os.path.dirname(manifest_path) or ".", exist_ok=True)
+        with open(manifest_path, "a") as f:
+            for p in new_files:
+                f.write(_json.dumps({"file": p}) + "\n")
+
+    if not new_files:
+        return None, [], commit
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(fmt).load(new_files), new_files, commit

@@ -1158,3 +1158,31 @@ def test_streaming_curation_pipeline_end_to_end(spark, tmp_path):
     assert set(quar) == {3, 4}
     assert quar[3] == ["text_not_null", "n_chars_in_range"]  # n_chars=0 fails both
     assert quar[4] == ["n_chars_in_range"]
+
+
+def test_incremental_read_manifest_contract(spark, tmp_path):
+    from ksql_linq_spark.sources import incremental_read
+
+    d1 = spark.createDataFrame([(1,), (2,)], "id long")
+    d1.coalesce(1).write.parquet(str(tmp_path / "f1"))
+    glob_pat = str(tmp_path / "f*" / "*.parquet")
+    man = str(tmp_path / "manifest.jsonl")
+
+    df, files, commit = incremental_read(spark, glob_pat, man)
+    assert df is not None and df.count() == 2 and len(files) == 1
+    # crash-before-commit: a re-read sees the same batch again
+    df2, files2, commit2 = incremental_read(spark, glob_pat, man)
+    assert {r.id for r in df2.collect()} == {1, 2}
+    commit2()
+    # after commit: nothing new
+    df3, files3, _ = incremental_read(spark, glob_pat, man)
+    assert df3 is None and files3 == []
+    # new file arrives: only its rows are read
+    spark.createDataFrame([(3,)], "id long").coalesce(1).write.parquet(
+        str(tmp_path / "f2")
+    )
+    df4, files4, commit4 = incremental_read(spark, glob_pat, man)
+    assert [r.id for r in df4.collect()] == [3] and len(files4) == 1
+    commit4()
+    df5, _, _ = incremental_read(spark, glob_pat, man)
+    assert df5 is None
