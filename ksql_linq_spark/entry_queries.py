@@ -7108,3 +7108,66 @@ def corpus_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame
     d = _t(spark, sf_dir, "documents")
     t = d.select("lang", "n_chars", token_count("text").alias("toks"))
     return weighted_median(t, "n_chars", "toks", keys=["lang"])
+
+
+@q(
+    "events_interarrival_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events),
+    m AS (
+      SELECT user_id,
+             count(gap_us) AS n_gaps,
+             sum(CAST(gap_us AS DECIMAL(38,0))) AS s1,
+             sum(CAST(gap_us AS DECIMAL(38,0))
+                 * CAST(gap_us AS DECIMAL(38,0))) AS s2
+      FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
+    SELECT user_id, n_gaps,
+           round(CAST(s1 AS DOUBLE) / n_gaps / 1e6, 6) AS mean_gap_s,
+           round(sqrt(greatest(CAST(s2 AS DOUBLE) / n_gaps
+                 - (CAST(s1 AS DOUBLE) / n_gaps)
+                   * (CAST(s1 AS DOUBLE) / n_gaps), 0.0))
+                 / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv
+    FROM m WHERE n_gaps >= 2
+    """,
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per user (bot/abuse detection shape):
+    µs gaps from one key-local lag window, then DECIMAL-exact first and
+    second moments (the stats.moment_stats discipline — float stddev
+    aggregation is order-dependent; exact integer moments are not) →
+    mean gap and coefficient of variation.  CV≈1 is Poisson traffic,
+    ≫1 bursty, ≪1 metronomic — automation."""
+    from pyspark.sql.window import Window as _W
+
+    ev = _t(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    d = F.col("gap_us").cast("decimal(38,0)")
+    m = g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_gaps")
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n_gaps") - mean * mean,
+        F.lit(0.0),
+    )
+    return (
+        m.where(F.col("n_gaps") >= 2)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round(mean / F.lit(1e6), 6).alias("mean_gap_s"),
+            F.round(F.sqrt(var) / mean, 6).alias("cv"),
+        )
+    )
