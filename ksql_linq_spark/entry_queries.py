@@ -7171,3 +7171,65 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sqrt(var) / mean, 6).alias("cv"),
         )
     )
+
+
+@q(
+    "dataset_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_DK_LSH_PAIRS},
+    und AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und)
+      UNION
+      SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.node),
+    cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+    split AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN b < 800 THEN 'train'
+                  WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, cluster_id,
+                   ('0x' || substr(md5(cluster_id::VARCHAR), 1, 4))::INT
+                     % 1000 AS b
+            FROM lab)),
+    audit AS (
+      SELECT cluster_id, count(DISTINCT split) AS n_splits
+      FROM split GROUP BY 1)
+    SELECT s.split, count(*) AS docs,
+           bool_and(a.n_splits = 1) AS leakage_free
+    FROM split s JOIN audit a ON s.cluster_id = a.cluster_id
+    GROUP BY 1
+    """,
+)
+def dataset_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test split: hash_split keyed on the
+    NEAR-DUP CLUSTER id, not the document id — a near-duplicate of a
+    test document can never land in train (the eval-hygiene trap
+    plain doc-id splits fall into).  Composition of the verified
+    pieces: LSH pairs → connected components → md5 bucket split on the
+    cluster label; the oracle additionally proves every cluster lands
+    in exactly one split (leakage_free)."""
+    from .operators.dataset import hash_split
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_n=3)
+    lab = dedup_clusters(d.select("doc_id"), pairs, loop_partitions=8)
+    split = lab.select(
+        "doc_id", "cluster_id", hash_split("cluster_id")
+    )
+    audit = split.groupBy("cluster_id").agg(
+        F.count_distinct("split").alias("n_splits")
+    )
+    return (
+        split.join(audit, "cluster_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            (F.max("n_splits") == 1).alias("leakage_free"),
+        )
+    )
