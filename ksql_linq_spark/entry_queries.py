@@ -7233,3 +7233,44 @@ def dataset_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("n_splits") == 1).alias("leakage_free"),
         )
     )
+
+
+@q(
+    "dedup_graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_DK_LSH_PAIRS},
+    tri AS (
+      SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+      FROM pairs p1
+      JOIN pairs p2 ON p1.id_a = p2.id_a AND p1.id_b < p2.id_b
+      JOIN pairs p3 ON p3.id_a = p1.id_b AND p3.id_b = p2.id_b),
+    node_tri AS (
+      SELECT n, count(*) AS triangles
+      FROM (SELECT unnest([a, b, c]) AS n FROM tri) GROUP BY 1),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT id_a AS n FROM pairs UNION ALL SELECT id_b FROM pairs)
+      GROUP BY 1)
+    SELECT deg.n AS node, deg.d AS degree,
+           coalesce(t.triangles, 0)::BIGINT AS triangles,
+           CASE WHEN deg.d >= 2
+                THEN round(coalesce(t.triangles, 0) * 2.0
+                           / (deg.d * (deg.d - 1.0)), 6)
+                ELSE 0.0 END AS coefficient
+    FROM deg LEFT JOIN node_tri t ON deg.n = t.n
+    """,
+)
+def dedup_graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node clustering coefficient over the near-dup graph
+    (operators/graph.clustering_coefficient): ≈1 marks template-family
+    cliques (dedup the whole family), ≈0 marks drift chains (keep the
+    endpoints) — the per-document refinement of dedup_graph_triangles'
+    corpus signal.  Same arboricity-bounded oriented join."""
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.graph import clustering_coefficient
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_n=3)
+    return clustering_coefficient(pairs)

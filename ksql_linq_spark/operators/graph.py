@@ -164,3 +164,79 @@ def triangle_count(pairs, id_a: str = "id_a", id_b: str = "id_b"):
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def clustering_coefficient(pairs, id_a: str = "id_a", id_b: str = "id_b"):
+    """Local clustering coefficient per node: closed triangles at the
+    node / (deg·(deg−1)/2) — near 1 inside template families (dense
+    near-dup cliques), near 0 on drift chains; per-node where
+    :func:`triangle_count` is corpus-global.
+
+    Same degree-ordered orientation bounds the two-path join; each
+    closed triangle credits all three member nodes via one explode.
+    Returns (node, degree, triangles, coefficient).
+    """
+    from pyspark.sql import functions as F
+
+    e = pairs.select(
+        F.least(id_a, id_b).alias("u"), F.greatest(id_a, id_b).alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("o")
+        )
+        .select(F.col("o.s").alias("s"), F.col("o.t").alias("t"))
+    )
+    p2 = (
+        ed.alias("a")
+        .join(ed.alias("b"), F.col("a.s") == F.col("b.s"))
+        .where(F.col("a.t") < F.col("b.t"))
+        .select(
+            F.col("a.s").alias("apex"),
+            F.col("a.t").alias("x"),
+            F.col("b.t").alias("y"),
+        )
+    )
+    closed = p2.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    node_tri = (
+        closed.select(
+            F.explode(F.array("apex", "x", "y")).alias("n")
+        )
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(node_tri, "n", "left")
+        .na.fill({"triangles": 0})
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").alias("degree"),
+            "triangles",
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    F.col("triangles").cast("double") * 2.0
+                    / (F.col("d").cast("double") * (F.col("d") - 1.0)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("coefficient"),
+        )
+    )

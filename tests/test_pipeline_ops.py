@@ -1493,3 +1493,18 @@ def test_weighted_median_vs_model(spark):
     assert out["g"] == 3
     # h: total 4, half 2 -> v=5 (cum 3 >= 2)
     assert out["h"] == 5
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    from ksql_linq_spark.operators.graph import clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 3-4
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    out = {r.node: r for r in clustering_coefficient(g).collect()}
+    assert out[1].coefficient == 1.0 and out[1].triangles == 1
+    assert out[2].coefficient == 1.0
+    # node 3: degree 3, 1 triangle -> 2*1/(3*2) = 1/3
+    assert out[3].degree == 3 and out[3].coefficient == round(1 / 3, 6)
+    assert out[4].degree == 1 and out[4].coefficient == 0.0
