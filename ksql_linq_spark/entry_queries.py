@@ -7274,3 +7274,53 @@ def dedup_graph_clustering_coefficient(
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_n=3)
     return clustering_coefficient(pairs)
+
+
+@q(
+    "embedding_standardize",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(floor(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT)
+               AS q
+      FROM embeddings),
+    st AS (
+      SELECT d, count(*) AS n, sum(q) AS s1, sum(q * q) AS s2
+      FROM ex GROUP BY 1),
+    sd AS (
+      SELECT d,
+             CAST(s1 AS DOUBLE) / n / 1000000.0 AS m,
+             sqrt(CAST(s2 AS DOUBLE) / n / 1000000000000.0
+                  - (CAST(s1 AS DOUBLE) / n / 1000000.0)
+                    * (CAST(s1 AS DOUBLE) / n / 1000000.0)) AS sdev
+      FROM st),
+    z AS (
+      SELECT ex.vec_id, ex.d,
+             (ex.q / 1000000.0 - sd.m) / sd.sdev AS z
+      FROM ex JOIN sd ON ex.d = sd.d)
+    SELECT vec_id,
+           round(max(CASE WHEN d = 0 THEN z END), 6) AS z0,
+           round(max(CASE WHEN d = 1 THEN z END), 6) AS z1,
+           round(max(CASE WHEN d = 2 THEN z END), 6) AS z2,
+           round(max(CASE WHEN d = 3 THEN z END), 6) AS z3
+    FROM z GROUP BY 1
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-standardization (operators/similarity.
+    standardize_embeddings): fixed-point exact moments per coordinate
+    (embedding_centroids discipline — order-free integer sums), then a
+    fixed float expression per row; the whitening-lite step before
+    variance-sensitive ANN/clustering.  First four standardized
+    coordinates value-checked to 6 dp."""
+    from .operators.similarity import standardize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    zdf = standardize_embeddings(e)
+    return zdf.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("z", i + 1), 6).alias(f"z{i}")
+            for i in range(4)
+        ],
+    )

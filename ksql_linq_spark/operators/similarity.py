@@ -1116,3 +1116,60 @@ def ann_join(
             "rank",
         )
     )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension z-standardization (whitening-lite): subtract the
+    corpus mean and divide by the stddev of EACH coordinate — the
+    normalization that stops high-variance dimensions from dominating
+    cosine/L2 before ANN or clustering.
+
+    Determinism discipline = :func:`embedding_centroids`: coordinates
+    quantize to fixed-point (floor(x·scale), BIGINT), so the per-dim
+    first/second moments are EXACT integer sums (order-free under any
+    partitioning); the float math after that is a fixed expression per
+    row.  One (dim)-keyed aggregate over the posexploded coordinates
+    (bounded output: dims rows, broadcast back), one explode-join-
+    reassemble.  BIGINT second moments hold to ~1e18 — at corpora
+    beyond ~1e6·rows·scale² swap the sums to DECIMAL(38,0) unchanged.
+
+    Returns (id, z) with ``z`` the standardized array<double> (input
+    read at quantized precision — 1/scale — by construction).
+    """
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "e")
+    ).select(
+        id_col,
+        "dim",
+        F.floor(F.col("e").cast("double") * F.lit(float(scale)))
+        .cast("bigint")
+        .alias("q"),
+    )
+    st = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    m = F.col("s1").cast("double") / F.col("n") / F.lit(float(scale))
+    v = (
+        F.col("s2").cast("double") / F.col("n") / F.lit(float(scale) ** 2)
+        - m * m
+    )
+    stats = st.select("dim", m.alias("_m"), F.sqrt(v).alias("_sd"))
+    z = (F.col("q").cast("double") / F.lit(float(scale)) - F.col("_m")) / F.col(
+        "_sd"
+    )
+    zr = ex.join(F.broadcast(stats), "dim").select(
+        id_col, "dim", z.alias("z")
+    )
+    return zr.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "z"))),
+            lambda s: s["z"],
+        ).alias("z")
+    )

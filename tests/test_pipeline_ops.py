@@ -1508,3 +1508,22 @@ def test_clustering_coefficient_known_graphs(spark):
     # node 3: degree 3, 1 triangle -> 2*1/(3*2) = 1/3
     assert out[3].degree == 3 and out[3].coefficient == round(1 / 3, 6)
     assert out[4].degree == 1 and out[4].coefficient == 0.0
+
+
+def test_standardize_embeddings_moments(spark):
+    """After standardization each dimension has ~zero mean and ~unit
+    variance (up to the documented 1/scale quantization)."""
+    import math
+
+    from ksql_linq_spark.operators.similarity import standardize_embeddings
+
+    rows = [(i, [float(i), 10.0 * i + 5.0, -2.0 * i]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    z = standardize_embeddings(df).collect()
+    for d in range(3):
+        vals = [r.z[d] for r in z]
+        n = len(vals)
+        mean = sum(vals) / n
+        var = sum(x * x for x in vals) / n - mean * mean
+        assert abs(mean) < 1e-6
+        assert abs(math.sqrt(var) - 1.0) < 1e-6
