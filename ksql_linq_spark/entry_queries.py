@@ -7324,3 +7324,80 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ],
     )
+
+
+@q(
+    "mart_monthly_region_revenue",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+           count(DISTINCT o.o_orderkey) AS orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def mart_monthly_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue mart per region: the everyday reporting rollup —
+    snowflake dims broadcast (region→nation→customer), ONE fact-keyed
+    shuffle for the orderkey join, calendar month via date_trunc,
+    DECIMAL-exact money.  The shape a BI layer refreshes hourly at any
+    scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    dims = (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    rev = _dec2dbl(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 22, 6
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(dims), od.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count_distinct("o_orderkey").alias("orders"),
+        )
+    )
+
+
+@q(
+    "events_weekly_value_bands",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_weekly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly p50/p90 bands per event type — the SLO/alerting
+    percentile-over-time readout: group_percentiles (size-gated exact ↔
+    GK sketch) composed with calendar weeks; the percentile operator's
+    time-series form."""
+    from .operators.sketch import group_percentiles
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "week", F.date_trunc("week", "ts")
+    )
+    return group_percentiles(
+        ev,
+        ["event_type", "week"],
+        {"value": [(0.5, "p50"), (0.9, "p90")]},
+        mode="exact",
+    )
