@@ -163,9 +163,14 @@ def scd2_apply_batch(
         *key_cols,
         F.col("valid_from").alias(ts_col),
         *attr_cols,
-        # the open version predates every batch row for its key; a
-        # constant minimal tiebreak keeps it first on ts collisions
-        *[F.lit(None).cast("long").alias(c) for c in tiebreaks],
+        # the open version predates every batch row for its key; NULL
+        # tiebreaks sort first on ts collisions (Spark asc = nulls
+        # first), typed from the BATCH schema so string/long/any
+        # tiebreak columns union cleanly
+        *[
+            F.lit(None).cast(batch.schema[c].dataType).alias(c)
+            for c in tiebreaks
+        ],
         F.col("n_events").alias("_w"),
     )
     batch_ev = batch.select(

@@ -1156,13 +1156,19 @@ def standardize_embeddings(
         F.sum(F.col("q") * F.col("q")).alias("s2"),
     )
     m = F.col("s1").cast("double") / F.col("n") / F.lit(float(scale))
-    v = (
+    # clamp: float cancellation can push an exactly-zero variance a hair
+    # negative, and sqrt(neg) is NaN
+    v = F.greatest(
         F.col("s2").cast("double") / F.col("n") / F.lit(float(scale) ** 2)
-        - m * m
+        - m * m,
+        F.lit(0.0),
     )
     stats = st.select("dim", m.alias("_m"), F.sqrt(v).alias("_sd"))
-    z = (F.col("q").cast("double") / F.lit(float(scale)) - F.col("_m")) / F.col(
-        "_sd"
+    # constant dimension (sd=0): define z=0 rather than emit inf/NaN —
+    # a zero-information coordinate should not poison downstream cosines
+    z = F.when(F.col("_sd") == 0.0, F.lit(0.0)).otherwise(
+        (F.col("q").cast("double") / F.lit(float(scale)) - F.col("_m"))
+        / F.col("_sd")
     )
     zr = ex.join(F.broadcast(stats), "dim").select(
         id_col, "dim", z.alias("z")

@@ -1527,3 +1527,13 @@ def test_standardize_embeddings_moments(spark):
         var = sum(x * x for x in vals) / n - mean * mean
         assert abs(mean) < 1e-6
         assert abs(math.sqrt(var) - 1.0) < 1e-6
+
+
+def test_standardize_constant_dimension_yields_zero(spark):
+    from ksql_linq_spark.operators.similarity import standardize_embeddings
+
+    rows = [(i, [float(i), 7.0]) for i in range(10)]  # dim 1 constant
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    z = standardize_embeddings(df).collect()
+    assert all(r.z[1] == 0.0 for r in z)          # no inf/NaN
+    assert any(abs(r.z[0]) > 0.1 for r in z)      # varying dim standardizes
