@@ -582,3 +582,53 @@ def weighted_sample(
         .limit(k)
         .drop("_sk")
     )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    token_col: str,
+    tokens_per_shard: int,
+    order_cols: list[str] | None = None,
+    group_col: str | None = None,
+) -> "DataFrame":
+    """Materialize a training corpus as token-budgeted SHARDS — the
+    delivery format data loaders stream (webdataset/tfrecord-style
+    "each file ≈ N tokens"), with a manifest the loader can schedule
+    from without listing data files.
+
+    Shard assignment reuses :func:`pack_sequences`' prefix-sum bins
+    (one ordered window per group — deterministic given the order
+    column, which must totally order rows within a group);
+    the write is ``partitionBy(shard)`` so each shard is its own
+    directory, and the returned manifest (shard, n_docs, n_tokens) is
+    also persisted at ``<path>__manifest``.  One window + one
+    partitioned write; shard count = token mass / budget, independent
+    of row count.
+    """
+    from pyspark.sql import functions as F
+
+    order_col = (order_cols or [token_col])[0]
+    packed = pack_sequences(
+        df,
+        token_col=token_col,
+        order_col=order_col,
+        budget=tokens_per_shard,
+        partition_cols=[group_col] if group_col else None,
+    )
+    shard = (
+        F.concat_ws("_", F.col(group_col), F.col("bin"))
+        if group_col
+        else F.col("bin").cast("string")
+    )
+    out = packed.withColumn("shard", shard)
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    manifest = (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).cast("bigint").alias("n_tokens"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(path + "__manifest")
+    return manifest

@@ -238,3 +238,40 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def file_stats(spark: SparkSession, path: str) -> "DataFrame":
+    """Physical-file audit of a parquet table: (file, bytes, rows) plus
+    a small-file flag — the input to a :func:`compact_table` decision.
+    Row counts come from parquet FOOTERS via a metadata-only read
+    (``count(*)`` per file is served by PushedAggregation, never a data
+    scan); byte sizes from the filesystem listing.  Output cardinality
+    = file count — this is a table you look at, not a dataflow stage.
+    """
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    files = sorted(
+        p
+        for p in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    sizes = [(p, _os.path.getsize(p)) for p in files]
+    rows = []
+    import pyarrow.parquet as pq
+
+    for p, b in sizes:
+        rows.append((p, b, pq.read_metadata(p).num_rows))
+    out = spark.createDataFrame(rows, "file string, bytes long, rows long")
+    # threshold relative to the LARGEST file: a fragmented table is
+    # mostly small files, so any central-tendency cut collapses to the
+    # fragment size and flags nothing.  In production compare against
+    # the target file size (compact_table's) instead.
+    max_bytes = max(b for _, b, _ in rows)
+    return out.withColumn(
+        "small_file",
+        F.col("bytes") < F.lit(max(max_bytes // 4, 1)),
+    )

@@ -1537,3 +1537,31 @@ def test_standardize_constant_dimension_yields_zero(spark):
     z = standardize_embeddings(df).collect()
     assert all(r.z[1] == 0.0 for r in z)          # no inf/NaN
     assert any(abs(r.z[0]) > 0.1 for r in z)      # varying dim standardizes
+
+
+def test_write_shards_manifest_and_budget(spark, tmp_path):
+    from ksql_linq_spark.operators.dataset import write_shards
+
+    rows = [(i, 100) for i in range(40)]  # 4000 tokens, 1000/shard
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    path = str(tmp_path / "shards")
+    manifest = write_shards(df, path, "toks", 1000, order_cols=["doc_id"])
+    m = {r.shard: r for r in manifest.collect()}
+    assert len(m) == 4
+    assert all(r.n_tokens == 1000 for r in m.values())
+    # data round-trips with shard dirs; manifest persisted
+    back = spark.read.parquet(path)
+    assert back.count() == 40
+    assert spark.read.parquet(path + "__manifest").count() == 4
+
+
+def test_file_stats_flags_small_files(spark, tmp_path):
+    from ksql_linq_spark.operators.layout import file_stats
+
+    big = spark.range(50_000).withColumn("pad", F.md5(F.col("id").cast("string")))
+    big.coalesce(1).write.parquet(str(tmp_path / "t"))
+    spark.range(5).write.mode("append").parquet(str(tmp_path / "t"))  # small files
+    st = file_stats(spark, str(tmp_path / "t")).collect()
+    assert sum(r.rows for r in st) == 50_005
+    assert any(r.small_file for r in st)
+    assert any(not r.small_file for r in st)
