@@ -1186,3 +1186,46 @@ def test_incremental_read_manifest_contract(spark, tmp_path):
     commit4()
     df5, _, _ = incremental_read(spark, glob_pat, man)
     assert df5 is None
+
+
+def test_streaming_incremental_corpus_dedup(spark, tmp_path):
+    """Day-2 corpus ingestion as a STREAM: each micro-batch dedups
+    against the persisted corpus via incremental_dedup inside
+    foreachBatch, appends its survivors, and the final corpus equals
+    the batch exact_dedup of everything — exactly-once growth with no
+    full re-dedup per ingest."""
+    from ksql_linq_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    rows1 = [(1, "alpha doc body"), (2, "beta doc body"), (3, "alpha doc body")]
+    rows2 = [(4, "alpha doc body"), (5, "gamma doc body"), (6, "beta doc body")]
+    schema = "doc_id long, text string"
+    df1 = spark.createDataFrame(rows1, schema)
+    df2 = spark.createDataFrame(rows2, schema)
+    df1.coalesce(1).write.parquet(str(tmp_path / "in" / "1"))
+    df2.coalesce(1).write.parquet(str(tmp_path / "in" / "2"))
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame([], schema).write.parquet(corpus)
+
+    def ingest(batch_df, batch_id):
+        cur = spark.read.schema(df1.schema).parquet(corpus)
+        kept = incremental_dedup(batch_df, cur)
+        kept.select("doc_id", "text").write.mode("append").parquet(corpus)
+
+    src = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = src.writeStream.foreachBatch(ingest).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    want = sorted(
+        r.doc_id
+        for r in exact_dedup(df1.unionByName(df2)).collect()
+    )
+    assert got == want == [1, 2, 5]
