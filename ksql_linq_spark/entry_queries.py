@@ -7401,3 +7401,77 @@ def events_weekly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"value": [(0.5, "p50"), (0.9, "p90")]},
         mode="exact",
     )
+
+
+@q(
+    "corpus_gopher_keep_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x != '') AS t,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    feat AS (
+      SELECT doc_id, source,
+        len(t) AS n_words,
+        CASE WHEN len(t) > 0
+             THEN list_reduce(list_prepend(0::BIGINT,
+                    list_transform(t, w -> length(w))), (a, b) -> a + b)
+                  / len(t)
+             ELSE 0.0 END AS mwl,
+        len(regexp_extract_all(text, '[#…]'))
+          + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+        greatest(len(lines), 1) AS n_lines,
+        len(list_filter(lines,
+            ln -> regexp_matches(trim(ln), '^([-*•])'))) AS bullet_lines,
+        len(list_filter(lines,
+            ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))
+          AS ellipsis_lines,
+        len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+          AS alpha_words,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+            sw -> list_contains(list_transform(t, x -> lower(x)), sw)))
+          AS stop_hits
+      FROM toks),
+    k AS (
+      SELECT source,
+             ((n_words >= 50 AND n_words <= 100000)
+              AND (mwl >= 3.0 AND mwl <= 10.0)
+              AND (CAST(n_sym AS DOUBLE) / greatest(n_words, 1) <= 0.1)
+              AND (CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9)
+              AND (CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3)
+              AND (CAST(alpha_words AS DOUBLE) / greatest(n_words, 1)
+                   >= 0.8)
+              AND (stop_hits >= 2)) AS keep
+      FROM feat)
+    SELECT source, count(*) AS docs,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept,
+           round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS keep_rate
+    FROM k GROUP BY 1
+    """,
+)
+def corpus_gopher_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher keep rate — the number a crawl operator reads
+    before buying more of a source: gopher_rules' conjunctive keep
+    rolled up by origin.  Same fused zero-shuffle flag projection, one
+    bounded groupBy."""
+    from .operators.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents").withColumn("g", gopher_rules("text"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("g.keep").cast("int")).alias("kept"),
+        )
+        .select(
+            "source",
+            "docs",
+            "kept",
+            F.round(
+                F.col("kept").cast("double") / F.col("docs"), 6
+            ).alias("keep_rate"),
+        )
+    )
