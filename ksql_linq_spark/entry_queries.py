@@ -7475,3 +7475,49 @@ def corpus_gopher_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_rate"),
         )
     )
+
+
+@q(
+    "text_hashed_features",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DK_TOKS.format(src=_DK_NORM)}) AS tok
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS bkt
+      FROM toks),
+    h AS (
+      SELECT doc_id, histogram(bkt) AS m, count(*) AS n_tokens
+      FROM b GROUP BY 1),
+    v AS (
+      SELECT doc_id,
+             list_transform(range(0, 16),
+               i -> CAST(coalesce(m[i][1], 0) AS BIGINT)) AS f,
+             n_tokens
+      FROM h)
+    SELECT d.doc_id,
+           coalesce(array_to_string(v.f, '|'),
+                    '0|0|0|0|0|0|0|0|0|0|0|0|0|0|0|0') AS features,
+           coalesce(v.n_tokens, 0)::BIGINT AS n_tokens
+    FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+    """,
+)
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (operators/text.hashed_features, Weinberger
+    2009): vocabulary-free fixed-width count vectors via md5 token
+    buckets — no dictionary build, no fitting pass, never grows with
+    corpus size.  md5 bucketing makes the vectors exactly reproducible,
+    so — unusually for a featurizer — the oracle value-checks every
+    coordinate (projected through '|' join for the hash compare)."""
+    from .operators.text import hashed_features
+
+    d = _t(spark, sf_dir, "documents")
+    out = hashed_features(d, dim=16)
+    return out.select(
+        "doc_id",
+        F.concat_ws("|", F.col("features").cast("array<string>")).alias(
+            "features"
+        ),
+        "n_tokens",
+    )

@@ -551,3 +551,57 @@ def gopher_rules(text, lang: str = "en") -> Column:
         stopwords_ok.alias("stopwords_ok"),
         keep.alias("keep"),
     )
+
+
+def hashed_features(
+    df,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Feature hashing (the hashing trick, Weinberger et al. 2009):
+    each token's md5 picks one of ``dim`` buckets, and the document's
+    feature vector is the bucket-count histogram — a fixed-width,
+    vocabulary-free featurization that needs NO dictionary build, NO
+    fitting pass, and never grows with corpus size (the property that
+    makes it the default first featurizer at web scale).
+
+    One posexplode + one (id, bucket) groupBy + ordered reassembly; md5
+    bucketing is engine-portable, so the vectors are exactly
+    reproducible anywhere (and fully value-checkable).  Returns
+    (id, features array<bigint> of length dim, n_tokens).
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % dim
+    )
+    counts = toks.select(id_col, bucket.alias("b")).groupBy(id_col, "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vec = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("c")))
+        ).alias("_m"),
+        F.sum("c").alias("n_tokens"),
+    ).select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
+        ).alias("features"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    return df.select(id_col).join(vec, id_col, "left").select(
+        id_col,
+        F.coalesce(
+            "features",
+            F.array(*[F.lit(0).cast("bigint") for _ in range(dim)]),
+        ).alias("features"),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+    )
