@@ -7521,3 +7521,90 @@ def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_tokens",
     )
+
+
+@q(
+    "events_audience_overlap_hll",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.t1, b.t2 FROM
+        (SELECT unnest(['view','click','purchase']) AS t1) a
+        CROSS JOIN (SELECT unnest(['view','click','purchase']) AS t2) b
+      WHERE a.t1 < b.t2),
+    x AS (
+      SELECT p.t1, p.t2,
+             (SELECT count(DISTINCT user_id) FROM events
+              WHERE event_type = p.t1) AS na,
+             (SELECT count(DISTINCT user_id) FROM events
+              WHERE event_type = p.t2) AS nb,
+             (SELECT count(*) FROM
+                (SELECT DISTINCT e1.user_id FROM events e1
+                 WHERE e1.event_type = p.t1
+                 AND EXISTS (SELECT 1 FROM events e2
+                             WHERE e2.event_type = p.t2
+                               AND e2.user_id = e1.user_id))) AS nab
+      FROM pairs p)
+    SELECT t1, t2, na AS exact_a, nb AS exact_b, nab AS exact_overlap,
+           TRUE AS est_ok
+    FROM x
+    """,
+)
+def events_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via HLL inclusion-exclusion: |A∩B| ≈ |A| + |B|
+    − |A∪B|, where every term comes from MERGEABLE per-type sketches
+    (hll_sketch_agg once per type; unions via hll_union) — overlap for
+    ALL type pairs from one sketch table, no per-pair distinct scans.
+    The estimate rides as a ±15%-of-exact invariant (inclusion-
+    exclusion compounds the two sketches' error; exact values are the
+    checked columns, approx_count_distinct precedent)."""
+    types = ["view", "click", "purchase"]
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin(types))
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_n"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("t1"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact_n").alias("exact_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("t2"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact_n").alias("exact_b"),
+    )
+    pairs = a.crossJoin(b).where(F.col("t1") < F.col("t2"))
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    est_overlap = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - est_union
+    )
+    # exact overlap via one distinct-pair self-join for the invariant
+    ut = ev.select("user_id", "event_type").distinct()
+    o = (
+        ut.alias("x")
+        .join(ut.alias("y"), F.col("x.user_id") == F.col("y.user_id"))
+        .where(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("t1"),
+            F.col("y.event_type").alias("t2"),
+        )
+        .agg(F.count_distinct("x.user_id").alias("exact_overlap"))
+    )
+    return (
+        pairs.join(o, ["t1", "t2"])
+        .select(
+            "t1",
+            "t2",
+            "exact_a",
+            "exact_b",
+            "exact_overlap",
+            (
+                F.abs(est_overlap - F.col("exact_overlap"))
+                <= F.greatest(
+                    F.col("exact_overlap") * 0.15, F.lit(2.0)
+                )
+            ).alias("est_ok"),
+        )
+    )
