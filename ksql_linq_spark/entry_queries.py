@@ -7608,3 +7608,50 @@ def events_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_ok"),
         )
     )
+
+
+@q(
+    "events_user_concentration_gini",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM c),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS tot, sum(CAST(i AS BIGINT) * x)
+        AS ix
+      FROM r)
+    SELECT n AS n_users, tot AS total_events,
+           round(2.0 * ix / (n * CAST(tot AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+)
+def events_user_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event concentration — the
+    inequality readout behind "1% of users generate half the load"
+    capacity planning.  All-integer rank·count sums (exact, one small
+    sort over the per-user summary — users, not events) with one final
+    float expression; 0 = uniform, →1 = concentrated."""
+    from pyspark.sql.window import Window as _W
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    r = c.withColumn(
+        "i",
+        F.row_number().over(_W.orderBy("x", "user_id")).cast("bigint"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("tot"),
+        F.sum(F.col("i") * F.col("x")).alias("ix"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("tot").alias("total_events"),
+        F.round(
+            F.lit(2.0) * F.col("ix") / (F.col("n") * F.col("tot").cast("double"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
