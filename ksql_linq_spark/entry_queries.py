@@ -7126,11 +7126,12 @@ def corpus_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame
                  * CAST(gap_us AS DECIMAL(38,0))) AS s2
       FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
     SELECT user_id, n_gaps,
-           round(CAST(s1 AS DOUBLE) / n_gaps / 1e6, 6) AS mean_gap_s,
-           round(sqrt(greatest(CAST(s2 AS DOUBLE) / n_gaps
+           floor(CAST(s1 AS DOUBLE) / n_gaps / 1e6 * 1e6) / 1e6
+             AS mean_gap_s,
+           floor(sqrt(greatest(CAST(s2 AS DOUBLE) / n_gaps
                  - (CAST(s1 AS DOUBLE) / n_gaps)
                    * (CAST(s1 AS DOUBLE) / n_gaps), 0.0))
-                 / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv
+                 / (CAST(s1 AS DOUBLE) / n_gaps) * 1e6) / 1e6 AS cv
     FROM m WHERE n_gaps >= 2
     """,
 )
@@ -7162,13 +7163,22 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("s2").cast("double") / F.col("n_gaps") - mean * mean,
         F.lit(0.0),
     )
+    # floor-scaling instead of round: both engines compute the SAME
+    # double (fixed-order ops over exact integer moments), but their
+    # round() tie algorithms differ on boundary values (observed at
+    # sf0.1: ...0425 rounding to ...042 vs ...043).  floor of an
+    # identical double is identical everywhere.
     return (
         m.where(F.col("n_gaps") >= 2)
         .select(
             "user_id",
             "n_gaps",
-            F.round(mean / F.lit(1e6), 6).alias("mean_gap_s"),
-            F.round(F.sqrt(var) / mean, 6).alias("cv"),
+            (F.floor(mean / F.lit(1e6) * F.lit(1e6)) / F.lit(1e6)).alias(
+                "mean_gap_s"
+            ),
+            (F.floor(F.sqrt(var) / mean * F.lit(1e6)) / F.lit(1e6)).alias(
+                "cv"
+            ),
         )
     )
 
