@@ -7665,3 +7665,78 @@ def events_user_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("gini"),
     )
+
+
+@q(
+    "corpus_source_exclusivity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DK_TOKS.format(src=_DK_NORM)} AS t
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT source,
+             concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+      FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3),
+    df AS (SELECT s, count(*) AS n_sources FROM grams GROUP BY 1)
+    SELECT g.source,
+           count(*) AS n_grams,
+           sum(CASE WHEN df.n_sources = 1 THEN 1 ELSE 0 END)
+             AS n_exclusive,
+           round(CAST(sum(CASE WHEN df.n_sources = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS exclusivity
+    FROM grams g JOIN df ON g.s = df.s
+    GROUP BY 1
+    """,
+)
+def corpus_source_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-diversity audit: per source, the fraction of its DISTINCT
+    3-grams found in NO other source — high exclusivity = genuinely
+    novel content worth upweighting, low = the source re-serves what
+    the corpus already has (mixture-weight input, the flip side of
+    cross_doc_dup_stats).  Distinct (source, gram) projection → gram
+    source-frequency dim → rollup; the gram-keyed exchange is reused by
+    the join, integer-exact ratio."""
+    from pyspark.sql.window import Window as _W
+
+    from .operators.text import normalize_text, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens(normalize_text(F.col("text")))).alias("pos", "tok"),
+    )
+    w = _W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "source",
+            F.concat_ws(
+                " ",
+                "tok",
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+            ).alias("s"),
+            F.lead("tok", 2).over(w).isNotNull().alias("ok"),
+        )
+        .where(F.col("ok"))
+        .select("source", "s")
+        .distinct()
+    )
+    df_dim = grams.groupBy("s").agg(F.count(F.lit(1)).alias("n_sources"))
+    return (
+        grams.join(df_dim, "s")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_sources") == 1).cast("int")).alias("n_exclusive"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            F.col("n_exclusive").cast("bigint").alias("n_exclusive"),
+            F.round(
+                F.col("n_exclusive").cast("double") / F.col("n_grams"), 6
+            ).alias("exclusivity"),
+        )
+    )

@@ -1565,3 +1565,17 @@ def test_file_stats_flags_small_files(spark, tmp_path):
     assert sum(r.rows for r in st) == 50_005
     assert any(r.small_file for r in st)
     assert any(not r.small_file for r in st)
+
+
+def test_hashed_features_mass_and_stability(spark):
+    from ksql_linq_spark.operators.text import hashed_features
+
+    rows = [(1, "alpha beta alpha"), (2, "beta alpha alpha"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in hashed_features(df, dim=8).collect()}
+    # mass conservation: sum of buckets == token count
+    assert sum(out[1].features) == out[1].n_tokens == 3
+    # bag-of-words: permutation of the same tokens hashes identically
+    assert out[1].features == out[2].features
+    # empty doc: zero vector, not a missing row
+    assert out[3].features == [0] * 8 and out[3].n_tokens == 0
