@@ -7740,3 +7740,48 @@ def corpus_source_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exclusivity"),
         )
     )
+
+
+@q(
+    "events_transition_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    c AS (
+      SELECT src, dst, count(*) AS n FROM t
+      WHERE dst IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT src, sum(n) AS n_src FROM c GROUP BY 1)
+    SELECT c.src, c.dst, c.n,
+           round(CAST(c.n AS DOUBLE) / t.n_src, 6) AS p
+    FROM c JOIN tot t ON c.src = t.src
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next type | current type) from one key-local lead
+    window + two bounded aggregates (the matrix is |types|², the
+    row-sum dim broadcasts back).  The behavioral fingerprint that
+    feeds journey modeling and bot detection (uniform rows = random
+    traffic; spiked rows = scripted flows).  Integer-exact ratio."""
+    from pyspark.sql.window import Window as _W
+
+    ev = _t(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    c = t.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return (
+        c.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_src"), 6).alias("p"),
+        )
+    )
