@@ -7785,3 +7785,38 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("n_src"), 6).alias("p"),
         )
     )
+
+
+@q(
+    "corpus_weighted_p90_length",
+    oracle="""
+    WITH t AS (
+      SELECT lang, n_chars,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x != '')) AS toks
+      FROM documents),
+    cum AS (
+      SELECT lang, n_chars, toks,
+             sum(toks) OVER (PARTITION BY lang ORDER BY n_chars
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(toks) OVER (PARTITION BY lang) AS tw
+      FROM t)
+    SELECT lang, min(n_chars) AS weighted_p90
+    FROM cum WHERE cw * 10 >= tw * 9 GROUP BY lang
+    """,
+)
+def corpus_weighted_p90_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass-weighted p90 document length per language
+    (operators/sketch.weighted_percentile, q=0.9): the long-document
+    budget cutoff — chunking/packing policies key off where the mass
+    tail starts, not where the doc-count tail does.  Rational-q
+    threshold compares cross-multiplied INTEGERS (cw·10 ≥ tw·9) — no
+    float boundary anywhere."""
+    from .operators.sketch import weighted_percentile
+    from .operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("lang", "n_chars", token_count("text").alias("toks"))
+    return weighted_percentile(
+        t, "n_chars", "toks", 0.9, keys=["lang"], out_col="weighted_p90"
+    )

@@ -258,3 +258,40 @@ def weighted_median(
     return hit.groupBy(*keys).agg(
         F.min(value_col).alias("weighted_median")
     )
+
+
+def weighted_percentile(
+    df,
+    value_col: str,
+    weight_col: str,
+    q: float,
+    keys: list[str] | None = None,
+    out_col: str = "weighted_p",
+):
+    """Exact weighted percentile per group — :func:`weighted_median`
+    generalized: the smallest value whose running weight reaches
+    q·total ("the doc length below which q of the TOKEN MASS sits").
+    Same topology (one value-ordered window + broadcast totals) and
+    the same tie contract: the minimum qualifying VALUE is order-free
+    even though intra-tie running sums are not.  Integer comparisons
+    when weights are integers (cw ≥ q·tw compared cross-multiplied —
+    no float thresholds when q is rational)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from fractions import Fraction
+
+    keys = keys or []
+    frac = Fraction(q).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+    w = Window.partitionBy(*keys).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = df.select(*keys, F.col(value_col), F.col(weight_col)).withColumn(
+        "_cw", F.sum(weight_col).over(w)
+    )
+    totals = cum.groupBy(*keys).agg(F.sum(weight_col).alias("_tw"))
+    j = cum.join(F.broadcast(totals), keys) if keys else cum.crossJoin(
+        F.broadcast(totals)
+    )
+    hit = j.where(F.col("_cw") * den >= F.col("_tw") * num)
+    return hit.groupBy(*keys).agg(F.min(value_col).alias(out_col))

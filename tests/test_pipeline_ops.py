@@ -1579,3 +1579,19 @@ def test_hashed_features_mass_and_stability(spark):
     assert out[1].features == out[2].features
     # empty doc: zero vector, not a missing row
     assert out[3].features == [0] * 8 and out[3].n_tokens == 0
+
+
+def test_weighted_percentile_generalizes_median(spark):
+    from ksql_linq_spark.operators.sketch import weighted_median, weighted_percentile
+
+    rows = [("g", v, w) for v, w in [(1, 1), (2, 1), (3, 10), (4, 1), (9, 3)]]
+    df = spark.createDataFrame(rows, "k string, v int, w int")
+    p50 = weighted_percentile(df, "v", "w", 0.5, ["k"]).first().weighted_p
+    med = weighted_median(df, "v", "w", ["k"]).first().weighted_median
+    assert p50 == med == 3
+    # q=0.9 of total 16 -> threshold 14.4 -> crossing at v=9 (cum 16)
+    p90 = weighted_percentile(df, "v", "w", 0.9, ["k"]).first().weighted_p
+    assert p90 == 9
+    # q=1.0 -> max value
+    p100 = weighted_percentile(df, "v", "w", 1.0, ["k"]).first().weighted_p
+    assert p100 == 9
