@@ -73,20 +73,35 @@ def main() -> None:
     total = round(sum(t for t in best.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
     warm_total = round(sum(t for t in warm.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": best,
-                "sf": sf,
-                "passes": 2,
-                "cold_total_sec": cold_total,
-                "warm_total_sec": warm_total,
-            }
-        )
+    payload = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": best,
+        "sf": sf,
+        "passes": 2,
+        "cold_total_sec": cold_total,
+        "warm_total_sec": warm_total,
+    }
+    # persist the FULL per-query record (both passes, not just the min)
+    # alongside the driver's truncated tail so per-query diffs across
+    # rounds are possible, and the dtype of regression tracking can be
+    # the WARM pass (steady state), not the min floor — min-of-N masks
+    # regressions that show up as variance rather than a shifted floor
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL", os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full_last.json")
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(
+                {**payload, "cold_queries": cold, "warm_queries": warm},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError as e:
+        print(f"# bench: could not write {full_path}: {e}", file=sys.stderr)
+    print(json.dumps(payload))
     # the JSON line above MUST be the last stdout bytes (the harness
     # parses the tail); skip JVM/py4j shutdown hooks, which can emit
     # after it

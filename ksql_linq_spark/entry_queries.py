@@ -365,15 +365,15 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            abs(o_totalprice - 150000) AS dist,
            round(o_totalprice, 1) AS rounded,
-           floor(o_totalprice) AS flr,
-           ceil(o_totalprice) AS cl,
+           CAST(floor(o_totalprice) AS BIGINT) AS flr,
+           CAST(ceil(o_totalprice) AS BIGINT) AS cl,
            round(sqrt(o_totalprice), 6) AS sq,
            CAST(sign(o_totalprice - 150000) AS DOUBLE) AS sgn,
            year(o_orderdate) AS y, month(o_orderdate) AS m,
            day(o_orderdate) AS d, hour(o_orderdate) AS h,
            dayofweek(o_orderdate) AS dow, dayofyear(o_orderdate) AS doy,
-           o_orderdate + INTERVAL 3 DAY AS plus3d,
-           o_orderdate + INTERVAL 90 MINUTE AS plus90m,
+           epoch_ms(o_orderdate + INTERVAL 3 DAY) AS plus3d_ms,
+           epoch_ms(o_orderdate + INTERVAL 90 MINUTE) AS plus90m_ms,
            strftime(o_orderdate, '%Y-%m-%d') AS fmt
     FROM orders
     """,
@@ -395,8 +395,12 @@ def scalar_math_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB dayofweek: 0=Sunday..6; Spark dayofweek: 1=Sunday..7
         (KF.DayOfWeek("o_orderdate") - 1).alias("dow"),
         KF.DayOfYear("o_orderdate").alias("doy"),
-        KF.AddDays("o_orderdate", 3).alias("plus3d"),
-        KF.AddMinutes("o_orderdate", 90).alias("plus90m"),
+        # epoch-ms BIGINT, not raw TIMESTAMP: the driver hashes pandas
+        # frames and Spark emits datetime64[ns] where DuckDB emits
+        # datetime64[us] — same instant, different hash (r1-r3 red).
+        # KsqlTypeMapping.cs:63-64 is epoch-ms on the wire anyway.
+        F.unix_millis(KF.AddDays("o_orderdate", 3)).alias("plus3d_ms"),
+        F.unix_millis(KF.AddMinutes("o_orderdate", 90)).alias("plus90m_ms"),
         KF.FormatTimestamp("o_orderdate", "yyyy-MM-dd").alias("fmt"),
     )
 
@@ -2876,7 +2880,7 @@ def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex AS (SELECT doc_id, unnest(sh) AS s FROM occ),
     ps AS (SELECT doc_id, s, count(*) AS c FROM ex GROUP BY 1, 2),
     rep AS (
-      SELECT doc_id, sum(c) AS total, count(*) AS "distinct",
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, count(*) AS "distinct",
              round(1.0::DOUBLE - count(*) / sum(c), 6) AS dup_ratio,
              round(max(c) / sum(c), 6) AS top_fraction
       FROM ps GROUP BY 1)
@@ -4446,11 +4450,12 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v)
     SELECT vec_id,
            mx / 127.0 AS scale,
-           CASE WHEN mx = 0.0
+           array_to_string(CASE WHEN mx = 0.0
                 THEN list_transform(vd, x -> 0)
                 ELSE list_transform(vd, x ->
                   CAST(greatest(-127, least(127,
-                    CAST(floor(x / (mx / 127.0)) AS INT))) AS INT)) END AS q,
+                    CAST(floor(x / (mx / 127.0)) AS INT))) AS INT)) END,
+               '|') AS q,
            CAST(len(vd) AS INT) AS n_dims
     FROM m
     """,
@@ -4459,10 +4464,18 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 codes (operators/similarity.
     quantize_embeddings_int8): floor-of-division quantization is
     bit-deterministic across engines; scale is one double division.
-    Shuffle-free — rides the scan."""
+    Shuffle-free — rides the scan.  The code vector is projected to a
+    '|'-joined string: the driver's pandas canon cannot sort/hash list
+    cells (r3 harness crash — the only non-scalar output among all
+    registered queries)."""
     from .operators.similarity import quantize_embeddings_int8
 
-    return quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+    qz = quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+    return qz.select(
+        "vec_id", "scale",
+        F.array_join(F.col("q").cast("array<string>"), "|").alias("q"),
+        "n_dims",
+    )
 
 
 # ======================================================================
@@ -5915,8 +5928,8 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type,
            round(m.med, 6) AS med,
            round(d.mad, 6) AS mad,
-           sum(CASE WHEN abs(e.value - m.med) > 5.0 * d.mad
-                    THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 5.0 * d.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            count(*) AS n
     FROM events e
     JOIN med m USING (event_type) JOIN mad d USING (event_type)
@@ -6646,13 +6659,23 @@ def audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM best
     """,
 )
-def similarity_ann_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ann_join_q(
+    spark: SparkSession, sf_dir: str, exact_verify_max_rows: int = 100_000
+) -> DataFrame:
     """Approximate k-NN JOIN (operators/similarity.ann_join): every 100th
     vector retrieves its nearest neighbor from the full corpus through
     the IVF cell join — bounded candidates, never a cross product.
     Invariant the oracle reproduces: the exact top-1 pair list (both
     engines compute it exactly) plus ANN recall@1 >= 0.6 over those
-    queries (measured 1.0 @ sf0.01, 0.78 @ sf0.1 with c=8, p=4)."""
+    queries (measured 1.0 @ sf0.01, 0.78 @ sf0.1 with c=8, p=4).
+
+    The exact side exists ONLY to verify the ANN result against the
+    oracle; it is a (corpus/100) x corpus product that cannot run at
+    100 TB.  Above ``exact_verify_max_rows`` vectors it is dropped from
+    the plan entirely (sketch.py's size-gate discipline): the same
+    schema comes back with the ANN pairs in ``exact_pairs`` and
+    ``recall_ok`` NULL (= unverified).  sf0.01/sf0.1 sit far below the
+    gate, so driver-scored behavior is unchanged."""
     from pyspark.sql.window import Window as _W
 
     from .operators.similarity import ann_join
@@ -6675,6 +6698,18 @@ def similarity_ann_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("right_vec_id").alias("ann_rid"),
         )
     )
+    if e.count() > exact_verify_max_rows:
+        return ann.agg(
+            F.concat_ws(
+                "|",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(":", F.col("lid"), F.col("ann_rid"))
+                    )
+                ),
+            ).alias("exact_pairs"),
+            F.lit(None).cast("boolean").alias("recall_ok"),
+        )
     from .operators.similarity import cosine as _cos
 
     r = e.select(
@@ -6814,10 +6849,10 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN d_status OR d_price THEN 'changed'
                 ELSE 'unchanged' END AS status,
            count(*) AS n,
-           sum(CASE WHEN NOT only_new AND NOT only_old AND d_status
-                    THEN 1 ELSE 0 END) AS n_diff_o_orderstatus,
-           sum(CASE WHEN NOT only_new AND NOT only_old AND d_price
-                    THEN 1 ELSE 0 END) AS n_diff_o_totalprice
+           CAST(sum(CASE WHEN NOT only_new AND NOT only_old AND d_status
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_diff_o_orderstatus,
+           CAST(sum(CASE WHEN NOT only_new AND NOT only_old AND d_price
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_diff_o_totalprice
     FROM j GROUP BY 1
     """,
 )
@@ -7456,7 +7491,7 @@ def events_weekly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND (stop_hits >= 2)) AS keep
       FROM feat)
     SELECT source, count(*) AS docs,
-           sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
            round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
                  / count(*), 6) AS keep_rate
     FROM k GROUP BY 1
@@ -7631,7 +7666,7 @@ def events_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT count(*) AS n, sum(x) AS tot, sum(CAST(i AS BIGINT) * x)
         AS ix
       FROM r)
-    SELECT n AS n_users, tot AS total_events,
+    SELECT n AS n_users, CAST(tot AS BIGINT) AS total_events,
            round(2.0 * ix / (n * CAST(tot AS DOUBLE))
                  - (n + 1.0) / n, 6) AS gini
     FROM s
@@ -7681,8 +7716,8 @@ def events_user_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFram
     df AS (SELECT s, count(*) AS n_sources FROM grams GROUP BY 1)
     SELECT g.source,
            count(*) AS n_grams,
-           sum(CASE WHEN df.n_sources = 1 THEN 1 ELSE 0 END)
-             AS n_exclusive,
+           CAST(sum(CASE WHEN df.n_sources = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_exclusive,
            round(CAST(sum(CASE WHEN df.n_sources = 1 THEN 1 ELSE 0 END)
                       AS DOUBLE) / count(*), 6) AS exclusivity
     FROM grams g JOIN df ON g.s = df.s

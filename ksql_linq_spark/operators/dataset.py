@@ -472,6 +472,11 @@ def remove_dup_ngrams(
 
     from .text import normalize_text, tokens
 
+    if n < 2:
+        raise ValueError(
+            f"remove_dup_ngrams requires n >= 2 (got {n}); n=1 is plain "
+            "cross-doc token dedup — use cross_doc_dup_stats/filters instead"
+        )
     toks = df.select(
         F.col(id_col),
         F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "tok"),

@@ -335,6 +335,7 @@ def embedding_cosine_pairs_blocked(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    max_rows: int = 200_000,
 ) -> DataFrame:
     """Exact cosine near-dup pairs via a numpy block kernel (mapInPandas).
 
@@ -350,13 +351,25 @@ def embedding_cosine_pairs_blocked(
     task (n*d doubles — the same footprint a broadcast join would ship).
     This is the exact-small-side regime; when both sides are large,
     bucket first (similarity.random_projection_buckets) and run this
-    kernel per bucket.
+    kernel per bucket.  The ``max_rows`` gate (sketch.py's
+    group_percentiles discipline) makes the quadratic regime an
+    explicit opt-in: above it the operator REFUSES rather than
+    launching an O(n²) job by accident — raise the cap deliberately or
+    switch to minhash_lsh_pairs / semantic_dedup, the scale paths.
     """
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_cosine_pairs_blocked: {n} rows exceeds the exact-"
+            f"quadratic gate max_rows={max_rows}; this op is O(n^2) by "
+            "contract — use minhash_lsh_pairs/semantic_dedup at corpus "
+            "scale, or raise max_rows deliberately"
+        )
     rows = (
         df.select(F.col(id_col), F.col(vec_col))
         .orderBy(id_col)

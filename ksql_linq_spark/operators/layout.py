@@ -243,10 +243,15 @@ def write_zordered(
 def file_stats(spark: SparkSession, path: str) -> "DataFrame":
     """Physical-file audit of a parquet table: (file, bytes, rows) plus
     a small-file flag — the input to a :func:`compact_table` decision.
-    Row counts come from parquet FOOTERS via a metadata-only read
-    (``count(*)`` per file is served by PushedAggregation, never a data
-    scan); byte sizes from the filesystem listing.  Output cardinality
-    = file count — this is a table you look at, not a dataflow stage.
+    Row counts come from parquet FOOTERS read driver-side with pyarrow
+    (metadata only — no row groups decoded); byte sizes from a
+    driver-side filesystem listing.  LOCAL-FILESYSTEM ONLY, same caveat
+    as incremental_read: on an object store, swap the glob for the
+    store's listing API (the footer read stays metadata-only either
+    way).  Output cardinality = file count — this is a table you look
+    at, not a dataflow stage.  (For a distributed metadata-served
+    count, see tests/test_plans.py's PushedAggregation gate — that
+    mechanism is a different, per-query opt-in.)
     """
     import glob as _glob
     import os as _os

@@ -229,6 +229,15 @@ def mad_outliers(
     sketch.group_percentiles' exact path; at unbounded group
     cardinality swap the percentile calls for the GK sketch exactly as
     there.  Returns the input plus ``med``, ``mad``, ``is_outlier``.
+
+    Degenerate case (documented contract): when MAD = 0 — a group where
+    more than half the values are identical — ``k`` has no leverage, and
+    ANY value that deviates from the median at all is flagged (the
+    ``mad == 0`` branch below).  That is the standard strict reading of
+    the MAD rule for near-constant groups: with >50% of mass at one
+    point, every departure from it is anomalous.  Callers who want a
+    softer fallback can pre-screen groups with a secondary scale
+    estimate (e.g. mean absolute deviation) before applying this flag.
     """
     from pyspark.sql import functions as F
 
@@ -272,7 +281,10 @@ def psi_drift(
     empty current bins finite and deterministic.  ln() is the one
     libm-vs-JVM wiggle — round the result (callers: 6 dp).
 
-    Returns one row per key: psi, n_ref, n_cur.
+    Returns one row per key: psi, n_ref, n_cur.  Keys present only in
+    the CURRENT snapshot (no reference distribution to bin against) are
+    emitted as sentinel rows with psi = +inf and n_ref = 0 — a
+    brand-new key is the strongest drift signal, not a row to drop.
     """
     from pyspark.sql import functions as F
 
@@ -315,7 +327,7 @@ def psi_drift(
     p = (F.col("c_ref") + half) / (F.col("n_ref") + pad)
     q = (F.col("c_cur") + half) / (F.col("n_cur") + pad)
     term = (q - p) * F.log(q / p)
-    return (
+    res = (
         both.groupBy(*keys)
         .agg(
             F.sum(term).alias("psi"),
@@ -323,6 +335,23 @@ def psi_drift(
             F.first("n_cur").alias("n_cur"),
         )
     )
+    if keys:
+        # a key present ONLY in the current snapshot has no reference
+        # edges/totals to bin against, but it is the strongest drift
+        # signal there is — emit a sentinel row (psi = +inf, n_ref = 0)
+        # instead of silently dropping it (anti-join against the tiny
+        # per-key reference totals dim, broadcast)
+        new_keys = totals_c.join(
+            F.broadcast(totals_r.select(*keys)), keys, "left_anti"
+        )
+        sentinel = new_keys.select(
+            *keys,
+            F.lit(float("inf")).alias("psi"),
+            F.lit(0).cast("bigint").alias("n_ref"),
+            F.col("n_cur"),
+        )
+        res = res.unionByName(sentinel)
+    return res
 
 
 def seasonal_baseline(

@@ -1,0 +1,103 @@
+"""Registration-time output-schema conformance for every queries() entry.
+
+The driver scores a query by converting BOTH the Spark result and the
+DuckDB oracle result to pandas, canonicalizing (sort columns, sort rows)
+and hashing the rendered values.  Two output dtype classes fail that
+pipeline BY CONSTRUCTION, independent of values:
+
+- ArrayType/MapType/StructType/BinaryType: pandas object cells that
+  crash the driver's ``sort_values`` (lists — the r3
+  ``embedding_quantize_int8`` harness crash) or render by object;
+- DecimalType/FloatType: object-Decimal renders '1.50' where float64
+  renders '1.5'; float32 renders with float32-shortest repr
+  ('0.30000001') where the DuckDB oracle's float64 renders '0.3'.
+  Queries cast to DOUBLE (``_dec2dbl`` discipline) or integer-ize.
+
+TIMESTAMP/DATE outputs are deliberately NOT banned: r1-r3 driver
+scorings prove the driver compares rendered values ('2024-01-01' is
+identical whether pandas holds datetime64[ns], datetime64[us] or a
+datetime.date object), and 30+ driver-green queries emit them.
+
+These tests pin the class shut: a new query that would fail the
+driver's hash for representational (non-logic) reasons fails pytest
+first.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+import __spark_entry__ as entry_mod
+
+_BANNED_NESTED = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+_BANNED_NUMERIC = (T.DecimalType, T.FloatType)
+
+
+def _schemas(spark, sf_dir):
+    out = {}
+    for name, fn in entry_mod.queries().items():
+        out[name] = fn(spark, sf_dir).schema
+    return out
+
+
+def test_no_nonscalar_or_hash_divergent_output_columns(spark, sf_dir):
+    offenders = []
+    for name, schema in _schemas(spark, sf_dir).items():
+        for f in schema.fields:
+            if isinstance(f.dataType, _BANNED_NESTED):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()} (non-scalar)")
+            elif isinstance(f.dataType, _BANNED_NUMERIC):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()} (cast to DOUBLE/BIGINT)")
+    assert not offenders, "hash-unsafe output columns:\n" + "\n".join(offenders)
+
+
+def test_oracle_numeric_families_match_spark_schema(spark, sf_dir):
+    """The driver renders values before hashing, so an int64 Spark
+    column against a float64 DuckDB column fails on every row ('8' vs
+    '8.0') — the class behind ALL of r3's hash-reds (DuckDB returns
+    HUGEINT sums, floor(), ceil() and integer division as float64
+    unless the oracle CASTs).  Executes every oracle at sf0.001 (cheap)
+    and pins each numeric column's family to the Spark schema's."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import types as T
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = f"{sf_dir}/{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    int_spark = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
+    offenders = []
+    schemas = _schemas(spark, sf_dir)
+    for name, sql in entry_mod.oracle_sql().items():
+        pdf = con.execute(sql).df()
+        spark_types = {f.name: f.dataType for f in schemas[name].fields}
+        for col in pdf.columns:
+            st = spark_types.get(col)
+            if st is None:
+                continue  # column-name mismatches are caught by check.py
+            dd = pdf[col].dtype
+            duck_int = np.issubdtype(dd, np.integer) or dd == bool
+            duck_float = np.issubdtype(dd, np.floating)
+            # nullable-int columns come back float64 from pandas on BOTH
+            # engines when nulls are present — only flag the asymmetric
+            # no-null case the driver actually fails on
+            has_null = bool(pdf[col].isna().any())
+            if isinstance(st, int_spark) and duck_float and not has_null:
+                offenders.append(f"{name}.{col}: spark {st.simpleString()} vs duck {dd} — CAST the oracle column to BIGINT")
+            elif isinstance(st, T.DoubleType) and duck_int:
+                offenders.append(f"{name}.{col}: spark double vs duck {dd} — CAST one side")
+    assert not offenders, "int/float family mismatches:\n" + "\n".join(offenders)
+
+
+def test_every_query_has_oracle(spark):
+    """Every queries() entry carries an oracle_sql() twin (full-strength
+    value check with the driver), and no oracle is orphaned."""
+    qs = set(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    assert oracles == qs, (
+        f"oracle/query mismatch: no-oracle={sorted(qs - oracles)} "
+        f"orphaned={sorted(oracles - qs)}"
+    )

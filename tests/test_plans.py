@@ -405,3 +405,35 @@ def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
     j = f.join(dim, "d").groupBy("et").count()
     plan = j._jdf.queryExecution().optimizedPlan().toString()
     assert "dynamicpruning" in plan
+
+
+def test_ann_join_exact_verify_side_gated_above_max_rows(spark, sf_dir):
+    """100 TB posture: similarity_ann_join's exact verification side is a
+    (corpus/100) x corpus product that exists only to oracle-check the
+    ANN result.  Above the size gate it must vanish from the plan (no
+    nested-loop/cartesian join) and recall_ok comes back NULL
+    (= unverified); below the gate behavior is unchanged."""
+    from ksql_linq_spark.entry_queries import similarity_ann_join_q
+
+    gated = similarity_ann_join_q(spark, sf_dir, exact_verify_max_rows=0)
+    plan = plan_of(gated)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    row = gated.first()
+    assert row["recall_ok"] is None
+    assert row["exact_pairs"]  # ANN pairs still come back
+    ungated = similarity_ann_join_q(spark, sf_dir)
+    assert "NestedLoop" in plan_of(ungated) or "CartesianProduct" in plan_of(ungated)
+    assert ungated.first()["recall_ok"] is not None
+
+
+def test_blocked_cosine_refuses_quadratic_above_gate(spark, sf_dir):
+    """The exact numpy-block cosine kernel is O(n^2) by contract; the
+    max_rows gate turns an accidental corpus-scale launch into an
+    immediate error pointing at the LSH/semantic scale paths."""
+    import pytest as _pytest
+
+    from ksql_linq_spark.operators.dedup import embedding_cosine_pairs_blocked
+
+    e = read_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="exact-quadratic gate"):
+        embedding_cosine_pairs_blocked(e, max_rows=1)
