@@ -1229,3 +1229,174 @@ def test_streaming_incremental_corpus_dedup(spark, tmp_path):
         for r in exact_dedup(df1.unionByName(df2)).collect()
     )
     assert got == want == [1, 2, 5]
+
+
+def test_cascade_soak_restart_midstream_exactly_once(spark, sf_dir):
+    """Stabilize-and-recover soak (reference Lifecycle.cs:300-341): the
+    hub tier of a streaming OHLC cascade is killed mid-stream after
+    consuming only half the input, restarted from its checkpoint over
+    the remaining chunks, then restarted once more with no new data
+    (pure replay).  Asserts the three exactly-once properties the
+    reference's stabilization story promises:
+
+    1. no (key, bucket) bar is ever emitted twice across restarts;
+    2. every emitted bar is value-identical to the batch hub built from
+       the raw table — including bars whose window SPANS the restart
+       (state restored from the checkpoint, not re-derived);
+    3. a tier rollup composed from the streamed hub matches the batch
+       cascade's rollup over the same closed buckets.
+
+    Composes idempotent_append_sink (exactly-once append) with the
+    cascade's partial-agg carriers (operators/cascade.py build_hub).
+    """
+    import os
+
+    from ksql_linq_spark.operators.cascade import CascadePlan, build_hub, rollup_tier
+    from ksql_linq_spark.sources import read_table
+    from ksql_linq_spark.streaming.windows import idempotent_append_sink
+
+    tmp = tempfile.mkdtemp(prefix="soak_")
+    src_dir, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    try:
+        ev = read_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+        # 4 time-contiguous chunks (no cross-chunk late data beyond grace)
+        qrow = ev.select(
+            F.percentile(F.col("ts").cast("double"), F.lit(0.25)).alias("q1"),
+            F.percentile(F.col("ts").cast("double"), F.lit(0.5)).alias("q2"),
+            F.percentile(F.col("ts").cast("double"), F.lit(0.75)).alias("q3"),
+        ).first()
+        b1, b2, b3 = (
+            dt.datetime.utcfromtimestamp(qrow["q1"]),
+            dt.datetime.utcfromtimestamp(qrow["q2"]),
+            dt.datetime.utcfromtimestamp(qrow["q3"]),
+        )
+        chunks = [
+            ev.filter(F.col("ts") < b1),
+            ev.filter((F.col("ts") >= b1) & (F.col("ts") < b2)),
+            ev.filter((F.col("ts") >= b2) & (F.col("ts") < b3)),
+            ev.filter(F.col("ts") >= b3),
+        ]
+
+        def write_chunk(i):
+            chunks[i].coalesce(1).write.mode("overwrite").parquet(
+                f"{src_dir}/c{i}"
+            )
+            # file source discovers files recursively under a glob path
+            for f in os.listdir(f"{src_dir}/c{i}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{src_dir}/c{i}/{f}", f"{src_dir}/chunk_{i}.parquet")
+            shutil.rmtree(f"{src_dir}/c{i}", ignore_errors=True)
+
+        os.makedirs(src_dir, exist_ok=True)
+        ts, price = F.col("ts"), F.col("value")
+
+        def start_hub():
+            stream = (
+                spark.readStream.schema("ts timestamp, event_type string, value double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            hub = (
+                stream.withWatermark("ts", "1 second")
+                .groupBy(F.col("event_type"), F.window("ts", "1 hour").alias("w"))
+                .agg(
+                    F.min_by(price, ts).alias("open"),
+                    F.max(price).alias("high"),
+                    F.min(price).alias("low"),
+                    F.max_by(price, ts).alias("close"),
+                    F.sum(price).alias("sum_v"),
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.min(ts).alias("first_ts"),
+                    F.max(ts).alias("last_ts"),
+                )
+                .select(F.col("w.start").alias("bucket_start"), "*")
+                .drop("w")
+            )
+            return idempotent_append_sink(hub, f"{out}/hub", ckpt)
+
+        # phase 1: half the input, then a hard stop (induced crash)
+        write_chunk(0)
+        write_chunk(1)
+        q = start_hub()
+        q.processAllAvailable()
+        q.stop()
+        mid_count = spark.read.parquet(f"{out}/hub").count()
+        assert mid_count > 0, "no closed bars after phase 1"
+
+        # phase 2: remaining chunks arrive; restart from the checkpoint
+        write_chunk(2)
+        write_chunk(3)
+        q = start_hub()
+        q.processAllAvailable()
+        q.stop()
+
+        # phase 3: pure replay restart — no new data, no new rows
+        n_after = spark.read.parquet(f"{out}/hub").count()
+        q = start_hub()
+        q.processAllAvailable()
+        q.stop()
+        got = spark.read.parquet(f"{out}/hub")
+        assert got.count() == n_after, "replay restart appended rows"
+
+        # 1. exactly-once: no (key, bucket) emitted twice
+        assert (
+            got.groupBy("event_type", "bucket_start").count().filter("count > 1").count()
+            == 0
+        ), "duplicate bars across restarts"
+
+        # 2. every emitted bar matches the batch hub bit-for-bit,
+        #    including restart-spanning windows
+        plan = CascadePlan(
+            base_name="soak", keys=["event_type"], ts_col="ts",
+            price_col="value", timeframes=["1h"],
+        )
+        batch_hub = rollup_tier(plan, build_hub(plan, ev), "1h")
+        exp = {
+            (r["event_type"], r["bucket_start"]): r
+            for r in batch_hub.collect()
+        }
+        emitted = got.select(
+            "event_type", "bucket_start", "open", "high", "low", "close",
+            "sum_v", "cnt",
+        ).collect()
+        assert emitted
+        spanning = 0
+        for r in emitted:
+            e = exp[(r["event_type"], r["bucket_start"])]
+            for c in ("open", "high", "low", "close", "sum_v"):
+                assert abs(r[c] - e[c]) < 1e-9, (r, e[c], c)
+            assert r["cnt"] == e["cnt"], (r, e["cnt"])
+            end = r["bucket_start"] + dt.timedelta(hours=1)
+            if r["bucket_start"] < b2 <= end:
+                spanning += 1
+        assert spanning > 0, "no bar spanned the restart boundary"
+
+        # 3. day rollup composed from the streamed hub == batch cascade's
+        #    rollup over the same closed hour buckets
+        closed = got.select(
+            "event_type", "bucket_start", "open", "high", "low", "close",
+            "sum_v", "cnt", "first_ts", "last_ts",
+        )
+        keys_closed = {(r["event_type"], r["bucket_start"]) for r in emitted}
+        # filter batch hub down to the streamed buckets driver-side —
+        # tiny dim, avoids an isin over thousands of struct literals
+        b_pdf = batch_hub.toPandas()
+        b_pdf = b_pdf[
+            b_pdf.apply(
+                lambda x: (x["event_type"], x["bucket_start"].to_pydatetime())
+                in keys_closed,
+                axis=1,
+            )
+        ]
+        stream_day = rollup_tier(plan, closed, "1d").toPandas()
+        batch_day = rollup_tier(
+            plan, spark.createDataFrame(b_pdf, schema=closed.schema), "1d"
+        ).toPandas()
+        key = ["event_type", "bucket_start"]
+        sd = stream_day.sort_values(key).reset_index(drop=True)
+        bd = batch_day.sort_values(key).reset_index(drop=True)
+        assert len(sd) == len(bd) and len(sd) > 0
+        for c in ("open", "high", "low", "close", "sum_v", "cnt"):
+            assert (abs(sd[c] - bd[c]) < 1e-9).all(), c
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
