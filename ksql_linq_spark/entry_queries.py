@@ -1366,27 +1366,34 @@ def url_crypto_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
              (user_id % 180) - 90 + 0.5 AS lat,
              ((event_id % 360) - 180) + 0.5 AS lon
       FROM events)
-    SELECT event_id,
-           round(2 * 6371.0 * asin(sqrt(
-             pow(sin(radians(51.5 - lat) / 2), 2) +
-             cos(radians(lat)) * cos(radians(51.5)) *
-             pow(sin(radians(-0.1 - lon) / 2), 2))), 6) AS dist_km
-    FROM pts
-    """,
+    SELECT id AS event_id,
+           floor(dist * 1000000.0::DOUBLE) / 1000000.0::DOUBLE AS dist_km
+    FROM ({geo})
+    """.format(
+        geo=KF.geo_distance_sql("lat", "lon", "51.5", "-0.1", from_clause="pts")
+    ),
 )
 def geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 GeoDistance (haversine, UDF-free column math) to London."""
+    """§2.7 GeoDistance (haversine, UDF-free column math) to London.
+
+    Cross-engine determinism: GeoDistance evaluates its trig as fixed
+    Horner polynomials (functions/__init__.py) because JVM and libm
+    sin/cos/asin differ by 1-2 ulp on ~24% of these inputs — with
+    library trig, round-to-6dp flipped on boundary rows at sf0.1.  The
+    oracle is the generated SQL twin of the same polynomials
+    (geo_distance_sql), and the 6-dp quantization is floor-based (floor
+    of an identical double is identical everywhere; Spark round()
+    HALF_UPs via BigDecimal, DuckDB differently)."""
     ev = _t(spark, sf_dir, "events")
     pts = ev.select(
         "event_id",
         ((F.col("user_id") % 180) - 90 + 0.5).alias("lat"),
         ((F.col("event_id") % 360) - 180 + 0.5).alias("lon"),
     )
+    d = KF.GeoDistance("lat", "lon", F.lit(51.5), F.lit(-0.1))
     return pts.select(
         "event_id",
-        F.round(KF.GeoDistance("lat", "lon", F.lit(51.5), F.lit(-0.1)), 6).alias(
-            "dist_km"
-        ),
+        (F.floor(d * 1000000.0) / 1000000.0).alias("dist_km"),
     )
 
 

@@ -363,16 +363,138 @@ def UrlExtractProtocol(c):
 
 
 # ---------------------------------------------------------------- geo
-# KsqlFunctionRegistry.cs:137-138 — haversine, UDF-free column math
+# KsqlFunctionRegistry.cs:137-138 — haversine, UDF-free column math.
+#
+# ENGINE-PORTABLE BY DESIGN: JVM Math.sin/cos/asin and C libm disagree
+# by 1-2 ulp on ~24% of inputs (measured vs DuckDB at sf0.1), so a
+# haversine built on F.sin/F.cos gives different last-bit results on
+# different runtimes — and any fixed-precision rounding of a 1-ulp-noisy
+# double flips at bucket boundaries (~1 row in 1e5 at 6 dp).  The trig
+# here is therefore evaluated as fixed Horner POLYNOMIALS in plain
+# +,*,/,sqrt — IEEE-exact and bit-identical on every engine that parses
+# the same double literals (Spark codegen, DuckDB, any SQL dialect via
+# geo_distance_sql below).  Max error vs true haversine < 1e-9 rad
+# (sub-mm over Earth radii); determinism across clusters/JDKs is the
+# contract, exact libm parity is not.
+from fractions import Fraction as _Fr
+from math import factorial as _fact
+
+_DEG2RAD = 0.017453292519943295  # pi/180, shortest-repr double literal
+_HALF_PI = 1.5707963267948966
+# sin x = x * sum c_k x^2k, k=0..12  (|x| <= pi -> tail < 3e-15)
+_SIN_COEFS = [float(_Fr((-1) ** k, _fact(2 * k + 1))) for k in range(13)]
+# cos x = sum c_k x^2k, k=0..13
+_COS_COEFS = [float(_Fr((-1) ** k, _fact(2 * k))) for k in range(14)]
+# asin u = u * sum c_k u^2k, k=0..30, valid |u| <= 1/sqrt(2)
+# (tail < 1e-9; the u > 1/sqrt(2) branch uses asin(u) = pi/2 - asin(sqrt(1-h)))
+_ASIN_COEFS = [
+    float(_Fr(_fact(2 * k), (_fact(k) ** 2) * (4 ** k) * (2 * k + 1)))
+    for k in range(31)
+]
+
+
+def _horner_col(x2, coefs):
+    acc = F.lit(coefs[-1])
+    for c in reversed(coefs[:-1]):
+        acc = acc * x2 + F.lit(c)
+    return acc
+
+
+def _sin_col(x):
+    return x * _horner_col(x * x, _SIN_COEFS)
+
+
+def _cos_col(x):
+    return _horner_col(x * x, _COS_COEFS)
+
+
+def _asin_small_col(u):
+    return u * _horner_col(u * u, _ASIN_COEFS)
+
+
 def GeoDistance(lat1, lon1, lat2, lon2, unit="KM"):
     r = 6371.0 if unit.upper() == "KM" else 3958.8
-    la1, lo1 = F.radians(_c(lat1)), F.radians(_c(lon1))
-    la2, lo2 = F.radians(_c(lat2)), F.radians(_c(lon2))
-    a = (
-        F.sin((la2 - la1) / 2) ** 2
-        + F.cos(la1) * F.cos(la2) * F.sin((lo2 - lo1) / 2) ** 2
+    la1, lo1 = _c(lat1), _c(lon1)
+    la2, lo2 = _c(lat2), _c(lon2)
+    d2r = F.lit(_DEG2RAD)
+    dphi = ((la2 - la1) * d2r) / 2
+    dlmb = ((lo2 - lo1) * d2r) / 2
+    s1, s2 = _sin_col(dphi), _sin_col(dlmb)
+    # polynomial sin can overshoot |1| by an ulp near pi/2 -> clamp h to
+    # [_, 1] (identically in geo_distance_sql) so sqrt(1 - h) stays real
+    h = F.least(
+        F.lit(1.0),
+        s1 * s1 + _cos_col(la1 * d2r) * _cos_col(la2 * d2r) * (s2 * s2),
     )
-    return F.lit(2 * r) * F.asin(F.sqrt(a))
+    theta = F.when(h <= 0.5, _asin_small_col(F.sqrt(h))).otherwise(
+        F.lit(_HALF_PI) - _asin_small_col(F.sqrt(F.lit(1.0) - h))
+    )
+    return F.lit(2 * r) * theta
+
+
+def _horner_sql(x2: str, coefs) -> str:
+    # every literal is ::DOUBLE — bare decimal literals parse as DECIMAL
+    # in DuckDB and decimal arithmetic both overflows and diverges.
+    # Result is parenthesized: it ends in `+ c` and embeds in products.
+    acc = f"{coefs[-1]!r}::DOUBLE"
+    for c in reversed(coefs[:-1]):
+        acc = f"({acc}) * ({x2}) + {c!r}::DOUBLE"
+    return f"({acc})"
+
+
+def _sin_sql(x: str) -> str:
+    return f"({x}) * ({_horner_sql(f'({x}) * ({x})', _SIN_COEFS)})"
+
+
+def _cos_sql(x: str) -> str:
+    return _horner_sql(f"({x}) * ({x})", _COS_COEFS)
+
+
+def _asin_small_sql(u: str) -> str:
+    return f"({u}) * ({_horner_sql(f'({u}) * ({u})', _ASIN_COEFS)})"
+
+
+def geo_distance_sql(
+    lat1: str, lon1: str, lat2: str, lon2: str, unit: str = "KM",
+    id_expr: str = "event_id", from_clause: str = "pts",
+) -> str:
+    """ANSI-SQL twin of :func:`GeoDistance` — the SAME Horner
+    polynomials over the same double literals, staged through CTEs so
+    every sub-expression is written once.  Any engine that parses IEEE
+    double literals reproduces Spark's output bit-for-bit.  Returns a
+    complete SELECT yielding (id, dist).
+
+    Caveat: coordinate COLUMNS must arrive binary (parquet/Arrow) —
+    DuckDB's string->DOUBLE parse is 1 ulp off for some literals.  The
+    fixed query point passed as ``lat2``/``lon2`` text should be an
+    exactly-representable short decimal ('51.5', '-0.1'); the
+    generated coefficient literals (shortest-repr doubles) parse
+    exactly — verified bit-for-bit in tests/test_conformance.py."""
+    r = 6371.0 if unit.upper() == "KM" else 3958.8
+    d2r = f"{_DEG2RAD!r}::DOUBLE"
+    return f"""
+    SELECT {id_expr} AS id,
+           2 * {r!r}::DOUBLE * (CASE WHEN h <= 0.5
+                THEN {_asin_small_sql('sqrt(h)')}
+                ELSE {_HALF_PI!r}::DOUBLE - {_asin_small_sql('sqrt(1.0::DOUBLE - h)')} END)
+             AS dist
+    FROM (
+      SELECT {id_expr},
+             least(1.0::DOUBLE,
+                   s1 * s1 + {_cos_sql('phi1')} * {_cos_sql('phi2')} * (s2 * s2))
+               AS h
+      FROM (
+        SELECT {id_expr},
+               {_sin_sql('dphi')} AS s1, {_sin_sql('dlmb')} AS s2,
+               phi1, phi2
+        FROM (
+          SELECT {id_expr},
+                 (({lat2})::DOUBLE - ({lat1})::DOUBLE) * {d2r} / 2 AS dphi,
+                 (({lon2})::DOUBLE - ({lon1})::DOUBLE) * {d2r} / 2 AS dlmb,
+                 ({lat1})::DOUBLE * {d2r} AS phi1,
+                 ({lat2})::DOUBLE * {d2r} AS phi2
+          FROM {from_clause})))
+    """
 
 
 def AsGeoJson(lat, lon):
