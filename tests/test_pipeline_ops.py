@@ -1595,3 +1595,30 @@ def test_weighted_percentile_generalizes_median(spark):
     # q=1.0 -> max value
     p100 = weighted_percentile(df, "v", "w", 1.0, ["k"]).first().weighted_p
     assert p100 == 9
+
+
+def test_connected_components_regimes_agree(spark):
+    """The size-gated driver union-find (edge list <= driver_max_edges)
+    and the distributed min-label-propagation loop must produce
+    IDENTICAL (node, component) maps — same min-id labeling contract.
+    A 40-node random graph plus a long path (worst case for label
+    propagation rounds) exercises both."""
+    import random
+
+    from ksql_linq_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+    edges += [(100 + i, 101 + i) for i in range(12)]  # path component
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    fast = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    slow = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert fast == slow and fast
+    # path component labeled by its min node
+    assert fast[112] == 100
+
