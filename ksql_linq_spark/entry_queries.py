@@ -1383,17 +1383,23 @@ def geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the generated SQL twin of the same polynomials
     (geo_distance_sql), and the 6-dp quantization is floor-based (floor
     of an identical double is identical everywhere; Spark round()
-    HALF_UPs via BigDecimal, DuckDB differently)."""
+    HALF_UPs via BigDecimal, DuckDB differently).
+
+    Scale: uses geo_distance_staged — each Horner polynomial is staged
+    through a named projection so the plan is linear in degree and
+    whole-stage codegen evaluates it once per row (the single-Column
+    GeoDistance form re-inlines subtrees multiplicatively; r4 bench
+    regression, SCALING.md expression-size traps)."""
     ev = _t(spark, sf_dir, "events")
     pts = ev.select(
         "event_id",
         ((F.col("user_id") % 180) - 90 + 0.5).alias("lat"),
         ((F.col("event_id") % 360) - 180 + 0.5).alias("lon"),
     )
-    d = KF.GeoDistance("lat", "lon", F.lit(51.5), F.lit(-0.1))
-    return pts.select(
+    d = KF.geo_distance_staged(pts, "lat", "lon", 51.5, -0.1, dist_col="dist")
+    return d.select(
         "event_id",
-        (F.floor(d * 1000000.0) / 1000000.0).alias("dist_km"),
+        (F.floor(F.col("dist") * 1000000.0) / 1000000.0).alias("dist_km"),
     )
 
 
@@ -6393,6 +6399,13 @@ def similarity_ivfpq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bo JOIN nr ON bo.event_type = nr.event_type
             JOIN nc ON bo.event_type = nc.event_type
     GROUP BY 1, n_ref, n_cur
+    UNION ALL
+    -- sentinel twin of psi_drift's current-only-key rows: a key with no
+    -- reference snapshot is maximal drift (psi = +inf, n_ref = 0)
+    SELECT nc.event_type, 'infinity'::DOUBLE AS psi,
+           CAST(0 AS BIGINT) AS n_ref, n_cur
+    FROM nc
+    WHERE nc.event_type NOT IN (SELECT event_type FROM nr)
     """,
 )
 def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -413,6 +413,16 @@ def _asin_small_col(u):
 
 
 def GeoDistance(lat1, lon1, lat2, lon2, unit="KM"):
+    """Scalar-Column haversine (KsqlFunctionRegistry.cs:137-138).
+
+    EXPRESSION-SIZE WARNING: as a single Column the Horner chains
+    re-inline their argument subtree at every step, so the unresolved
+    tree is multiplicative in nesting depth (the r4 `geo_distance`
+    bench regression, 0.31 s -> 6.4 s, SCALING.md "expression-size
+    traps").  Fine for ad-hoc use / small parity tests; for a full-table
+    scan use :func:`geo_distance_staged`, which stages each polynomial
+    through a named projection (bit-identical output, linear plan size).
+    """
     r = 6371.0 if unit.upper() == "KM" else 3958.8
     la1, lo1 = _c(lat1), _c(lon1)
     la2, lo2 = _c(lat2), _c(lon2)
@@ -420,16 +430,104 @@ def GeoDistance(lat1, lon1, lat2, lon2, unit="KM"):
     dphi = ((la2 - la1) * d2r) / 2
     dlmb = ((lo2 - lo1) * d2r) / 2
     s1, s2 = _sin_col(dphi), _sin_col(dlmb)
-    # polynomial sin can overshoot |1| by an ulp near pi/2 -> clamp h to
-    # [_, 1] (identically in geo_distance_sql) so sqrt(1 - h) stays real
-    h = F.least(
-        F.lit(1.0),
-        s1 * s1 + _cos_col(la1 * d2r) * _cos_col(la2 * d2r) * (s2 * s2),
+    # polynomial sin/cos can overshoot |1| by an ulp (near pi/2, and
+    # infinitesimally below 0 for poles-adjacent inputs) -> clamp h to
+    # [0, 1] (identically in geo_distance_sql / geo_distance_staged) so
+    # sqrt(h) and sqrt(1 - h) both stay real
+    h = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            s1 * s1 + _cos_col(la1 * d2r) * _cos_col(la2 * d2r) * (s2 * s2),
+        ),
     )
-    theta = F.when(h <= 0.5, _asin_small_col(F.sqrt(h))).otherwise(
-        F.lit(_HALF_PI) - _asin_small_col(F.sqrt(F.lit(1.0) - h))
-    )
+    # single asin evaluation: hoist u, run the 31-term series ONCE, and
+    # branch only on the cheap pi/2 reassembly (same doubles as the
+    # two-branch form: each branch sees the identical op sequence)
+    u = F.when(h <= 0.5, F.sqrt(h)).otherwise(F.sqrt(F.lit(1.0) - h))
+    a = _asin_small_col(u)
+    theta = F.when(h <= 0.5, a).otherwise(F.lit(_HALF_PI) - a)
     return F.lit(2 * r) * theta
+
+
+def _horner_expr(x2: str, coefs) -> str:
+    """Spark-SQL-dialect Horner chain ('D' double-literal suffix; bare
+    decimals would parse as DECIMAL).  One string -> one parse on the
+    JVM, vs ~60 py4j roundtrips for the Column-op construction (the
+    dominant cost of building this query from Python)."""
+    acc = f"{coefs[-1]!r}D"
+    for c in reversed(coefs[:-1]):
+        acc = f"({acc}) * ({x2}) + {c!r}D"
+    return f"({acc})"
+
+
+def _sin_expr(x: str) -> str:
+    return f"({x}) * ({_horner_expr(f'({x}) * ({x})', _SIN_COEFS)})"
+
+
+def _cos_expr(x: str) -> str:
+    return _horner_expr(f"({x}) * ({x})", _COS_COEFS)
+
+
+def geo_distance_staged(df, lat1, lon1, lat2, lon2, unit="KM", dist_col="dist"):
+    """Scale path for :func:`GeoDistance`: identical doubles (same Horner
+    polynomials, same IEEE op order), but every intermediate — dphi/dlmb,
+    the four trig polynomials, h, the asin argument u, the asin series a
+    — is staged through a named projection, mirroring geo_distance_sql's
+    CTEs.  Each Horner then runs over an AttributeReference, so the plan
+    is LINEAR in polynomial degree and whole-stage codegen evaluates each
+    polynomial once per row.  CollapseProject cannot re-inline the stages:
+    every staged alias is a non-cheap expression consumed more than once
+    (s1*s1, h in 3 places, a in both CASE branches).
+
+    Built as ONE ``spark.sql`` call (the Spark-dialect twin of
+    geo_distance_sql, 'D' double literals) rather than chained
+    ``select``s: each eager Dataset analysis re-walks the whole growing
+    subtree, so 6 chained selects cost ~0.4 s of driver time per build
+    while one parse+analysis of the nested query costs ~0.05 s.
+
+    ``lat1``/``lon1``/``lat2``/``lon2`` are column NAMES (str) or
+    numeric literals.  Appends ``dist_col``; input columns preserved.
+    """
+    r = 6371.0 if unit.upper() == "KM" else 3958.8
+
+    def ref(v) -> str:
+        if isinstance(v, str):
+            return f"CAST(`{v}` AS DOUBLE)"
+        return f"{float(v)!r}D"
+
+    keep = ", ".join(f"`{c}`" for c in df.columns)
+    d2r = f"{_DEG2RAD!r}D"
+    q = f"""
+    SELECT {keep},
+           {(2 * r)!r}D * (CASE WHEN __h <= 0.5D THEN __a
+                ELSE {_HALF_PI!r}D - __a END) AS `{dist_col}`
+    FROM (
+      SELECT {keep}, __h,
+             (__u) * ({_horner_expr('(__u) * (__u)', _ASIN_COEFS)}) AS __a
+      FROM (
+        SELECT {keep}, __h,
+               CASE WHEN __h <= 0.5D THEN sqrt(__h)
+                    ELSE sqrt(1.0D - __h) END AS __u
+        FROM (
+          SELECT {keep},
+                 greatest(0.0D, least(1.0D,
+                     __s1 * __s1 + __c1 * __c2 * (__s2 * __s2))) AS __h
+          FROM (
+            SELECT {keep},
+                   {_sin_expr('__dphi')} AS __s1,
+                   {_sin_expr('__dlmb')} AS __s2,
+                   {_cos_expr('__phi1')} AS __c1,
+                   {_cos_expr('__phi2')} AS __c2
+            FROM (
+              SELECT {keep},
+                     ({ref(lat2)} - {ref(lat1)}) * {d2r} / 2 AS __dphi,
+                     ({ref(lon2)} - {ref(lon1)}) * {d2r} / 2 AS __dlmb,
+                     {ref(lat1)} * {d2r} AS __phi1,
+                     {ref(lat2)} * {d2r} AS __phi2
+              FROM {{src}})))))
+    """
+    return df.sparkSession.sql(q, src=df)
 
 
 def _horner_sql(x2: str, coefs) -> str:
@@ -475,25 +573,30 @@ def geo_distance_sql(
     return f"""
     SELECT {id_expr} AS id,
            2 * {r!r}::DOUBLE * (CASE WHEN h <= 0.5
-                THEN {_asin_small_sql('sqrt(h)')}
-                ELSE {_HALF_PI!r}::DOUBLE - {_asin_small_sql('sqrt(1.0::DOUBLE - h)')} END)
+                THEN a ELSE {_HALF_PI!r}::DOUBLE - a END)
              AS dist
     FROM (
-      SELECT {id_expr},
-             least(1.0::DOUBLE,
-                   s1 * s1 + {_cos_sql('phi1')} * {_cos_sql('phi2')} * (s2 * s2))
-               AS h
+      SELECT {id_expr}, h, {_asin_small_sql('u')} AS a
       FROM (
-        SELECT {id_expr},
-               {_sin_sql('dphi')} AS s1, {_sin_sql('dlmb')} AS s2,
-               phi1, phi2
+        SELECT {id_expr}, h,
+               CASE WHEN h <= 0.5 THEN sqrt(h)
+                    ELSE sqrt(1.0::DOUBLE - h) END AS u
         FROM (
           SELECT {id_expr},
-                 (({lat2})::DOUBLE - ({lat1})::DOUBLE) * {d2r} / 2 AS dphi,
-                 (({lon2})::DOUBLE - ({lon1})::DOUBLE) * {d2r} / 2 AS dlmb,
-                 ({lat1})::DOUBLE * {d2r} AS phi1,
-                 ({lat2})::DOUBLE * {d2r} AS phi2
-          FROM {from_clause})))
+                 greatest(0.0::DOUBLE, least(1.0::DOUBLE,
+                       s1 * s1 + {_cos_sql('phi1')} * {_cos_sql('phi2')} * (s2 * s2)))
+                   AS h
+          FROM (
+            SELECT {id_expr},
+                   {_sin_sql('dphi')} AS s1, {_sin_sql('dlmb')} AS s2,
+                   phi1, phi2
+            FROM (
+              SELECT {id_expr},
+                     (({lat2})::DOUBLE - ({lat1})::DOUBLE) * {d2r} / 2 AS dphi,
+                     (({lon2})::DOUBLE - ({lon1})::DOUBLE) * {d2r} / 2 AS dlmb,
+                     ({lat1})::DOUBLE * {d2r} AS phi1,
+                     ({lat2})::DOUBLE * {d2r} AS phi2
+              FROM {from_clause})))))
     """
 
 

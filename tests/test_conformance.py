@@ -152,3 +152,37 @@ def test_portable_geo_distance_accuracy_and_cross_engine_parity(spark):
     duck = {int(i): d for i, d in con.execute(sql).fetchall()}
     for i, _, _ in pts:
         assert duck[i] == got[i], (i, duck[i].hex(), got[i].hex())
+
+    # the staged (scale-path) form must be bit-identical to the scalar
+    # Column form — same polynomials, same IEEE op order, only the plan
+    # shape differs (named projections instead of one inlined tree)
+    staged = {
+        r["id"]: r["d"]
+        for r in KF.geo_distance_staged(df, "lat", "lon", 51.5, -0.1, dist_col="d")
+        .select("id", "d")
+        .collect()
+    }
+    for i, _, _ in pts:
+        assert staged[i] == got[i], (i, staged[i].hex(), got[i].hex())
+
+
+def test_geo_distance_staged_plan_is_linear(spark):
+    """The staged haversine must not be re-inlined by CollapseProject:
+    the optimized plan's total expression-tree size stays small (linear
+    in polynomial degree), vs ~100k+ nodes for the single-Column form —
+    the r4 21x bench regression this guards against."""
+    from pyspark.sql import functions as F
+
+    from ksql_linq_spark import functions as KF
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0)], "id long, lat double, lon double"
+    )
+    staged = KF.geo_distance_staged(df, "lat", "lon", 51.5, -0.1, dist_col="d").select(
+        "id", "d"
+    )
+    plan_text = staged._jdf.queryExecution().optimizedPlan().toString()
+    # staged: each Horner written once over an attribute ref -> a few KB.
+    # the inlined Column form renders to tens of MB (multiplicative
+    # subtree duplication) — this is the regression tripwire.
+    assert len(plan_text) < 200_000, len(plan_text)
