@@ -6693,9 +6693,14 @@ def similarity_ann_join_q(
     oracle; it is a (corpus/100) x corpus product that cannot run at
     100 TB.  Above ``exact_verify_max_rows`` vectors it is dropped from
     the plan entirely (sketch.py's size-gate discipline): the same
-    schema comes back with the ANN pairs in ``exact_pairs`` and
-    ``recall_ok`` NULL (= unverified).  sf0.01/sf0.1 sit far below the
-    gate, so driver-scored behavior is unchanged."""
+    schema comes back with a BOUNDED digest of the ANN pairs in
+    ``exact_pairs`` ("n=<count>;h=<order-independent xxhash64 sum>" —
+    constant-size, map-side-combinable; NOT the pair list itself, which
+    would be an unbounded single-row string aggregate) and ``recall_ok``
+    NULL (= unverified).  The regime probe is a limit-probe over the id
+    column (scans at most gate+1 rows of one column), not a full
+    count().  sf0.01/sf0.1 sit far below the gate, so driver-scored
+    behavior is unchanged."""
     from pyspark.sql.window import Window as _W
 
     from .operators.similarity import ann_join
@@ -6718,14 +6723,19 @@ def similarity_ann_join_q(
             F.col("right_vec_id").alias("ann_rid"),
         )
     )
-    if e.count() > exact_verify_max_rows:
+    probe = e.select("vec_id").limit(exact_verify_max_rows + 1).count()
+    if probe > exact_verify_max_rows:
         return ann.agg(
             F.concat_ws(
-                "|",
-                F.sort_array(
-                    F.collect_list(
-                        F.concat_ws(":", F.col("lid"), F.col("ann_rid"))
-                    )
+                ";",
+                F.concat(F.lit("n="), F.count(F.lit(1))),
+                F.concat(
+                    F.lit("h="),
+                    F.sum(
+                        F.xxhash64(
+                            F.concat_ws(":", F.col("lid"), F.col("ann_rid"))
+                        )
+                    ),
                 ),
             ).alias("exact_pairs"),
             F.lit(None).cast("boolean").alias("recall_ok"),

@@ -62,17 +62,32 @@ def connected_components(
     8.2 s -> 3.5 s cold at sf0.1).  Leave None when the edge list is
     genuinely large (loop parallelism then follows the session's
     shuffle partitioning)."""
+    # null-keyed edges contribute nothing in the distributed regime
+    # (null never equi-joins); drop them up front so both regimes agree
+    # and the driver union-find never compares None ids
+    non_null = F.col(src).isNotNull() & F.col(dst).isNotNull()
     rows = None
     if driver_max_edges:
         # one upstream execution decides the regime AND fetches the
         # edges: collect gate+1 rows — if the limit is hit, fall through
         # to the distributed loop (a count() probe would run the whole
-        # upstream pair-mining pipeline a second time)
-        rows = (
-            edges.select(src, dst).distinct().limit(driver_max_edges + 1).collect()
+        # upstream pair-mining pipeline a second time).  toArrow (not
+        # collect) keeps the fetch columnar: 1M id pairs is ~16 MB of
+        # Arrow buffers vs hundreds of MB of boxed Row objects, and it
+        # does not depend on the session's arrow.pyspark.enabled conf.
+        tbl = (
+            edges.select(src, dst)
+            .where(non_null)
+            .distinct()
+            .limit(driver_max_edges + 1)
+            .toArrow()
         )
-        if len(rows) > driver_max_edges:
+        if tbl.num_rows > driver_max_edges:
             rows = None
+        else:
+            # to_pylist: native ints/strs (createDataFrame rejects numpy
+            # scalars); the wire transfer stays columnar Arrow
+            rows = zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist())
     if rows is not None:
         parent: dict = {}
 
@@ -106,7 +121,7 @@ def connected_components(
     # union form computes the edge plan TWICE before the checkpoint cuts
     # lineage (measured 29 s → ~0 on an LSH-pair input at sf0.1)
     und = (
-        edges.select(
+        edges.where(non_null).select(
             F.explode(
                 F.array(
                     F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
