@@ -6284,10 +6284,15 @@ def window_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse FK-integrity audit: orphan counts per relationship via
     left_anti joins (the quality.py rule family lifted to CROSS-table
-    constraints).  Dim-side keys broadcast; each leg is one anti-join +
-    a 1-row count — at 100 TB the fact scans dominate and Catalyst
-    shares nothing ACROSS legs, so run it as the off-peak audit job it
-    is in production."""
+    constraints).  Each leg is one anti-join + a 1-row count.  The dim
+    side is the BARE key projection: no distinct() (anti-join semantics
+    ignore duplicate keys, and a pre-broadcast distinct is a full dim
+    shuffle per leg — half of this query's r4 exchanges) and no forced
+    broadcast (orders/customer keys do not fit a broadcast at 100 TB;
+    AQE broadcasts the small sides itself and plans SMJ when a dim
+    outgrows the threshold).  At 100 TB the fact scans dominate and
+    Catalyst shares nothing ACROSS legs, so run it as the off-peak
+    audit job it is in production."""
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
     cu = _t(spark, sf_dir, "customer")
@@ -6296,9 +6301,7 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def leg(name, fact, dim, fk, pk):
         orphans = fact.join(
-            F.broadcast(dim.select(pk).distinct()),
-            fact[fk] == F.col(pk),
-            "left_anti",
+            dim.select(pk), fact[fk] == F.col(pk), "left_anti"
         )
         return orphans.agg(
             F.lit(name).alias("fk"), F.count(F.lit(1)).alias("orphans")

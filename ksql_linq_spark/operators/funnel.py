@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 def funnel_times(
     events: DataFrame,
     steps: list[str],
-    user_col: str = "user_id",
+    user_col: str | list[str] = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> DataFrame:
@@ -36,27 +36,53 @@ def funnel_times(
     first step-1 event, then the first step-2 event after it, etc. —
     greedy is optimal for existence ("did the user convert") because
     taking an earlier t_{i} never eliminates a later t_{i+1}.
+
+    Dataflow — ONE key exchange for the whole chain (the r4 plan audit
+    showed the per-step join formulation re-exchanging on every step:
+    14 shuffles for a 3-step session funnel).  Step-i candidacy is a
+    RUNNING-MIN rewrite of the greedy join: an s_i event at time t
+    qualifies iff some step-(i-1) completion happened strictly before
+    it, i.e. iff the running min ``r_{i-1}`` over the key's time order
+    is ``< t`` (r_{i-1} < t  ⟺  t_{i-1} < t: rows with smaller ts are
+    always in the frame, and an equal-ts tie can only set r = t, which
+    the strict ``<`` ignores — the exact `ts > t_prev` join predicate).
+    The k running mins are chained window columns over the SAME window
+    spec, so the physical plan is one Exchange+Sort with k stacked
+    Window operators, and the final conditional aggregate groups on the
+    partition keys — colocated, exchange-free.
+
+    ``user_col`` may be a list of columns (composite key, e.g.
+    (user, session)); partitioning by a superset of an upstream
+    window's keys reuses its exchange (hash(user) satisfies clustering
+    on (user, session)).
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    keys = [user_col] if isinstance(user_col, str) else list(user_col)
     ev = events.select(
-        F.col(user_col).alias("user"),
-        F.col(ts_col).alias("ts"),
-        F.col(type_col).alias("etype"),
+        *keys, F.col(ts_col).alias("_fts"), F.col(type_col).alias("_fetype")
     )
-    cur = ev.where(F.col("etype") == steps[0]).groupBy("user").agg(
-        F.min("ts").alias("t1")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_fts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    conds = [F.col("_fetype") == steps[0]]
+    cur = ev
     for i, step in enumerate(steps[1:], start=2):
-        nxt = (
-            ev.where(F.col("etype") == step)
-            .join(cur, "user")
-            .where(F.col("ts") > F.col(f"t{i-1}"))
-            .groupBy("user")
-            .agg(F.min("ts").alias(f"t{i}"))
+        cur = cur.withColumn(
+            f"_r{i-1}", F.min(F.when(conds[-1], F.col("_fts"))).over(w)
         )
-        cur = cur.join(nxt, "user", "left")
-    return cur.withColumnRenamed("user", user_col)
+        conds.append(
+            (F.col("_fetype") == step) & (F.col(f"_r{i-1}") < F.col("_fts"))
+        )
+    out = cur.groupBy(*keys).agg(
+        *[
+            F.min(F.when(c, F.col("_fts"))).alias(f"t{i}")
+            for i, c in enumerate(conds, start=1)
+        ]
+    )
+    return out.where(F.col("t1").isNotNull())
 
 
 def funnel_report(
@@ -230,8 +256,11 @@ def session_funnel(
     scd2_history's version counter, and expressible identically in
     SQL (unlike F.session_window, whose merge step has no oracle twin).
 
-    The per-session funnel then REUSES funnel_times verbatim on the
-    composite (user, session) key.  Returns one row per step:
+    The per-session funnel then REUSES funnel_times on the composite
+    (user, session) key: funnel_times partitions by (user, _sid),
+    whose clustering requirement is already satisfied by the session
+    window's hash(user) exchange — the whole query runs on ONE data
+    shuffle (r4 plan: 14).  Returns one row per step:
     (step_no, step, n_sessions, conversion vs step 1).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
@@ -242,11 +271,8 @@ def session_funnel(
     ).cast("int")
     sess = events.withColumn(
         "_sid", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    ).withColumn(
-        "_skey",
-        F.concat_ws(":", F.col(user_col).cast("string"), F.col("_sid")),
     )
-    ft = funnel_times(sess, steps, user_col="_skey", ts_col=ts_col,
+    ft = funnel_times(sess, steps, user_col=[user_col, "_sid"], ts_col=ts_col,
                       type_col=type_col)
     counts = ft.agg(
         *[

@@ -1340,6 +1340,33 @@ def test_psi_drift_detects_shift(spark):
     assert psi_shift > psi_same
 
 
+def test_psi_drift_current_only_key_sentinel(spark):
+    """A key appearing only in the CURRENT snapshot has no reference
+    distribution — psi_drift must emit the +inf sentinel (n_ref = 0),
+    not drop the strongest possible drift signal; ref-only keys keep
+    the drop semantics (no fabricated zero)."""
+    import math
+
+    from ksql_linq_spark.operators.stats import psi_drift
+
+    ref = spark.createDataFrame(
+        [("a", float(i % 100)) for i in range(200)]
+        + [("gone", float(i)) for i in range(50)],
+        "k string, v double",
+    )
+    cur = spark.createDataFrame(
+        [("a", float((i * 3) % 100)) for i in range(200)]
+        + [("new", float(i)) for i in range(30)],
+        "k string, v double",
+    )
+    rows = {r.k: r for r in psi_drift(ref, cur, "v", ["k"]).collect()}
+    assert set(rows) == {"a", "new"}          # 'gone' (no cur rows) dropped
+    assert math.isinf(rows["new"].psi) and rows["new"].psi > 0
+    assert rows["new"].n_ref == 0 and rows["new"].n_cur == 30
+    assert math.isfinite(rows["a"].psi)
+    assert rows["a"].n_ref == 200 and rows["a"].n_cur == 200
+
+
 def test_bpe_canonical_merges_and_roundtrip(spark):
     """BPE semantics on the classic toy corpus: merge order follows pair
     frequency with deterministic ties, detokenization reproduces every
