@@ -100,6 +100,7 @@ class QueryMonitor:
 
     def __init__(self, query) -> None:
         self.query = query
+        self._dropped: dict[str, int] = {}
 
     def _progress(self) -> dict | None:
         p = self.query.lastProgress
@@ -118,3 +119,20 @@ class QueryMonitor:
 
     def flush_reason(self, output_mode: str) -> str:
         return "grace" if output_mode == "append" else "timer"
+
+    def publish_incidents(self, bus) -> list:
+        """Pull-mode twin of incidents.IncidentListener: scan the
+        query's latest progress for incident signals (late-drop counter
+        deltas) and publish them to ``bus`` (incidents.IncidentBus).
+        Returns the incidents published this call.  Use the listener
+        for push delivery; use this from a polling loop that already
+        holds the query handle."""
+        from .incidents import incidents_from_progress
+
+        p = self._progress()
+        if not p:
+            return []
+        found = incidents_from_progress(p, self._dropped)
+        for inc in found:
+            bus.publish(inc)
+        return found

@@ -1400,3 +1400,292 @@ def test_cascade_soak_restart_midstream_exactly_once(spark, sf_dir):
             assert (abs(sd[c] - bd[c]) < 1e-9).all(), c
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_changelog_join_tombstone_restart_soak(spark):
+    """r5 soak (cascade-soak template, commit 7f43a91 lineage): a key
+    tombstoned mid-stream must STAY tombstoned across a kill/restart
+    (the delete lives in the checkpointed state store, reference
+    RocksDB-table recovery), a post-restart re-upsert re-enriches, and
+    a pure-replay restart emits nothing twice."""
+    from pyspark.sql import types as T
+
+    from ksql_linq_spark.streaming.changelog_join import stream_changelog_join
+
+    lsrc = tempfile.mkdtemp(prefix="cljs_l_")
+    rsrc = tempfile.mkdtemp(prefix="cljs_r_")
+    ckpt = tempfile.mkdtemp(prefix="cljs_ck_")
+    out_dir = tempfile.mkdtemp(prefix="cljs_out_")
+    lschema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("probe_id", T.LongType()),
+        ]
+    )
+    rschema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+
+    def start():
+        ls = spark.readStream.schema(lschema).parquet(lsrc)
+        rs = spark.readStream.schema(rschema).parquet(rsrc)
+        j = stream_changelog_join(ls, rs, key="k", left_ts="ts", value_col="price")
+        return (
+            j.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    def put(d, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    try:
+        # run 1: upsert 42, probe sees it, then TOMBSTONE; kill
+        put(rsrc, [("A", t(1), 42.0)], rschema)
+        put(lsrc, [("A", t(2), 1)], lschema)
+        q = start()
+        q.processAllAvailable()
+        put(rsrc, [("A", t(3), None)], rschema)   # tombstone mid-stream
+        q.processAllAvailable()
+        q.stop()
+
+        # run 2 (same checkpoint): probe must see the TOMBSTONE, not 42;
+        # then a fresh upsert re-enriches a later probe
+        put(lsrc, [("A", t(5), 2)], lschema)
+        q2 = start()
+        q2.processAllAvailable()
+        put(rsrc, [("A", t(6), 99.0)], rschema)
+        q2.processAllAvailable()
+        put(lsrc, [("A", t(7), 3)], lschema)
+        q2.processAllAvailable()
+        q2.stop()
+
+        # run 3: pure replay — nothing may re-emit
+        q3 = start()
+        q3.processAllAvailable()
+        q3.stop()
+
+        rows = spark.read.parquet(out_dir).collect()
+        got = {r["probe_id"]: r["latest_price"] for r in rows}
+        assert len(rows) == 3, rows              # exactly-once across restarts
+        assert got[1] == 42.0
+        assert got[2] is None, "tombstone must survive the restart"
+        assert got[3] == 99.0
+    finally:
+        for d in (lsrc, rsrc, ckpt, out_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_gap_fill_restart_across_gap_soak(spark):
+    """r5 soak: the gap-fill continuation state (last bucket + close)
+    must survive a kill/restart so a gap that SPANS the restart is
+    synthesized from the pre-restart close — and a pure replay emits no
+    duplicate bars."""
+    from ksql_linq_spark.operators.gapfill import streaming_gap_fill
+
+    src = tempfile.mkdtemp(prefix="gfs_src_")
+    ckpt = tempfile.mkdtemp(prefix="gfs_ck_")
+    out_dir = tempfile.mkdtemp(prefix="gfs_out_")
+    schema = "k string, bucket timestamp, close double"
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(src)
+        filled = streaming_gap_fill(stream, "k", "bucket", "close", "1m")
+        return (
+            filled.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    def put(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    try:
+        # run 1: one real bar, then kill
+        put([("A", dt.datetime(2024, 1, 1, 0, 0), 10.0)])
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+
+        # run 2: next bar arrives 3 buckets later — the 2-bucket gap
+        # spans the restart and must carry the PRE-restart close (10.0)
+        put([("A", dt.datetime(2024, 1, 1, 0, 3), 13.0),
+             ("B", dt.datetime(2024, 1, 1, 0, 3), 5.0)])
+        q2 = start()
+        q2.processAllAvailable()
+        q2.stop()
+
+        # run 3: pure replay — no new bars
+        q3 = start()
+        q3.processAllAvailable()
+        q3.stop()
+
+        got = sorted(
+            (r["k"], r["bucket"], r["close"], r["is_synthetic"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        assert got == [
+            ("A", dt.datetime(2024, 1, 1, 0, 0), 10.0, False),
+            ("A", dt.datetime(2024, 1, 1, 0, 1), 10.0, True),
+            ("A", dt.datetime(2024, 1, 1, 0, 2), 10.0, True),
+            ("A", dt.datetime(2024, 1, 1, 0, 3), 13.0, False),
+            ("B", dt.datetime(2024, 1, 1, 0, 3), 5.0, False),
+        ], got
+    finally:
+        for d in (src, ckpt, out_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hopping_final_late_data_matches_batch_twin(spark):
+    """W3/W4: hopping EMIT FINAL under late arrivals — a late row INSIDE
+    the grace joins its windows, a row arriving after the watermark
+    passed its windows is dropped, and every closed window is
+    value-identical to the batch twin over the ACCEPTED rows."""
+    schema = "k string, ts timestamp"
+    d = tempfile.mkdtemp(prefix="hopl_")
+
+    def put(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/in")
+
+    try:
+        put([("A", dt.datetime(2024, 1, 1, 0, 0, 10)),
+             ("A", dt.datetime(2024, 1, 1, 0, 0, 40))])
+        stream = spark.readStream.schema(schema).parquet(f"{d}/in")
+        agg, mode = windowed_aggregate(
+            stream,
+            keys=["k"],
+            ts_col="ts",
+            aggs=[F.count(F.lit(1)).alias("n")],
+            size="60 seconds",
+            advance="30 seconds",
+            grace="30 seconds",
+            emit=EmitMode.FINAL,
+        )
+        q = (
+            agg.writeStream.format("memory").queryName("hop_late")
+            .outputMode(mode)
+            .option("checkpointLocation", f"{d}/ck")
+            .start()
+        )
+        q.processAllAvailable()   # watermark -> 00:00:10
+        # late row INSIDE grace (00:00:20 > watermark) + an advancer
+        # that pushes the watermark to 00:09:30, closing the early windows
+        put([("A", dt.datetime(2024, 1, 1, 0, 0, 20)),
+             ("A", dt.datetime(2024, 1, 1, 0, 10, 0))])
+        q.processAllAvailable()
+        # beyond grace: its windows all closed at 00:09:30 -> dropped
+        put([("A", dt.datetime(2024, 1, 1, 0, 0, 25))])
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            (r["k"], r["window_start"]): r["n"]
+            for r in spark.sql("SELECT * FROM hop_late").collect()
+        }
+        accepted = spark.createDataFrame(
+            [("A", dt.datetime(2024, 1, 1, 0, 0, 10)),
+             ("A", dt.datetime(2024, 1, 1, 0, 0, 40)),
+             ("A", dt.datetime(2024, 1, 1, 0, 0, 20)),
+             ("A", dt.datetime(2024, 1, 1, 0, 10, 0))], schema
+        )
+        exp = {
+            (r["k"], r["ws"]): r["n"]
+            for r in accepted.groupBy(
+                "k", F.window("ts", "60 seconds", "30 seconds").start.alias("ws")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got, "no closed hopping windows"
+        # the within-grace row made it into both of its windows
+        assert got[("A", dt.datetime(2024, 1, 1, 0, 0, 0))] == 3
+        # the beyond-grace row (00:00:25) made it into neither
+        for kk, v in got.items():
+            assert exp[kk] == v, (kk, v, exp.get(kk))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_session_final_late_data_matches_batch_twin(spark):
+    """Session windows under late arrivals: a within-grace late row
+    merges into its session before the watermark closes it; a
+    beyond-grace row neither extends nor reopens the closed session;
+    closed sessions equal the batch twin over the accepted rows."""
+    schema = "k string, ts timestamp"
+    d = tempfile.mkdtemp(prefix="sessl_")
+
+    def put(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/in")
+
+    def session_agg(df_or_stream):
+        return (
+            df_or_stream.groupBy("k", F.session_window("ts", "30 seconds"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "k",
+                F.col("session_window.start").alias("s"),
+                F.col("session_window.end").alias("e"),
+                "n",
+            )
+        )
+
+    try:
+        put([("A", dt.datetime(2024, 1, 1, 0, 0, 0)),
+             ("A", dt.datetime(2024, 1, 1, 0, 0, 20))])
+        stream = spark.readStream.schema(schema).parquet(f"{d}/in")
+        agg = session_agg(stream.withWatermark("ts", "30 seconds"))
+        q = (
+            agg.writeStream.format("memory").queryName("sess_late")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ck")
+            .start()
+        )
+        q.processAllAvailable()
+        # within grace: merges into the open session; advancer closes it
+        put([("A", dt.datetime(2024, 1, 1, 0, 0, 10)),
+             ("A", dt.datetime(2024, 1, 1, 1, 0, 0))])
+        q.processAllAvailable()
+        # beyond grace: session [0:00, 0:50) closed at watermark 0:59:30
+        put([("A", dt.datetime(2024, 1, 1, 0, 0, 25))])
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            (r["k"], r["s"], r["e"]): r["n"]
+            for r in spark.sql("SELECT * FROM sess_late").collect()
+        }
+        # merged session includes the within-grace row (n=3), end =
+        # last event + gap — NOT extended by the dropped 0:00:25 row
+        s1 = ("A", dt.datetime(2024, 1, 1, 0, 0, 0),
+              dt.datetime(2024, 1, 1, 0, 0, 50))
+        assert got.get(s1) == 3, got
+        accepted = spark.createDataFrame(
+            [("A", dt.datetime(2024, 1, 1, 0, 0, 0)),
+             ("A", dt.datetime(2024, 1, 1, 0, 0, 20)),
+             ("A", dt.datetime(2024, 1, 1, 0, 0, 10)),
+             ("A", dt.datetime(2024, 1, 1, 1, 0, 0))], schema
+        )
+        exp = {
+            (r["k"], r["s"], r["e"]): r["n"]
+            for r in session_agg(accepted).collect()
+        }
+        for kk, v in got.items():
+            assert exp[kk] == v, (kk, v, exp.get(kk))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
