@@ -57,6 +57,7 @@ def _dec2dbl(c, p=18, s=2):
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 flagship: tumbling 1-minute OHLC bars (EarliestByOffset/LatestByOffset open/close, min/max low/high per bucket)."""
     ev = _t(spark, sf_dir, "events")
     return (
         ohlc_bars(
@@ -143,6 +144,7 @@ def ohlc_5m_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (A1-A5): sum/avg/count pricing rollup per returnflag/linestatus through the staged Query builder."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -194,6 +196,7 @@ def agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 CountDistinct + Count per event_type."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         KF.CountDistinct("user_id").alias("users"),
@@ -379,6 +382,7 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_math_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 math + date scalar families (Round/Floor/Ceil/Abs/Sign, date parts, intervals as epoch-ms BIGINT)."""
     od = _t(spark, sf_dir, "orders")
     return od.select(
         "o_orderkey",
@@ -822,6 +826,7 @@ ORACLES["text_language_id"] = _build_lang_oracle()
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (operators/text.fingerprint): normalized-text rolling hash for exact-dup detection."""
     from .operators.text import fingerprint
 
     d = _t(spark, sf_dir, "documents")
@@ -839,6 +844,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (operators/dedup.exact_dedup): hash-groupBy on the normalized-text fingerprint, min-id survivor."""
     from .operators.dedup import exact_dedup
 
     d = _t(spark, sf_dir, "documents")
@@ -900,6 +906,7 @@ def dedup_minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (operators/dedup.minhash_lsh_pairs): shingle->minhash->band->bucket-join, bucket-capped."""
     from .operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -924,6 +931,7 @@ def dedup_minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (operators/dedup.simhash_pairs): 64-bit token-hash sign aggregate, hamming-bucketed."""
     from .operators.dedup import simhash
 
     d = _t(spark, sf_dir, "documents")
@@ -949,6 +957,7 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (operators/dedup.ngram_jaccard_pairs): shingle-bucketed, max_shingle_freq prune."""
     from .operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -972,6 +981,7 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (operators/dedup.embedding_cosine_pairs): unit-vector dot as a zip_with fold."""
     from .operators.dedup import embedding_cosine_pairs_blocked
 
     e = _t(spark, sf_dir, "embeddings")
@@ -996,6 +1006,7 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (operators/similarity.brute_force_topk) - the ANN recall baseline."""
     from .operators.similarity import brute_force_topk
 
     e = _t(spark, sf_dir, "embeddings")

@@ -186,3 +186,37 @@ def test_geo_distance_staged_plan_is_linear(spark):
     # the inlined Column form renders to tens of MB (multiplicative
     # subtree duplication) — this is the regression tripwire.
     assert len(plan_text) < 200_000, len(plan_text)
+
+
+def test_operators_doc_fresh_and_links_valid():
+    """OPERATORS.md is the user-facing operator index: it must (a) be
+    regeneratable byte-identical from the current registration (stale
+    docs fail), and (b) reference only implementation functions that
+    actually exist in the package."""
+    import importlib
+    import os
+    import re
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import operators_doc
+
+    generated = operators_doc.generate()
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "OPERATORS.md")
+    ) as f:
+        committed = f.read()
+    assert generated == committed, (
+        "OPERATORS.md is stale — regenerate with `python tools/operators_doc.py`"
+    )
+
+    refs = set(re.findall(r"`(operators|streaming|functions)[/.]([\w.]+)`", committed))
+    assert refs, "no implementation references found"
+    for pkg, rest in refs:
+        if pkg == "functions":
+            mod_name, func = "ksql_linq_spark.functions", rest
+        else:
+            mod, func = rest.split(".", 1)
+            mod_name = f"ksql_linq_spark.{pkg}.{mod}"
+        m = importlib.import_module(mod_name)
+        assert hasattr(m, func), f"{mod_name}.{func} referenced in OPERATORS.md but missing"
