@@ -7117,34 +7117,70 @@ def events_type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame
     co-occurrence counted over the DISTINCT (user, type) projection —
     the self-join runs on the reduced frame (users × ≤|types|), never
     raw events; lift = P(ab)/(P(a)P(b)) from one broadcast singles dim
-    and a 1-row user total.  Bounded output: type-pair matrix."""
+    and a 1-row user total.  Bounded output: type-pair matrix.
+
+    Scale shape (r5): ONE user-keyed exchange builds per-user type
+    SETS; a single bounded explode then emits a user marker, the
+    singles, and the ordered pairs as (t1, t2) rows (≤ 1 + T + T(T-1)/2
+    per user, JVM higher-order fns over a tiny array), so one tiny
+    (t1, t2) count yields n_users (both null), the singles dim (t2
+    null) and the pair counts — replacing the r4 distinct + self-join +
+    second-distinct-count topology (7 shuffles -> 2 data exchanges +
+    broadcast assembly of the bounded matrix)."""
     ev = _t(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    n_users = ut.select("user_id").distinct().count()
-    a = ut.select("user_id", F.col("event_type").alias("t1"))
-    b = ut.select("user_id", F.col("event_type").alias("t2"))
-    pairs = (
-        a.join(b, "user_id")
-        .where(F.col("t1") < F.col("t2"))
-        .groupBy("t1", "t2")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
+    nul = F.lit(None).cast("string")
+    usets = ev.groupBy("user_id").agg(F.collect_set("event_type").alias("ts"))
+    marker = F.array(F.struct(nul.alias("t1"), nul.alias("t2")))
+    single_arr = F.transform(
+        F.col("ts"), lambda x: F.struct(x.alias("t1"), nul.alias("t2"))
     )
-    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
-    s1 = singles.select(F.col("event_type").alias("t1"), F.col("c").alias("c1"))
-    s2 = singles.select(F.col("event_type").alias("t2"), F.col("c").alias("c2"))
-    nu = F.lit(float(n_users))
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ts"),
+                lambda x: F.transform(
+                    F.col("ts"),
+                    lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+                ),
+            )
+        ),
+        lambda s: s["t1"] < s["t2"],
+    )
+    counts = (
+        usets.select(
+            F.explode(F.concat(marker, single_arr, pair_arr)).alias("p")
+        )
+        .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        # 4 downstream legs (pairs, two singles dims, total) — cut the
+        # lineage so the 2-exchange count job runs ONCE, not per leg
+        # (graph.py's fusion discipline; the frame is ≤ 1+T+T² rows)
+        .localCheckpoint()
+    )
+    pairs = counts.where(
+        F.col("t1").isNotNull() & F.col("t2").isNotNull()
+    ).select("t1", "t2", F.col("c").alias("c_ab"))
+    singles = counts.where(
+        F.col("t1").isNotNull() & F.col("t2").isNull()
+    ).select("t1", "c")
+    s1 = singles.select("t1", F.col("c").alias("c1"))
+    s2 = singles.select(F.col("t1").alias("t2"), F.col("c").alias("c2"))
+    total = counts.where(F.col("t1").isNull()).select(
+        F.col("c").cast("double").alias("nu")
+    )
     return (
         pairs.join(F.broadcast(s1), "t1")
         .join(F.broadcast(s2), "t2")
+        .crossJoin(F.broadcast(total))
         .select(
             "t1",
             "t2",
             "c_ab",
             F.round(
-                (F.col("c_ab").cast("double") / nu)
+                (F.col("c_ab").cast("double") / F.col("nu"))
                 / (
-                    (F.col("c1").cast("double") / nu)
-                    * (F.col("c2").cast("double") / nu)
+                    (F.col("c1").cast("double") / F.col("nu"))
+                    * (F.col("c2").cast("double") / F.col("nu"))
                 ),
                 6,
             ).alias("lift"),
@@ -7669,17 +7705,29 @@ def events_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.hll_sketch_estimate("sk_b")
         - est_union
     )
-    # exact overlap via one distinct-pair self-join for the invariant
-    ut = ev.select("user_id", "event_type").distinct()
+    # exact overlap for the invariant from ONE user-keyed exchange:
+    # per-user type SET (collect_set dedups, so a pair appears at most
+    # once per user), bounded pair explode (≤ C(|types|,2) rows/user —
+    # JVM higher-order fns over a ≤3-element array), then a tiny
+    # (t1,t2) count — replaces the r4 distinct + self-join +
+    # count_distinct chain (3 user-sized exchanges -> 1)
+    usets = ev.groupBy("user_id").agg(F.collect_set("event_type").alias("ts"))
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ts"),
+                lambda x: F.transform(
+                    F.col("ts"),
+                    lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+                ),
+            )
+        ),
+        lambda s: s["t1"] < s["t2"],
+    )
     o = (
-        ut.alias("x")
-        .join(ut.alias("y"), F.col("x.user_id") == F.col("y.user_id"))
-        .where(F.col("x.event_type") < F.col("y.event_type"))
-        .groupBy(
-            F.col("x.event_type").alias("t1"),
-            F.col("y.event_type").alias("t2"),
-        )
-        .agg(F.count_distinct("x.user_id").alias("exact_overlap"))
+        usets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
     )
     return (
         pairs.join(o, ["t1", "t2"])
