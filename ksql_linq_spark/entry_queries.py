@@ -6630,7 +6630,12 @@ def audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiled column from a SINGLE scan + single aggregate (never one
     job per column), unpivoted to a row per column.  The sketch-based
     distinctness rides as a ≤10%-of-exact invariant (2x the default
-    HLL rsd; approx_count_distinct precedent)."""
+    HLL rsd; approx_count_distinct precedent).
+
+    The exact distinct counts for the invariant live IN the plan (1-row
+    aggregate broadcast-crossed onto the 3 profile rows) rather than a
+    separate driver .first() job — one execution instead of two passes
+    over lineitem (r5; was ~half this query's bench cost)."""
     from .operators.quality import profile_table
 
     li = _t(spark, sf_dir, "lineitem")
@@ -6640,16 +6645,15 @@ def audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         string_cols=["l_returnflag"],
     )
     exact = li.agg(
-        F.count_distinct("l_quantity").alias("l_quantity"),
-        F.count_distinct("l_extendedprice").alias("l_extendedprice"),
-        F.count_distinct("l_returnflag").alias("l_returnflag"),
-    ).first()
+        F.count_distinct("l_quantity").alias("_xd_q"),
+        F.count_distinct("l_extendedprice").alias("_xd_p"),
+        F.count_distinct("l_returnflag").alias("_xd_r"),
+    )
+    prof = prof.crossJoin(F.broadcast(exact))
     exact_map = F.create_map(
-        *[
-            x
-            for c in ("l_quantity", "l_extendedprice", "l_returnflag")
-            for x in (F.lit(c), F.lit(exact[c]))
-        ]
+        F.lit("l_quantity"), F.col("_xd_q"),
+        F.lit("l_extendedprice"), F.col("_xd_p"),
+        F.lit("l_returnflag"), F.col("_xd_r"),
     )
     xd = exact_map[F.col("column")]
     return prof.select(

@@ -702,6 +702,61 @@ def test_funnel_times_matches_greedy_model(spark, data):
     assert got == want
 
 
+comp_events_strat = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),            # user
+        st.integers(min_value=0, max_value=1),            # session
+        st.integers(min_value=0, max_value=60),           # ts offset
+        st.sampled_from(["view", "click", "purchase"]),   # type
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(data=comp_events_strat)
+@settings(**SETTINGS)
+def test_funnel_times_composite_key_matches_greedy_model(spark, data):
+    """The r5 window-chain rewrite with a COMPOSITE key (the
+    session_funnel shape) must equal the greedy per-(user, session)
+    model — including equal-timestamp ties, where the strict `>`
+    predicate rejects same-instant step progression."""
+    from ksql_linq_spark.operators.funnel import funnel_times
+
+    rows = [
+        (u, s, BASE + dt.timedelta(seconds=off), t) for u, s, off, t in data
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, sess long, ts timestamp, event_type string"
+    )
+    steps = ["view", "click", "purchase"]
+    got = {
+        (r["user_id"], r["sess"]): (r["t1"], r["t2"], r["t3"])
+        for r in funnel_times(df, steps, user_col=["user_id", "sess"]).collect()
+    }
+    per_key: dict[tuple, list] = {}
+    for u, s, ts, t in rows:
+        per_key.setdefault((u, s), []).append((ts, t))
+    want = {}
+    for k, evs in per_key.items():
+        evs.sort()
+        t_prev, times = None, []
+        for step in steps:
+            cand = [
+                ts for ts, t in evs
+                if t == step and (t_prev is None or ts > t_prev)
+            ]
+            cur = min(cand) if cand else None
+            times.append(cur)
+            if cur is None:
+                t_prev = None if t_prev is None else dt.datetime.max
+            else:
+                t_prev = cur
+        if times[0] is not None:
+            want[k] = tuple(times)
+    assert got == want
+
+
 @given(
     present=st.lists(st.integers(min_value=0, max_value=20), min_size=2, max_size=12),
     vals=st.lists(
