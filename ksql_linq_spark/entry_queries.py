@@ -2622,13 +2622,14 @@ _MOM = """
            CASE WHEN n_raw > 1
                 THEN sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) END
              AS stddev_samp,
-           CASE WHEN n_raw > 1
-                THEN (n * sxy - sx * sy) / (n * (n - 1.0)) END AS covar_samp,
-           CASE WHEN n_raw > 1 AND (n * sxx - sx * sx) > 0
+           floor((CASE WHEN n_raw > 1
+                THEN (n * sxy - sx * sy) / (n * (n - 1.0)) END)
+                 * 1000000.0::DOUBLE) / 1000000.0::DOUBLE AS covar_samp,
+           floor((CASE WHEN n_raw > 1 AND (n * sxx - sx * sx) > 0
                  AND (n * syy - sy * sy) > 0
                 THEN (n * sxy - sx * sy)
-                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END
-             AS corr
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END)
+                 * 1000000.0::DOUBLE) / 1000000.0::DOUBLE AS corr
     FROM m
 """
 
@@ -2638,12 +2639,24 @@ def agg_moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible stddev/var/covar/corr from exact decimal moments
     (operators/stats.py) — superset; the reference registry has no
     statistical aggregates (src/Query/Builders/Functions/
-    KsqlFunctionRegistry.cs)."""
+    KsqlFunctionRegistry.cs).
+
+    covar/corr are FLOOR-quantized to 6 dp on both engines: they
+    consume the sxy/syy moments, whose exact decimal sums exceed 2^53
+    unscaled (y² money values), so their DECIMAL→DOUBLE cast can land
+    1 ulp apart across engines (observed: corr red at sf0.001 while
+    green at sf0.01/sf0.1 — data-dependent luck, not correctness).
+    mean/var/stddev ride sx/sxx, which stay below 2^53 through sf100."""
     from .operators.stats import moment_stats
 
     li = _t(spark, sf_dir, "lineitem")
-    return moment_stats(
+    out = moment_stats(
         li, ["l_returnflag"], "l_quantity", "l_extendedprice", scale=2
+    )
+    q6 = lambda c: F.floor(F.col(c) * 1000000.0) / 1000000.0
+    return out.select(
+        "l_returnflag", "n", "mean", "var_samp", "stddev_samp",
+        q6("covar_samp").alias("covar_samp"), q6("corr").alias("corr"),
     )
 
 
@@ -5685,9 +5698,10 @@ def similarity_pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
       FROM j)
     SELECT event_type, bucket_start,
-           round(coalesce(v, pv + (nv - pv) *
+           floor(coalesce(v, pv + (nv - pv) *
              (CAST(epoch(bucket_start) - epoch(pt) AS DOUBLE)
-              / CAST(epoch(nt) - epoch(pt) AS DOUBLE))), 6) AS v,
+              / CAST(epoch(nt) - epoch(pt) AS DOUBLE)))
+                 * 1000000.0::DOUBLE) / 1000000.0::DOUBLE AS v,
            v IS NULL AS is_synthetic
     FROM n
     """,
@@ -5700,7 +5714,12 @@ def gapfill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (RowMonitor continuation, W8).  Per-key sequence spine + one window
     shuffle; bar values are DECIMAL-exact sums so both engines
     interpolate from bit-identical endpoints with fixed-order IEEE
-    arithmetic."""
+    arithmetic.  Quantization is FLOOR-based, not round(): the
+    interpolated doubles are bit-identical but can land exactly on a
+    …5 boundary (2-dp endpoints × rational frac), where Spark's
+    BigDecimal HALF_UP and DuckDB's rounding disagree — observed at
+    sf0.001 ('8.190313' vs '8.190312'); floor of an identical double
+    is identical everywhere."""
     from .operators.gapfill import interpolate_linear
     from .operators.windows import bucket_start
 
@@ -5713,7 +5732,10 @@ def gapfill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = interpolate_linear(bars, ["event_type"], "bucket_start", "v", "15m")
     return out.select(
-        "event_type", "bucket_start", F.round("v", 6).alias("v"), "is_synthetic"
+        "event_type",
+        "bucket_start",
+        (F.floor(F.col("v") * 1000000.0) / 1000000.0).alias("v"),
+        "is_synthetic",
     )
 
 

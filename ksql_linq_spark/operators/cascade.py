@@ -122,6 +122,7 @@ def start_streaming_cascade(
     sink_dir: str,
     checkpoint_dir: str,
     trigger_seconds: int = 10,
+    incident_bus=None,
 ):
     """Streaming deployment: each tier is its own checkpointed query.
 
@@ -129,7 +130,23 @@ def start_streaming_cascade(
     watermark close) and persists it; higher tiers re-read the hub files
     as a stream — materialization between tiers is exactly how the
     reference chains CSAS/CTAS through Kafka topics.
+
+    ``incident_bus`` (streaming/incidents.IncidentBus): when given, a
+    StreamingQueryListener is attached to the session publishing
+    late_drop/restart/terminated incidents for every tier — the
+    reference's WindowAggregatorMetrics + IncidentBus surface.  Each
+    tier query is named (hub_name / tier_name) so incidents identify
+    their tier.  The listener is session-scoped; detach with
+    ``spark.streams.removeListener(shim)`` using the returned shim
+    (queries, shim) when a bus is wired, else just the query list.
     """
+    shim = None
+    if incident_bus is not None:
+        from ..streaming.incidents import attach_incident_listener
+
+        _, shim = attach_incident_listener(
+            tick_stream.sparkSession, incident_bus
+        )
     from pyspark.sql import functions as F  # local alias for clarity
 
     grace = f"{plan.grace_seconds.get('1s', 1)} seconds"
@@ -155,6 +172,7 @@ def start_streaming_cascade(
     )
     queries = [
         hub_stream.writeStream.format("parquet")
+        .queryName(plan.hub_name)
         .option("path", f"{sink_dir}/{plan.hub_name}")
         .option("checkpointLocation", f"{checkpoint_dir}/{plan.hub_name}")
         .outputMode("append")
@@ -188,12 +206,15 @@ def start_streaming_cascade(
         )
         queries.append(
             tier.writeStream.format("parquet")
+            .queryName(plan.tier_name(tf))
             .option("path", f"{sink_dir}/{plan.tier_name(tf)}")
             .option("checkpointLocation", f"{checkpoint_dir}/{plan.tier_name(tf)}")
             .outputMode("append")
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .start()
         )
+    if shim is not None:
+        return queries, shim
     return queries
 
 

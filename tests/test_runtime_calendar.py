@@ -184,3 +184,53 @@ def test_bar_table_partition_pruning(spark, sf_dir, tmp_path):
     # the pruned scan must read strictly fewer files than the full table
     assert q.count() > 0
     assert q.count() < df.count()
+
+
+def test_streaming_cascade_publishes_late_drop_incident(spark):
+    """start_streaming_cascade(incident_bus=...) wires the incident
+    listener: an induced late tick (behind the hub watermark) surfaces
+    as a late_drop incident NAMED with the hub tier's query name."""
+    import time as _time
+
+    from ksql_linq_spark.operators.cascade import start_streaming_cascade
+    from ksql_linq_spark.streaming.incidents import IncidentBus
+
+    tmp = tempfile.mkdtemp(prefix="casc_inc_")
+    schema = "event_type string, ts timestamp, value double"
+
+    def put(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/src")
+
+    put([("a", dt.datetime(2024, 1, 1, 0, 0, 0), 1.0),
+         ("a", dt.datetime(2024, 1, 1, 0, 30, 0), 2.0)])
+    stream = spark.readStream.schema(schema).parquet(f"{tmp}/src")
+    plan = CascadePlan(
+        base_name="ibar", keys=["event_type"], ts_col="ts",
+        price_col="value", timeframes=["5m"],
+    )
+    bus = IncidentBus()
+    queries, shim = start_streaming_cascade(
+        plan, stream, sink_dir=f"{tmp}/sink", checkpoint_dir=f"{tmp}/ckpt",
+        incident_bus=bus,
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+        # far behind the hub watermark (00:29:59) -> dropped late
+        put([("a", dt.datetime(2024, 1, 1, 0, 0, 30), 9.0)])
+        for q in queries:
+            q.processAllAvailable()
+        deadline = _time.time() + 20
+        while _time.time() < deadline and not bus.recent("late_drop"):
+            _time.sleep(0.2)
+    finally:
+        for q in queries:
+            q.stop()
+        spark.streams.removeListener(shim)
+        shutil.rmtree(tmp, ignore_errors=True)
+    drops = bus.recent("late_drop")
+    assert drops, "no late_drop incident published"
+    assert drops[0].query_name == plan.hub_name
+    assert drops[0].details["n_rows"] == 1
