@@ -3737,12 +3737,15 @@ def join_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
       FROM g)
     SELECT event_type, n,
-           CASE WHEN mx > 0 THEN cxy / mx END AS slope,
-           CASE WHEN mx > 0
-                THEN (syd - (cxy / mx) * sxd) / CAST(n AS DOUBLE) END
-             AS intercept,
-           CASE WHEN mx > 0 AND my > 0
-                THEN (cxy * cxy) / (mx * my) END AS r2
+           floor((CASE WHEN mx > 0 THEN cxy / mx END)
+                 * 1000000000000.0::DOUBLE) / 1000000000000.0::DOUBLE
+             AS slope,
+           floor((CASE WHEN mx > 0
+                THEN (syd - (cxy / mx) * sxd) / CAST(n AS DOUBLE) END)
+                 * 1000000.0::DOUBLE) / 1000000.0::DOUBLE AS intercept,
+           floor((CASE WHEN mx > 0 AND my > 0
+                THEN (cxy * cxy) / (mx * my) END)
+                 * 1000000.0::DOUBLE) / 1000000.0::DOUBLE AS r2
     FROM m
     """,
 )
@@ -3750,12 +3753,27 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key OLS trend (slope in units/second, intercept at the fixed
     anchor, r²) from exact decimal moments (operators/stats.trend_fit):
     the drift-detection primitive — bit-stable across engines and
-    partitionings, one map-side-combinable shuffle."""
+    partitionings, one map-side-combinable shuffle.
+
+    Outputs are floor-quantized scale-aware (slope at 1e-12 — it is
+    units/SECOND, ~1e-5 magnitude; intercept/r² at 1e-6): sxx sums
+    squared second-offsets whose unscaled decimals exceed 2^53, the
+    same data-dependent DECIMAL→DOUBLE 1-ulp cast class that bit
+    agg_moment_statistics' corr at sf0.001."""
     from .operators.stats import trend_fit
 
     ev = _t(spark, sf_dir, "events")
-    return trend_fit(
+    out = trend_fit(
         ev, ["event_type"], "ts", "value", t0="2024-01-01", y_scale=2
+    )
+    return out.select(
+        "event_type",
+        "n",
+        (F.floor(F.col("slope") * 1e12) / 1e12).alias("slope"),
+        (F.floor(F.col("intercept") * 1000000.0) / 1000000.0).alias(
+            "intercept"
+        ),
+        (F.floor(F.col("r2") * 1000000.0) / 1000000.0).alias("r2"),
     )
 
 
