@@ -210,11 +210,16 @@ def test_operators_doc_fresh_and_links_valid():
         "OPERATORS.md is stale — regenerate with `python tools/operators_doc.py`"
     )
 
-    refs = set(re.findall(r"`(operators|streaming|functions)[/.]([\w.]+)`", committed))
+    refs = set(
+        re.findall(
+            r"`(operators|streaming|functions|runtime|sources)[/.]([\w.]+)`",
+            committed,
+        )
+    )
     assert refs, "no implementation references found"
     for pkg, rest in refs:
-        if pkg == "functions":
-            mod_name, func = "ksql_linq_spark.functions", rest
+        if pkg in ("functions", "runtime", "sources"):
+            mod_name, func = f"ksql_linq_spark.{pkg}", rest
         else:
             mod, func = rest.split(".", 1)
             mod_name = f"ksql_linq_spark.{pkg}.{mod}"

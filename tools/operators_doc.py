@@ -112,6 +112,37 @@ def summary_of(fn) -> str:
     return (head[:157] + "...") if len(head) > 160 else head
 
 
+# streaming/runtime surface without registered queries (exercised by
+# tests/test_streaming.py etc. — Structured Streaming has no DuckDB
+# twin); (module, symbol) pairs are import-checked by the freshness test
+RUNTIME_SURFACE = [
+    ("streaming/windows", "windowed_aggregate",
+     "tumbling/hopping/session aggregation, grace→watermark, EMIT CHANGES/FINAL"),
+    ("streaming/windows", "stream_stream_join", "WITHIN-windowed stream-stream join"),
+    ("streaming/windows", "stream_static_join", "stream-table snapshot join"),
+    ("streaming/windows", "keyed_table_sink",
+     "keyed upsert sink with tombstone delete-on-null (TABLE cache analog)"),
+    ("streaming/windows", "idempotent_append_sink",
+     "exactly-once append across restarts/replay"),
+    ("streaming/changelog_join", "stream_changelog_join",
+     "true changelog stream-TABLE join with tombstones (stateful)"),
+    ("streaming/consume", "Consumer", "ForEachAsync analog: retry/DLQ/commit loop"),
+    ("streaming/dlq", "envelope", "DLQ error envelope (topic/offset keys, fingerprint)"),
+    ("streaming/monitor", "QueryMonitor", "lag snapshot + heartbeat per query"),
+    ("streaming/incidents", "IncidentBus",
+     "runtime incident pub/sub (late_drop/restart/terminated via listener)"),
+    ("streaming/incidents", "attach_incident_listener",
+     "StreamingQueryListener adapter publishing incidents to a bus"),
+    ("operators/cascade", "start_streaming_cascade",
+     "multi-timeframe OHLC cascade as chained checkpointed queries"),
+    ("operators/gapfill", "streaming_gap_fill",
+     "carry-forward continuation via applyInPandasWithState"),
+    ("runtime", "TimeBucket", "pull-read API over per-timeframe bar tables"),
+    ("runtime", "HoppingWindowReader", "pull-read over hopping-window tables"),
+    ("sources", "read_stream_from_table", "file-stream source over driver parquet"),
+]
+
+
 def generate() -> str:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -144,6 +175,17 @@ def generate() -> str:
                 f"| {summary_of(fn)} |"
             )
         lines.append("")
+    lines += [
+        "## Streaming / runtime surface (no oracle twin — Structured",
+        "Streaming semantics, exercised by tests/test_streaming.py and",
+        "tests/test_runtime_calendar.py)",
+        "",
+        "| API | summary |",
+        "|---|---|",
+    ]
+    for mod, sym, summary in RUNTIME_SURFACE:
+        lines.append(f"| `{mod}.{sym}` | {summary} |")
+    lines.append("")
     return "\n".join(lines) + "\n"
 
 
