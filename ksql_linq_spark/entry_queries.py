@@ -3895,12 +3895,19 @@ def dataset_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts + running-sum base ranks over the bounded distinct-tok
     summary + a value-partitioned row_number — bit-identical to SQL
     ntile(10) with NO corpus-wide single-partition window (that was
-    round 2's named scale-killer)."""
+    round 2's named scale-killer).
+
+    distributed_ntile references its input three times (value counts,
+    total, join-back); a tokenize is too expensive to run 3× (measured:
+    3 scans), so the narrow (doc_id, lang, tok) projection is
+    materialized once via lazy localCheckpoint before the ntile."""
     from .operators.dataset import distributed_ntile
     from .operators.text import token_count
 
     d = _t(spark, sf_dir, "documents")
-    t = d.select("doc_id", "lang", token_count("text").alias("tok"))
+    t = d.select(
+        "doc_id", "lang", token_count("text").alias("tok")
+    ).localCheckpoint(eager=False)
     tiers = distributed_ntile(t, 10, "tok", "doc_id", out_col="tier")
     return tiers.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -7106,11 +7113,18 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     no day×activity range join, no per-day rescans) and one
     count_distinct per day finishes.  The day spine semi-gates the
     explode so partial leading windows match the oracle's clipped
-    BETWEEN join."""
+    BETWEEN join.
+
+    The activity projection feeds three branches (day spine, WAU
+    explode, DAU counts); without a lineage cut each re-scans events
+    (measured: 3 scans).  Lazy localCheckpoint materializes the
+    distinct (user, day) frame — far smaller than raw events — once."""
     ev = _t(spark, sf_dir, "events")
-    act = ev.select(
-        "user_id", F.to_date("ts").alias("day")
-    ).distinct()
+    act = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     days = act.select("day").distinct()
     contrib = act.select(
         "user_id",
@@ -7866,8 +7880,11 @@ def corpus_source_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     novel content worth upweighting, low = the source re-serves what
     the corpus already has (mixture-weight input, the flip side of
     cross_doc_dup_stats).  Distinct (source, gram) projection → gram
-    source-frequency dim → rollup; the gram-keyed exchange is reused by
-    the join, integer-exact ratio."""
+    source-frequency dim → rollup; integer-exact ratio.  The distinct
+    gram frame feeds both the frequency dim and the join spine —
+    without a cut each branch re-runs tokenize + the lead window over
+    the corpus (measured: 2 scans, 2 windows); lazy localCheckpoint
+    materializes it once (graph.py lineage-cut discipline)."""
     from pyspark.sql.window import Window as _W
 
     from .operators.text import normalize_text, tokens
@@ -7893,6 +7910,7 @@ def corpus_source_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ok"))
         .select("source", "s")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     df_dim = grams.groupBy("s").agg(F.count(F.lit(1)).alias("n_sources"))
     return (

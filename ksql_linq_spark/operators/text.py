@@ -421,6 +421,14 @@ def unigram_logprob_score(
     per-doc rollup.  ``broadcast_lm=False`` falls back to a shuffle
     join for adversarial vocabularies.
 
+    The TF frame feeds three branches (LM dim, corpus total, the join
+    spine); Catalyst does not reuse the exchange across them, so
+    without a cut each branch re-tokenizes the corpus (measured: 3
+    parquet scans).  A lazy ``localCheckpoint`` materializes TF once —
+    it is the distinct (doc, term) projection, strictly smaller than
+    the text it came from — and every branch reads the materialized
+    RDD (the graph.py lineage-cut discipline; 1 scan, tokenize once).
+
     Determinism: each (doc, term) contribution c·ln(p) is rounded to
     6 dp and quantized to DECIMAL(18,6) BEFORE the per-doc sum, so the
     accumulation is exact-integer and order-free; the final mean is one
@@ -430,7 +438,11 @@ def unigram_logprob_score(
     toks = df.select(
         F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     lm = tf.groupBy("term").agg(F.sum("c").alias("cf"))
     total = lm.agg(F.sum("cf").alias("total"))
     if broadcast_lm:
