@@ -467,6 +467,16 @@ def remove_dup_ngrams(
     gram, or (doc, pos).  At web scale the dup dim grows with shared
     boilerplate, not corpus size — if it outgrows broadcast, pass
     ``broadcast_dup=False`` for the shuffle semi-join.
+
+    The positioned-token stream feeds 3 branches (grams, survivors,
+    totals); Catalyst does not reuse exchanges across
+    differently-pruned branches (measured: 5 parquet scans — the regex
+    tokenize re-ran per consumer), so the token stream is materialized
+    once via lazy localCheckpoint.  The gram frame is deliberately NOT
+    checkpointed: its n-gram strings are ~n× the token stream, so its
+    two consumers re-run the (cheap, key-local) lead window over the
+    materialized tokens instead of spilling the fattest frame in the
+    plan.
     """
     from pyspark.sql.window import Window
 
@@ -480,7 +490,7 @@ def remove_dup_ngrams(
     toks = df.select(
         F.col(id_col),
         F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "tok"),
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, n)]
     grams = toks.select(

@@ -44,13 +44,20 @@ def contamination_report(
     them present in the train corpus, ``train_docs`` distinct training
     documents sharing at least one shingle, and ``ratio`` =
     overlap/total.  Every eval doc appears exactly once (zero rows for
-    clean docs)."""
+    clean docs).
+
+    The eval shingle frame feeds two branches (the train join and the
+    per-doc base); Catalyst does not reuse the exchange across them
+    (measured: the eval shingling + count window re-ran per branch), so
+    it is materialized once via lazy localCheckpoint — eval splits are
+    a small fraction of the corpus by construction, making this the
+    cheap side to pin."""
     ev = shingle_rows(eval_df, text_col, id_col, shingle_n)
     ev = ev.select(
         F.col(id_col),
         F.col("s"),
         F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("total"),
-    )
+    ).localCheckpoint(eager=False)
     tr = shingle_rows(train, text_col, id_col, shingle_n).withColumnRenamed(
         id_col, "_train_id"
     )

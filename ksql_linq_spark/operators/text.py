@@ -313,18 +313,28 @@ def cross_doc_dup_stats(df, text_col: str = "text", id_col: str = "doc_id",
     Dataflow: occurrence rows → groupBy(doc, s) count (doc-keyed,
     map-side combined) → shingle doc-frequency groupBy(s) over the
     already-distinct (doc, s) pairs → join back on s → per-doc rollup.
-    The s-keyed exchange from the doc-frequency groupBy is reused by
-    the join (same key), so the whole op costs three shuffles.  At
-    100 TB, gate the join side with a support prefilter (n_docs ≥
+    At 100 TB, gate the join side with a support prefilter (n_docs ≥
     min_docs reduces the duplicated-shingle dim to the boilerplate
     tail, which is tiny and broadcastable) — the same recount pattern
     sketch.heavy_hitters uses.
+
+    The (doc, s) count frame feeds THREE branches (dup dim, marked,
+    totals); Catalyst prunes each branch into a different aggregate
+    shape, which defeats ReuseExchange (verified on the final plan: 3
+    parquet scans, i.e. the shingling re-ran per branch), so the frame
+    is materialized once via lazy localCheckpoint — it is the distinct
+    (doc, shingle) projection, smaller than the shingle stream it
+    summarizes.
 
     ``dup_frac`` is one BIGINT/BIGINT double division — no float
     accumulation, bit-exact across engines.
     """
     occ = shingle_occurrence_rows(df, text_col, id_col, n)
-    ps = occ.groupBy(id_col, "s").agg(F.count(F.lit(1)).alias("c"))
+    ps = (
+        occ.groupBy(id_col, "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     dup_dim = (
         ps.groupBy("s")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -368,8 +378,14 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
          fall back to a term-keyed shuffle join), corpus size N joined
          as a 1-row broadcast (no collect),
       5. one row_number window per document, keep k.
-    Spark's ReuseExchange dedups TF's exchange between the join side and
-    the DF branch, so the corpus is scanned and tokenized exactly once.
+    ReuseExchange does NOT dedup TF's exchange between the join side
+    and the DF branch: the DF branch only needs group EXISTENCE, so
+    Catalyst prunes its partial aggregate to a distinct (dropping the
+    count), the canonicalized subtrees no longer match, and the corpus
+    was tokenized twice (measured: 3 scans on the final plan).  TF is
+    therefore materialized once via lazy localCheckpoint — tokenize
+    runs exactly once, and the checkpointed frame is the (doc, term)
+    count projection, smaller than the token stream.
     idf = ln(N/df) so corpus-ubiquitous terms score 0; ties broken by
     term for determinism.
 
@@ -383,7 +399,11 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
     toks = df.select(
         F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     n = df.select(F.count(F.lit(1)).alias("n_docs"))
     tfidf = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("doc_freq"))
