@@ -331,6 +331,44 @@ def test_contamination_report(spark):
     assert out[11]["overlap"] == 0 and out[11]["ratio"] == 0.0
 
 
+def test_contamination_report_approx_matches_exact(spark):
+    """The HLL scale path (approx_train_docs=True) must keep overlap/
+    total/ratio EXACT and estimate train_docs within HLL tolerance —
+    on a corpus with heavy train-side duplication, where the exact
+    join fans out per train occurrence and the sketch path joins one
+    row per distinct shingle."""
+    from ksql_linq_spark.operators.decontam import contamination_report
+
+    # 40 train docs all sharing the same boilerplate shingles, plus
+    # 10 docs of unique content mixed in
+    rows = [(i, "common boiler plate text here") for i in range(40)]
+    rows += [(100 + i, f"unique{i} content{i} words{i} here{i}") for i in range(10)]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(500, "common boiler plate text never"),
+         (501, "completely fresh eval document text")],
+        "doc_id long, text string",
+    )
+    exact = {r["doc_id"]: r for r in contamination_report(train, ev, shingle_n=3).collect()}
+    approx = {r["doc_id"]: r for r in contamination_report(
+        train, ev, shingle_n=3, approx_train_docs=True).collect()}
+    assert set(exact) == set(approx) == {500, 501}
+    for d in (500, 501):
+        assert approx[d]["total"] == exact[d]["total"]
+        assert approx[d]["overlap"] == exact[d]["overlap"]
+        assert abs(approx[d]["ratio"] - exact[d]["ratio"]) < 1e-12
+    # train_docs: 40 duplicated train docs share the matched shingles;
+    # HLL is exact at this cardinality (dense mode far from capacity)
+    assert exact[500]["train_docs"] == 40
+    assert abs(approx[500]["train_docs"] - 40) <= 2
+    assert approx[501]["train_docs"] == 0
+    # max_shingle_freq prunes the boilerplate shingles in BOTH paths
+    pruned = {r["doc_id"]: r for r in contamination_report(
+        train, ev, shingle_n=3, max_shingle_freq=10,
+        approx_train_docs=True).collect()}
+    assert pruned[500]["overlap"] == 0 and pruned[500]["train_docs"] == 0
+
+
 def test_stratified_hash_sample(spark):
     from ksql_linq_spark.operators.dataset import stratified_hash_sample
 
