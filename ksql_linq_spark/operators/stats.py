@@ -291,8 +291,15 @@ def psi_drift(
     keys = keys or []
     qs = [i / n_bins for i in range(1, n_bins)]
     qlit = "array(" + ", ".join(str(q) for q in qs) + ")"
-    edges = ref.groupBy(*keys).agg(
-        F.expr(f"percentile({value_col}, {qlit})").alias("_edges")
+    # the edge dim feeds BOTH binning branches through a broadcast;
+    # broadcast-exchange reuse does not fire across them (measured: the
+    # full ref scan + grouped exact percentile ran twice), so the tiny
+    # keys x (n_bins-1) summary is materialized once via lazy
+    # localCheckpoint — expensive subtree, bounded result frame
+    edges = (
+        ref.groupBy(*keys)
+        .agg(F.expr(f"percentile({value_col}, {qlit})").alias("_edges"))
+        .localCheckpoint(eager=False)
     )
 
     def binned_counts(df, name):
