@@ -242,14 +242,23 @@ def mad_outliers(
     from pyspark.sql import functions as F
 
     v = F.col(value_col).cast("double")
-    med_dim = df.groupBy(*keys).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    # both percentile dims are pinned via lazy localCheckpoint: each is
+    # a bounded per-group summary whose producing aggregate is an EXACT
+    # percentile over the full input, and each feeds two downstream
+    # branches — without the pin the median pass ran twice and the
+    # input was scanned 4x (the psi_drift edge-dim pattern; broadcast
+    # reuse does not fire across differently-pruned branches)
+    med_dim = (
+        df.groupBy(*keys)
+        .agg(F.expr(f"percentile({value_col}, 0.5)").alias("med"))
+        .localCheckpoint(eager=False)
     )
     with_med = df.join(F.broadcast(med_dim), keys)
     mad_dim = (
         with_med.select(*keys, F.abs(v - F.col("med")).alias("_ad"))
         .groupBy(*keys)
         .agg(F.expr("percentile(_ad, 0.5)").alias("mad"))
+        .localCheckpoint(eager=False)
     )
     out = with_med.join(F.broadcast(mad_dim), keys)
     return out.withColumn(
