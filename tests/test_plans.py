@@ -437,3 +437,38 @@ def test_blocked_cosine_refuses_quadratic_above_gate(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings")
     with _pytest.raises(ValueError, match="exact-quadratic gate"):
         embedding_cosine_pairs_blocked(e, max_rows=1)
+
+
+def test_lineage_cut_queries_scan_each_table_once(spark, sf_dir):
+    """The r5 lineage cuts exist because Catalyst cannot reuse exchanges
+    across differently-pruned branches — without the localCheckpoint,
+    these queries re-ran their corpus tokenize/shingle/percentile
+    subtree once PER consuming branch (3-5 parquet scans measured on
+    final plans).  Tripwire: each cut query's final plan must read its
+    fact table at most once (the materialized frame replaces the extra
+    scans; auxiliary 1-row/N-count scans over other tables are allowed,
+    so the gate counts scans of the table the cut protects)."""
+    import re
+
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    protected = {
+        "text_unigram_logprob": ("documents", 1),
+        "text_tfidf_top_terms": ("documents", 1),
+        "text_dup_ngram_fraction": ("documents", 0),
+        "corpus_source_exclusivity": ("documents", 0),
+        "dataset_quality_deciles": ("documents", 0),
+        "dataset_remove_dup_ngrams": ("documents", 1),
+        "events_dau_wau_stickiness": ("events", 0),
+        "events_psi_drift": ("events", 2),  # ref + cur binning legs
+        "events_mad_outliers": ("events", 1),
+    }
+    for name, (table, max_scans) in protected.items():
+        df = qs[name](spark, sf_dir)
+        plan = plan_of(df, "simple")
+        n = len(re.findall(rf"/{table}\.parquet", plan))
+        assert n <= max_scans, (
+            f"{name}: {n} scans of {table} in the final plan "
+            f"(max {max_scans}) — a refactor dropped the lineage cut?\n{plan[:2000]}"
+        )
