@@ -83,7 +83,19 @@ def explain_mismatch(name: str, sp: pd.DataFrame, dk: pd.DataFrame) -> None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = build_session("check")
+    if os.environ.get("SPARK_GRAFT_CHECK_DEFAULT_SESSION"):
+        # replicate the DRIVER's session even harder: no engine confs at
+        # all (no UTC tz pin, no AQE/arrow/broadcast tuning, default
+        # parquet handling) — proves no query depends on build_session
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check-default")
+            .master("local[32]")
+            .getOrCreate()
+        )
+    else:
+        spark = build_session("check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
