@@ -262,6 +262,27 @@ def _lloyd(points, k: int, seed: int, iters: int = 25):
     return C
 
 
+def _train_sample(df, vec_col: str, id_col: str, train_rows: int):
+    """Deterministic bounded training sample as a dense float64 matrix:
+    the ``train_rows`` smallest md5(id) rows (one top-k job, no full
+    sort), fetched via ``toArrow`` — columnar transfer, no per-element
+    Row objects (the graph.py Arrow-fetch discipline; a plain
+    ``collect()`` of list<float> columns deserializes rows×dim Python
+    floats and measured ~4× slower at the 4096-row bound)."""
+    import numpy as np
+
+    tbl = (
+        df.select(
+            F.col(vec_col).alias("_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(train_rows)
+        .toArrow()
+    )
+    return np.array(tbl.column("_v").to_pylist(), dtype=np.float64)
+
+
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 16,
@@ -292,16 +313,7 @@ def ivf_assign(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 
-    sample_rows = (
-        df.select(
-            F.col(vec_col).alias("_v"),
-            F.md5(F.col(id_col).cast("string")).alias("_h"),
-        )
-        .orderBy("_h")
-        .limit(train_rows)
-        .collect()
-    )
-    pts = np.array([[float(x) for x in r["_v"]] for r in sample_rows])
+    pts = _train_sample(df, vec_col, id_col, train_rows)
     C = _lloyd(pts, n_centroids, seed)
     cn2 = (C**2).sum(1)
 
@@ -744,16 +756,7 @@ def pq_train(
     """
     import numpy as np
 
-    sample_rows = (
-        df.select(
-            F.col(vec_col).alias("_v"),
-            F.md5(F.col(id_col).cast("string")).alias("_h"),
-        )
-        .orderBy("_h")
-        .limit(train_rows)
-        .collect()
-    )
-    pts = np.array([[float(x) for x in r["_v"]] for r in sample_rows])
+    pts = _train_sample(df, vec_col, id_col, train_rows)
     dim = pts.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subvectors")
