@@ -48,16 +48,19 @@ def word_frequencies(
     c = F.col(text_col)
     if lowercase:
         c = F.lower(c)
-    words = (
+    # toArrow, not collect: at the 200k-word cap a row collect builds
+    # 200k Row objects; the Arrow batch lands as two flat columns
+    # (graph.py Arrow-fetch rule)
+    tbl = (
         df.select(F.explode(F.split(F.trim(c), "\\s+")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("w"))
         .limit(max_words)
-        .collect()
+        .toArrow()
     )
-    return {r["w"]: r["n"] for r in words}
+    return dict(zip(tbl.column("w").to_pylist(), tbl.column("n").to_pylist()))
 
 
 def bpe_train(word_freq: dict, num_merges: int = 200) -> list[tuple[str, str]]:

@@ -362,25 +362,27 @@ def embedding_cosine_pairs_blocked(
 
     from pyspark.sql import types as T
 
-    # gate folded into the ordered collect (limit gate+1): ONE execution
+    # gate folded into the ordered fetch (limit gate+1): ONE execution
     # of the upstream plan decides the regime AND fetches the vectors —
     # a separate count() probe would run the (possibly expensive)
-    # upstream a second time (connected_components discipline)
-    rows = (
+    # upstream a second time (connected_components discipline).  toArrow
+    # (not collect) — at the 200k x dim bound a row collect deserializes
+    # tens of millions of Python floats (graph.py Arrow-fetch rule)
+    tbl = (
         df.select(F.col(id_col), F.col(vec_col))
         .orderBy(id_col)
         .limit(max_rows + 1)
-        .collect()
+        .toArrow()
     )
-    if len(rows) > max_rows:
+    if tbl.num_rows > max_rows:
         raise ValueError(
             f"embedding_cosine_pairs_blocked: more than {max_rows} rows hit "
             f"the exact-quadratic gate (max_rows={max_rows}); this op is "
             "O(n^2) by contract — use minhash_lsh_pairs/semantic_dedup at "
             "corpus scale, or raise max_rows deliberately"
         )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)  # float->double exact
+    ids = np.array(tbl.column(id_col).to_pylist(), dtype=np.int64)
+    mat = np.array(tbl.column(vec_col).to_pylist(), dtype=np.float64)  # float->double exact
     ndim = mat.shape[1]
     acc = np.zeros(len(ids), dtype=np.float64)
     for i in range(ndim):  # same fold order as the expression/oracle
