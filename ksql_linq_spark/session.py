@@ -61,3 +61,32 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def release_lineage_cuts(spark: SparkSession) -> int:
+    """Unpersist every cached/locally-checkpointed RDD block set.
+
+    The lineage-cut sites (``localCheckpoint(eager=False)`` in
+    operators/text.py, stats.py, graph.py, decontam.py, dataset.py —
+    see SCALING.md "Known costs accepted deliberately") persist
+    materialized blocks at MEMORY_AND_DISK with no explicit unpersist:
+    in a long-lived session that repeatedly builds these operators,
+    executor storage accumulates until Python GC + ContextCleaner
+    reclaim the handles.  Interactive/batch jobs never notice (session
+    ends, storage goes with it); a resident service should call this
+    between logical requests.  Returns the number of RDDs released.
+
+    Note localCheckpoint blocks are NOT fault-tolerant: losing an
+    executor after the cut loses those blocks, and because the lineage
+    was truncated Spark cannot recompute them — the enclosing action
+    fails and must be retried from the start.  That is the documented
+    price of cutting (reliable ``checkpoint()`` to HDFS is the
+    alternative when executor churn is expected)."""
+    jsc = spark.sparkContext._jsc.sc()
+    persistent = jsc.getPersistentRDDs()
+    it = persistent.iterator()
+    n = 0
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+        n += 1
+    return n

@@ -414,3 +414,21 @@ def test_session_funnel_does_not_convert_across_sessions(spark):
     assert out["click"].n_sessions == 1    # only user 2 converts in-session
     assert out["purchase"].n_sessions == 1
     assert out["purchase"].conversion == 0.5
+
+
+def test_release_lineage_cuts_unpersists_checkpoint_blocks(spark):
+    """The lazy-localCheckpoint lineage cuts leave persisted RDD blocks
+    behind (SCALING.md storage-lifetime caveat); release_lineage_cuts is
+    the long-lived-session reclamation hook."""
+    from ksql_linq_spark.session import release_lineage_cuts
+
+    release_lineage_cuts(spark)  # start from a clean slate
+    df = spark.range(1000).localCheckpoint(eager=False)
+    assert df.count() == 1000  # materializes + persists the blocks
+
+    def persisted() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    assert persisted() >= 1
+    assert release_lineage_cuts(spark) >= 1
+    assert persisted() == 0

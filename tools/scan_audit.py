@@ -21,9 +21,14 @@ decision rule picks the cuts:
          a narrow frame (measured cheaper to recompute)
 
 Usage:  python tools/scan_audit.py [sf_dir] [min_scans]
-Prints queries scanning any single table >= min_scans (default 2) times
-in the FINAL (post-AQE) plan, with per-table counts.  Inspect the top
-entries after adding operators or refactoring plans.
+Prints queries scanning any single table >= min_scans (default 2) times,
+with per-table counts.  Counts are read from the INITIAL physical plan
+(``executedPlan()`` before any action prints AdaptiveSparkPlan with
+isFinalPlan=false) — scan multiplicity is AQE-invariant (AQE re-plans
+exchanges, never adds or removes leaf scans), so the counts equal the
+final plan's; trigger an action first if a true post-AQE plan is ever
+needed for other node types.  Inspect the top entries after adding
+operators or refactoring plans.
 """
 
 from __future__ import annotations
