@@ -65,12 +65,22 @@ def stream_stream_join(
     right_ts: str,
     within_seconds: int | None = None,
     how: str = "inner",
+    forbid_default_within: bool = False,
 ) -> DataFrame:
     """Stream-stream equi-join bounded by |tsR - tsL| <= Δ.
 
     Δ defaults to the reference's 300 s; both sides get a Δ watermark so
     Spark can expire join state (state size ≈ Δ × input rate — bounded at
     any scale).
+
+    ``forbid_default_within`` mirrors ``RequireExplicitWithin()``
+    (/root/reference/src/Query/Dsl/KsqlQueryable2.cs:120-124): strict
+    deployments can ban the implicit default so every stream-stream
+    join states its state-retention bound explicitly — with it set and
+    ``within_seconds`` unspecified, this raises exactly where the
+    reference's statement builder does
+    (src/Query/Builders/Statements/KsqlCreateStatementBuilder.cs:362-376,
+    golden: tests/Query/Golden/join_within_default.sql).
 
     ``how``: "inner" or "leftOuter" — the reference's contract surface
     (JoinLimitationEnforcer.cs: "Supported: INNER, LEFT OUTER").  For
@@ -79,6 +89,17 @@ def stream_stream_join(
     latency).  The right side's key columns are dropped from the output
     (one key column per KSQL join semantics).
     """
+    if within_seconds is not None and within_seconds <= 0:
+        # KsqlQueryable2.Within: "interval must be > 0"
+        raise ValueError("within_seconds must be > 0")
+    if within_seconds is None and forbid_default_within:
+        # KsqlCreateStatementBuilder.cs:374
+        from ..query.builder import StreamProcessingException
+
+        raise StreamProcessingException(
+            "Stream-Stream JOIN requires explicit Within(...) when "
+            "default is disabled."
+        )
     within = within_seconds or DEFAULT_JOIN_WITHIN_SECONDS
     lw = left.withWatermark(left_ts, f"{within} seconds")
     rw = right.withWatermark(right_ts, f"{within} seconds")

@@ -124,6 +124,46 @@ def test_stream_stream_join_within(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_stream_join_require_explicit_within(spark):
+    """RequireExplicitWithin parity (KsqlQueryable2.cs:120-124; golden
+    twins join_within_default.sql / join_within_explicit_300s.sql): the
+    implicit default and an explicit Within(300) build the SAME join
+    bound, and forbidding the default turns an unspecified Δ into the
+    reference's statement-builder error."""
+    import pytest
+
+    from ksql_linq_spark.query.builder import StreamProcessingException
+
+    ldf = spark.createDataFrame([], "k long, lts timestamp")
+    rdf = spark.createDataFrame([], "k long, rts timestamp")
+
+    # golden pair: no Within -> WITHIN 300 SECONDS == explicit Within(300)
+    default_plan = stream_stream_join(
+        ldf, rdf, on=["k"], left_ts="lts", right_ts="rts"
+    )._jdf.queryExecution().analyzed().toString()
+    explicit_plan = stream_stream_join(
+        ldf, rdf, on=["k"], left_ts="lts", right_ts="rts", within_seconds=300
+    )._jdf.queryExecution().analyzed().toString()
+    assert default_plan == explicit_plan
+    assert "300" in default_plan
+
+    # RequireExplicitWithin: default disabled + no Within -> raise
+    with pytest.raises(StreamProcessingException, match="explicit Within"):
+        stream_stream_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+            forbid_default_within=True,
+        )
+    # an explicit Δ satisfies strict mode
+    stream_stream_join(
+        ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+        within_seconds=60, forbid_default_within=True,
+    )
+    with pytest.raises(ValueError, match="> 0"):
+        stream_stream_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts", within_seconds=0
+        )
+
+
 def test_stream_static_join(spark, sf_dir, event_stream):
     from ksql_linq_spark.sources import read_table
 
