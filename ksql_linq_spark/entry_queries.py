@@ -2761,6 +2761,82 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "decontamination_overlap_hll",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT
+                       % 1000 < 800 THEN 'train'
+                  WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT
+                       % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    toks AS (
+      SELECT doc_id, split, {_DK_TOKS.format(src=_DK_NORM)} AS t FROM split),
+    sh AS (
+      SELECT doc_id, split,
+             CASE WHEN len(t) - 2 > 0
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS sh
+      FROM toks),
+    ev AS (SELECT doc_id, len(sh) AS total, unnest(sh) AS s
+           FROM sh WHERE split = 'test'),
+    tr AS (SELECT doc_id AS tid, unnest(sh) AS s FROM sh WHERE split = 'train'),
+    hits AS (
+      SELECT ev.doc_id, count(DISTINCT ev.s) AS overlap
+      FROM ev JOIN tr USING (s) GROUP BY 1),
+    base AS (SELECT DISTINCT doc_id, total FROM ev)
+    SELECT base.doc_id, base.total,
+           coalesce(hits.overlap, 0) AS overlap,
+           coalesce(hits.overlap, 0) / base.total AS ratio,
+           TRUE AS train_docs_ok
+    FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+    """,
+)
+def decontamination_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination 100 TB regime, driver-scored: the exact
+    shingle join emits one row per (eval shingle x matching train
+    OCCURRENCE), so boilerplate-heavy corpora fan the join output out
+    quadratically in the duplication factor (measured 12.6 s exact vs
+    4.3 s HLL on a 10x all-dup probe).  ``approx_train_docs=True``
+    collapses the train side to one row per distinct shingle carrying
+    an HLL sketch of its train-doc ids BEFORE the join, capping the
+    join output at |matched eval shingles| regardless of train-side
+    multiplicity (operators/decontam.py).
+
+    Oracle contract (approx_count_distinct / events_audience_overlap_hll
+    precedent): ``total``/``overlap``/``ratio`` are EXACT on the HLL
+    path by construction and hash-compared against DuckDB; the sketched
+    ``train_docs`` estimate rides as a per-doc error-bound invariant
+    (|est - exact| <= max(2, 5% of exact); default lgK=12 sketches are
+    exact in sparse mode at these per-doc cardinalities, the bound
+    covers dense-mode rsd at scale).  The exact leg exists only to
+    judge the estimate at test SFs — the operator a user deploys is the
+    approx path alone."""
+    from .operators.dataset import hash_split
+    from .operators.decontam import contamination_report
+
+    d = _t(spark, sf_dir, "documents").withColumn("split", hash_split("doc_id"))
+    train = d.filter(F.col("split") == "train")
+    test = d.filter(F.col("split") == "test")
+    approx = contamination_report(train, test, shingle_n=3, approx_train_docs=True)
+    exact_td = contamination_report(train, test, shingle_n=3).select(
+        "doc_id", F.col("train_docs").alias("_exact_td")
+    )
+    return approx.join(exact_td, "doc_id").select(
+        "doc_id",
+        "total",
+        "overlap",
+        "ratio",
+        (
+            F.abs(F.col("train_docs") - F.col("_exact_td"))
+            <= F.greatest(F.lit(2.0), F.col("_exact_td") * F.lit(0.05))
+        ).alias("train_docs_ok"),
+    )
+
+
+@q(
     "dataset_stratified_sample",
     oracle="""
     SELECT lang, count(*) AS n
