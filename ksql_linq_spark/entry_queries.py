@@ -7500,17 +7500,23 @@ def dataset_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_pairs
     from .operators.graph import dedup_clusters
 
+    from pyspark.sql.window import Window
+
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_n=3)
     lab = dedup_clusters(d.select("doc_id"), pairs, loop_partitions=8)
     split = lab.select(
         "doc_id", "cluster_id", hash_split("cluster_id")
     )
-    audit = split.groupBy("cluster_id").agg(
-        F.count_distinct("split").alias("n_splits")
+    # audit rides the SAME cluster_id exchange as the split frame: a
+    # collect_set window instead of the former groupBy + self-join
+    # (which consumed `lab` twice — the whole LSH+connected-components
+    # subtree re-ran per branch — and cost 8 exchanges; now <=5)
+    n_splits = F.size(
+        F.collect_set("split").over(Window.partitionBy("cluster_id"))
     )
     return (
-        split.join(audit, "cluster_id")
+        split.withColumn("n_splits", n_splits)
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("docs"),
