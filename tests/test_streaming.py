@@ -1729,3 +1729,72 @@ def test_session_final_late_data_matches_batch_twin(spark):
             assert exp[kk] == v, (kk, v, exp.get(kk))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_schedule_provider_day_rollover_gates_next_batch(spark):
+    """Market-schedule daily refresh (Lifecycle.cs:777-804 /
+    MarketScheduleProvider.cs:40-59): a schedule change published
+    before the daily UTC 00:05 refresh deadline must gate the NEXT
+    micro-batch — batch 1 is gated by schedule v1, the clock rolls
+    past the deadline, and batch 2 is gated by the re-read v2 (whose
+    session hours differ), with no query restart."""
+    from ksql_linq_spark.streaming.schedule import RefreshingScheduleProvider
+
+    tmp = tempfile.mkdtemp()
+    sched_dir, in_dir, got = f"{tmp}/sched", f"{tmp}/in", []
+
+    def sched(day, open_h, close_h):
+        return spark.createDataFrame(
+            [("NYSE",
+              dt.datetime.fromisoformat(f"{day}T{open_h:02d}:00:00"),
+              dt.datetime.fromisoformat(f"{day}T{close_h:02d}:00:00"))],
+            "market_key string, open_time timestamp, close_time timestamp",
+        )
+
+    # v1: Jan 1 sessions 09:00-17:00
+    sched("2024-01-01", 9, 17).write.mode("overwrite").parquet(sched_dir)
+    clock = [dt.datetime(2024, 1, 1, 12, 0)]
+    prov = RefreshingScheduleProvider(
+        spark, sched_dir, now_fn=lambda: clock[0]
+    )
+    assert prov.refresh_count == 1
+    assert prov.is_in_session(["NYSE"], dt.datetime(2024, 1, 1, 10, 0))
+
+    rows1 = [
+        ("NYSE", dt.datetime(2024, 1, 1, 10, 0), 1),   # in v1 session
+        ("NYSE", dt.datetime(2024, 1, 1, 20, 0), 2),   # after close
+    ]
+    schema = "market string, ts timestamp, event_id int"
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            prov.foreach_batch_gate(
+                "market", "ts",
+                lambda df, bid: got.extend(r.event_id for r in df.collect()),
+            )
+        )
+        .option("checkpointLocation", f"{tmp}/ck")
+        .start()
+    )
+    q.processAllAvailable()
+    assert sorted(got) == [1]
+    assert prov.refresh_count == 1  # deadline not reached
+
+    # day rollover: v2 published with DIFFERENT hours (10:00-12:00),
+    # clock passes the UTC 00:05 refresh deadline
+    sched("2024-01-02", 10, 12).write.mode("overwrite").parquet(sched_dir)
+    clock[0] = dt.datetime(2024, 1, 2, 0, 10)
+    rows2 = [
+        ("NYSE", dt.datetime(2024, 1, 2, 9, 30), 3),   # v1 hours, OUT in v2
+        ("NYSE", dt.datetime(2024, 1, 2, 10, 30), 4),  # in v2 session
+    ]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(in_dir)
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(got) == [1, 4]
+    assert prov.refresh_count == 2  # exactly one re-read at the rollover
+    # pull twin agrees with the refreshed index
+    assert prov.is_in_session(["NYSE"], dt.datetime(2024, 1, 2, 10, 30))
+    assert not prov.is_in_session(["NYSE"], dt.datetime(2024, 1, 2, 9, 30))
+    shutil.rmtree(tmp, ignore_errors=True)
