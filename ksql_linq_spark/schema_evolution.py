@@ -215,3 +215,275 @@ def conform(df: DataFrame, target: T.StructType) -> DataFrame:
                     f"{src.simpleString()} -> {f.dataType.simpleString()} refused"
                 )
     return df.select(*cols)
+
+
+# ======================================================================
+# File-backed Schema-Registry subject store
+# ======================================================================
+#
+# The reference registers each entity's key/value Avro schemas as
+# Registry subjects and lets the server enforce subject compatibility on
+# every new version (src/Mapping/MappingRegistry.cs:46-257 builds the
+# schemas; src/SchemaRegistryTools/SchemaRegistryExtensions.cs
+# RegisterSchemaIfNewAsync implements register-if-changed;
+# SchemaSubjects.cs fixes the `<topic>-key`/`<topic>-value` naming that
+# ksql_linq_spark.script.avro_export mirrors).  SubjectStore is that
+# lifecycle against a directory instead of a server: register -> evolve
+# -> compatibility-verify, with the same outcomes (identical schema
+# returns the existing id; an incompatible evolution is refused before
+# anything is stored).
+
+import json as _json
+import os as _os
+import re as _re
+from dataclasses import dataclass as _dataclass
+
+# Avro schema-resolution promotions (Avro spec "Schema Resolution"):
+# data written as K is readable as any type in _AVRO_PROMOTIONS[K]
+_AVRO_PROMOTIONS: dict[str, set[str]] = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+class IncompatibleSchemaError(Exception):
+    """409-analog: the proposed schema violates the subject's
+    compatibility mode; nothing was registered."""
+
+
+def _is_union(t) -> bool:
+    return isinstance(t, list)
+
+
+def _nullable(t) -> bool:
+    return _is_union(t) and "null" in t
+
+
+def _union_base(t):
+    branches = [b for b in t if b != "null"]
+    if len(branches) != 1:
+        raise ValueError(f"only null-unions are supported, got {t!r}")
+    return branches[0]
+
+
+def _type_name(t) -> str:
+    return t["type"] if isinstance(t, dict) else t
+
+
+def _avro_readable(writer, reader) -> bool:
+    """Can data written with ``writer`` be read with ``reader``?"""
+    if writer == reader:
+        return True
+    if _is_union(writer):
+        if "null" in writer and not _nullable(reader):
+            return False  # a written null has nowhere to go
+        return _avro_readable(_union_base(writer), reader)
+    if _is_union(reader):
+        return _avro_readable(writer, _union_base(reader))
+    wn, rn = _type_name(writer), _type_name(reader)
+    if isinstance(writer, dict) or isinstance(reader, dict):
+        wd = writer if isinstance(writer, dict) else {"type": writer}
+        rd = reader if isinstance(reader, dict) else {"type": reader}
+        if wd.get("logicalType") == "decimal" or rd.get("logicalType") == "decimal":
+            return (
+                wd.get("logicalType") == rd.get("logicalType")
+                and rd["scale"] >= wd["scale"]
+                and rd["precision"] - rd["scale"] >= wd["precision"] - wd["scale"]
+            )
+        if wn == "array" and rn == "array":
+            return _avro_readable(wd["items"], rd["items"])
+        if wn == "map" and rn == "map":
+            return _avro_readable(wd["values"], rd["values"])
+        if wd.get("logicalType") != rd.get("logicalType"):
+            return False
+    return rn in _AVRO_PROMOTIONS.get(wn, set())
+
+
+def _can_read(writer_schema: dict, reader_schema: dict, errors: list[str]) -> bool:
+    """Record-level resolution: every reader field is either present in
+    the writer with a readable type, or carries a default."""
+    ok = True
+    writer_fields = {f["name"]: f for f in writer_schema.get("fields", [])}
+    for rf in reader_schema.get("fields", []):
+        wf = writer_fields.get(rf["name"])
+        if wf is None:
+            if "default" not in rf:
+                errors.append(
+                    f"field {rf['name']!r} added without default "
+                    "(reader cannot fill it for old data)"
+                )
+                ok = False
+        elif not _avro_readable(wf["type"], rf["type"]):
+            errors.append(
+                f"field {rf['name']!r}: {wf['type']!r} is not readable as "
+                f"{rf['type']!r} (narrowing)"
+            )
+            ok = False
+    return ok
+
+
+def avro_compatibility(old: dict, new: dict) -> set[str]:
+    """Which of BACKWARD / FORWARD the old→new subject evolution
+    preserves, per Avro schema-resolution rules (the server-side check
+    the reference delegates to the Schema Registry)."""
+    modes: set[str] = set()
+    if _can_read(old, new, []):
+        modes.add("BACKWARD")
+    if _can_read(new, old, []):
+        modes.add("FORWARD")
+    return modes
+
+
+@_dataclass(frozen=True)
+class RegisteredSchema:
+    subject: str
+    version: int
+    schema_id: int
+    schema: dict
+
+
+_VALID_MODES = {"BACKWARD", "FORWARD", "FULL", "NONE"}
+
+
+class SubjectStore:
+    """Directory-backed Schema-Registry subject lifecycle.
+
+    Layout: ``<root>/<subject>/<version>.json`` holding the schema +
+    global id; ``<root>/<subject>/config.json`` for a per-subject
+    compatibility override; ``<root>/_ids.json`` for the monotonically
+    increasing global schema id (Registry semantics: ids are global,
+    versions are per-subject)."""
+
+    def __init__(self, root: str, default_compatibility: str = "BACKWARD"):
+        if default_compatibility not in _VALID_MODES:
+            raise ValueError(f"unknown compatibility mode {default_compatibility!r}")
+        self._root = root
+        self._default = default_compatibility
+        _os.makedirs(root, exist_ok=True)
+
+    # -- helpers ---------------------------------------------------------
+    def _dir(self, subject: str) -> str:
+        if not _re.fullmatch(r"[A-Za-z0-9._\-]+", subject):
+            raise ValueError(f"invalid subject name {subject!r}")
+        return _os.path.join(self._root, subject)
+
+    def _version_files(self, subject: str) -> list[tuple[int, str]]:
+        d = self._dir(subject)
+        if not _os.path.isdir(d):
+            return []
+        out = []
+        for fn in _os.listdir(d):
+            m = _re.fullmatch(r"(\d+)\.json", fn)
+            if m:
+                out.append((int(m.group(1)), _os.path.join(d, fn)))
+        return sorted(out)
+
+    def _next_id(self) -> int:
+        p = _os.path.join(self._root, "_ids.json")
+        cur = 0
+        if _os.path.exists(p):
+            with open(p) as f:
+                cur = _json.load(f)["max_id"]
+        with open(p, "w") as f:
+            _json.dump({"max_id": cur + 1}, f)
+        return cur + 1
+
+    @staticmethod
+    def _canon(schema: dict) -> str:
+        return _json.dumps(schema, sort_keys=True, separators=(",", ":"))
+
+    # -- compatibility config -------------------------------------------
+    def set_compatibility(self, mode: str, subject: str | None = None) -> None:
+        if mode not in _VALID_MODES:
+            raise ValueError(f"unknown compatibility mode {mode!r}")
+        if subject is None:
+            self._default = mode
+            return
+        d = self._dir(subject)
+        _os.makedirs(d, exist_ok=True)
+        with open(_os.path.join(d, "config.json"), "w") as f:
+            _json.dump({"compatibility": mode}, f)
+
+    def get_compatibility(self, subject: str) -> str:
+        p = _os.path.join(self._dir(subject), "config.json")
+        if _os.path.exists(p):
+            with open(p) as f:
+                return _json.load(f)["compatibility"]
+        return self._default
+
+    # -- lifecycle -------------------------------------------------------
+    def subjects(self) -> list[str]:
+        return sorted(
+            s for s in _os.listdir(self._root)
+            if _os.path.isdir(_os.path.join(self._root, s))
+        )
+
+    def versions(self, subject: str) -> list[int]:
+        return [v for v, _ in self._version_files(subject)]
+
+    def get(self, subject: str, version: int) -> RegisteredSchema:
+        for v, p in self._version_files(subject):
+            if v == version:
+                with open(p) as f:
+                    row = _json.load(f)
+                return RegisteredSchema(subject, v, row["id"], row["schema"])
+        raise KeyError(f"{subject} version {version} not found")
+
+    def latest(self, subject: str) -> RegisteredSchema | None:
+        vf = self._version_files(subject)
+        return self.get(subject, vf[-1][0]) if vf else None
+
+    def check(self, subject: str, schema: dict) -> list[str]:
+        """Compatibility-verify WITHOUT registering (the Registry's
+        POST /compatibility endpoint analog).  Empty list = compatible
+        under the subject's mode."""
+        latest = self.latest(subject)
+        if latest is None:
+            return []
+        mode = self.get_compatibility(subject)
+        errors: list[str] = []
+        if mode in ("BACKWARD", "FULL"):
+            errs: list[str] = []
+            if not _can_read(latest.schema, schema, errs):
+                errors += [f"BACKWARD: {e}" for e in errs]
+        if mode in ("FORWARD", "FULL"):
+            errs = []
+            if not _can_read(schema, latest.schema, errs):
+                errors += [f"FORWARD: {e}" for e in errs]
+        return errors
+
+    def register(self, subject: str, schema: dict) -> tuple[RegisteredSchema, bool]:
+        """Register-if-changed (SchemaRegistryExtensions.cs:20-46):
+        returns (registered, was_created).  An identical latest schema
+        short-circuits to the stored id; an incompatible change raises
+        IncompatibleSchemaError and stores nothing."""
+        latest = self.latest(subject)
+        if latest is not None and self._canon(latest.schema) == self._canon(schema):
+            return latest, False
+        errors = self.check(subject, schema)
+        if errors:
+            raise IncompatibleSchemaError(
+                f"subject {subject!r} mode {self.get_compatibility(subject)}: "
+                + "; ".join(errors)
+            )
+        d = self._dir(subject)
+        _os.makedirs(d, exist_ok=True)
+        version = (latest.version + 1) if latest else 1
+        sid = self._next_id()
+        with open(_os.path.join(d, f"{version}.json"), "w") as f:
+            _json.dump({"id": sid, "schema": schema, "version": version}, f, indent=2)
+        return RegisteredSchema(subject, version, sid, schema), True
+
+    def register_context(self, ctx) -> dict[str, RegisteredSchema]:
+        """Register every entity's key/value subjects (the context-boot
+        registration MappingRegistry performs), via script.avro_export's
+        `<entity>-key` / `<entity>-value` subject layout."""
+        from .script import avro_export
+
+        out: dict[str, RegisteredSchema] = {}
+        for subject, schema in avro_export(ctx).items():
+            out[subject], _ = self.register(subject, schema)
+        return out

@@ -148,3 +148,122 @@ def test_register_entity_validates_at_startup(spark, tmp_path):
     assert any("DecimalPrecisionMismatch" in w for w in warnings)
     assert ctx.entity("bal").schema["bal"].dataType == T.DecimalType(20, 4)
     assert ctx.table("bal").schema["bal"].dataType == T.DecimalType(20, 4)
+
+
+# ----------------------------------------------------------------------
+# File-backed subject store (MappingRegistry.cs:46-257 /
+# SchemaRegistryExtensions.RegisterSchemaIfNewAsync parity)
+# ----------------------------------------------------------------------
+
+def _record(*fields):
+    return {"type": "record", "name": "t_value", "fields": list(fields)}
+
+
+def test_subject_store_round_trip(tmp_path):
+    """register -> evolve -> verify-against-stored, including the
+    register-if-changed short-circuit and a rejected narrowing."""
+    from ksql_linq_spark.schema_evolution import (
+        IncompatibleSchemaError,
+        SubjectStore,
+        avro_compatibility,
+    )
+
+    store = SubjectStore(str(tmp_path / "registry"))
+    v1 = _record(
+        {"name": "id", "type": "long"},
+        {"name": "price", "type": "double"},
+    )
+    reg, created = store.register("trades-value", v1)
+    assert created and reg.version == 1 and reg.schema_id == 1
+
+    # identical schema -> existing id, nothing new stored
+    reg2, created2 = store.register("trades-value", v1)
+    assert not created2 and reg2.schema_id == reg.schema_id
+    assert store.versions("trades-value") == [1]
+
+    # compatible evolution: add a defaulted nullable field, widen int->long
+    v2 = _record(
+        {"name": "id", "type": "long"},
+        {"name": "price", "type": "double"},
+        {"name": "venue", "type": ["null", "string"], "default": None},
+    )
+    assert avro_compatibility(v1, v2) == {"BACKWARD", "FORWARD"}
+    reg3, created3 = store.register("trades-value", v2)
+    assert created3 and reg3.version == 2 and reg3.schema_id == 2
+
+    # persistence: a fresh store over the same dir sees the history
+    store_b = SubjectStore(str(tmp_path / "registry"))
+    assert store_b.versions("trades-value") == [1, 2]
+    assert store_b.latest("trades-value").schema == v2
+
+    # rejected narrowing: double -> int is not Avro-resolvable
+    bad = _record(
+        {"name": "id", "type": "long"},
+        {"name": "price", "type": "int"},
+        {"name": "venue", "type": ["null", "string"], "default": None},
+    )
+    with pytest.raises(IncompatibleSchemaError, match="narrowing"):
+        store_b.register("trades-value", bad)
+    assert store_b.versions("trades-value") == [1, 2]  # nothing stored
+
+    # rejected under BACKWARD: required field added without default
+    bad2 = _record(
+        {"name": "id", "type": "long"},
+        {"name": "price", "type": "double"},
+        {"name": "venue", "type": ["null", "string"], "default": None},
+        {"name": "region", "type": "string"},
+    )
+    with pytest.raises(IncompatibleSchemaError, match="without default"):
+        store_b.register("trades-value", bad2)
+
+    # FORWARD mode: dropping a defaulted field is fine; dropping a
+    # defaultless one is not (the old reader cannot fill it)
+    store_b.set_compatibility("FORWARD", "trades-value")
+    v3 = _record(
+        {"name": "id", "type": "long"},
+        {"name": "price", "type": "double"},
+    )
+    _, created4 = store_b.register("trades-value", v3)
+    assert created4
+    with pytest.raises(IncompatibleSchemaError, match="FORWARD"):
+        store_b.register(
+            "trades-value", _record({"name": "id", "type": "long"})
+        )
+
+    # NONE disables the gate entirely
+    store_b.set_compatibility("NONE", "trades-value")
+    _, created5 = store_b.register(
+        "trades-value", _record({"name": "id", "type": "string"})
+    )
+    assert created5
+
+
+def test_subject_store_registers_context_subjects(tmp_path, spark):
+    """Context-boot registration parity: every entity lands as
+    `<entity>-key` / `<entity>-value` subjects (SchemaSubjects.cs), and
+    re-registering the same context is a no-op version-wise."""
+    from ksql_linq_spark.context import SparkKsqlContext
+    from ksql_linq_spark.entity import Column, Entity
+    from ksql_linq_spark.schema_evolution import SubjectStore
+
+    ctx = SparkKsqlContext(spark)
+    ctx._entities["trades"] = Entity(
+        "trades",
+        [
+            Column("broker", "string", nullable=False, key_order=0),
+            Column("ts", "timestamp", timestamp=True),
+            Column("price", "decimal(18,4)"),
+        ],
+        topic="trades_topic",
+    )
+    store = SubjectStore(str(tmp_path / "registry"))
+    regs = store.register_context(ctx)
+    assert set(regs) == {"trades-key", "trades-value"}
+    assert all(r.version == 1 for r in regs.values())
+    regs2 = store.register_context(ctx)
+    assert all(r.version == 1 for r in regs2.values())  # unchanged
+    # decimal precision widening is a legal evolution of the value subject
+    ctx._entities["trades"].columns[2] = Column("price", "decimal(20,4)")
+    regs3 = store.register_context(ctx)
+    assert regs3["trades-value"].version == 2
+    assert regs3["trades-key"].version == 1
