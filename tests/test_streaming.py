@@ -1798,3 +1798,59 @@ def test_schedule_provider_day_rollover_gates_next_batch(spark):
     assert prov.is_in_session(["NYSE"], dt.datetime(2024, 1, 2, 10, 30))
     assert not prov.is_in_session(["NYSE"], dt.datetime(2024, 1, 2, 9, 30))
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_stream_join_state_rows_plateau_under_watermark(spark):
+    """J2 scale-risk class: stream-stream join state must be BOUNDED by
+    the WITHIN watermark, not grow with stream length.  Soak: 18
+    micro-batches, each advancing event time by one minute past a 60 s
+    join window.  A row at event time T is evictable once the other
+    side's watermark passes T + Δ, so steady-state state holds ~2-3
+    batches of rows; without eviction it would hold all 18.  Asserted
+    from the progress listener's stateOperators numRowsTotal: the
+    second half of the run never exceeds the early plateau."""
+    tmp = tempfile.mkdtemp()
+    ldir, rdir = f"{tmp}/l", f"{tmp}/r"
+    t0 = dt.datetime(2024, 1, 1)
+    lschema = "k long, lts timestamp"
+    rschema = "k long, rts timestamp"
+
+    def emit(batch):
+        ts = t0 + dt.timedelta(minutes=batch)
+        lrows = [(batch * 10 + i, ts) for i in range(4)]
+        rrows = [(batch * 10 + i, ts + dt.timedelta(seconds=10)) for i in range(4)]
+        spark.createDataFrame(lrows, lschema).write.mode("append").parquet(ldir)
+        spark.createDataFrame(rrows, rschema).write.mode("append").parquet(rdir)
+
+    emit(0)
+    ls = spark.readStream.schema(lschema).parquet(ldir)
+    rs = spark.readStream.schema(rschema).parquet(rdir)
+    joined = stream_stream_join(
+        ls, rs, on=["k"], left_ts="lts", right_ts="rts", within_seconds=60
+    )
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ck")
+        .start()
+    )
+    totals = []
+    for b in range(1, 18):
+        emit(b)
+        q.processAllAvailable()
+        prog = q.lastProgress
+        ops = prog["stateOperators"]
+        assert ops, f"no state operator in progress: {prog}"
+        totals.append(ops[0]["numRowsTotal"])
+    q.stop()
+
+    ingested = 18 * 8  # rows written across both sides
+    plateau_early = max(totals[4:8])
+    plateau_late = max(totals[-5:])
+    assert plateau_late <= plateau_early, (
+        f"state still growing: early plateau {plateau_early}, "
+        f"late {plateau_late}, series {totals}"
+    )
+    # steady state is a small multiple of one batch (8 rows), far below
+    # the unbounded-accumulation line
+    assert plateau_late <= 4 * 8, f"state not bounded: {totals}"
+    assert plateau_late < ingested / 3
