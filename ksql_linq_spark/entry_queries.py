@@ -158,8 +158,8 @@ def ohlc_5m_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+           CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) * 100) AS DOUBLE) / 100 AS sum_disc_price,
+           CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) * 100) AS DOUBLE) / 100 AS sum_charge,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
            CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_disc,
            count(*) AS count_order
@@ -180,8 +180,15 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.sum(_dec2dbl(F.col("l_quantity"))).cast("double").alias("sum_qty"),
             F.sum(_dec2dbl(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.sum(_dec2dbl(disc_price, 22, 6)).cast("double").alias("sum_disc_price"),
-            F.sum(_dec2dbl(charge, 22, 6)).cast("double").alias("sum_charge"),
+            # decimal-domain floor to the money scale BEFORE the double
+            # cast: a DECIMAL(38,6) sum whose unscaled integer exceeds
+            # 2^53 casts 1 ulp apart across engines (DuckDB converts
+            # int128 then divides; Spark's BigDecimal cast is correctly
+            # rounded — sf1 exposed the divergence).  floor(dec*100) is
+            # an exact integer < 2^53 here, so cast + one IEEE division
+            # are bit-identical everywhere.
+            (F.floor(F.sum(_dec2dbl(disc_price, 22, 6)) * 100).cast("double") / 100).alias("sum_disc_price"),
+            (F.floor(F.sum(_dec2dbl(charge, 22, 6)) * 100).cast("double") / 100).alias("sum_charge"),
             (F.sum(_dec2dbl(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(_dec2dbl(F.col("l_discount"))).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -6537,10 +6544,12 @@ def similarity_ivfpq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS e
       FROM ref GROUP BY 1),
     rb AS (SELECT r.event_type,
-                  len(list_filter(e.e, x -> r.value > x)) AS b
+                  len(list_filter(e.e, x -> round(r.value * 100)::BIGINT
+                                            > floor(x * 100 + 1e-6))) AS b
            FROM ref r JOIN edges e USING (event_type)),
     cb AS (SELECT c.event_type,
-                  len(list_filter(e.e, x -> c.value > x)) AS b
+                  len(list_filter(e.e, x -> round(c.value * 100)::BIGINT
+                                            > floor(x * 100 + 1e-6))) AS b
            FROM cur c JOIN edges e USING (event_type)),
     rc AS (SELECT event_type, b, count(*) AS c_ref FROM rb GROUP BY 1, 2),
     cc AS (SELECT event_type, b, count(*) AS c_cur FROM cb GROUP BY 1, 2),
@@ -6553,10 +6562,11 @@ def similarity_ivfpq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rc FULL OUTER JOIN cc
         ON rc.event_type = cc.event_type AND rc.b = cc.b)
     SELECT bo.event_type,
-           round(sum(((c_cur + 0.5) / (n_cur + 5.0)
+           floor(sum(((c_cur + 0.5) / (n_cur + 5.0)
                       - (c_ref + 0.5) / (n_ref + 5.0))
                      * ln(((c_cur + 0.5) / (n_cur + 5.0))
-                          / ((c_ref + 0.5) / (n_ref + 5.0)))), 6) AS psi,
+                          / ((c_ref + 0.5) / (n_ref + 5.0)))) * 1e6
+                 + 1e-6) / 1e6 AS psi,
            n_ref, n_cur
     FROM bo JOIN nr ON bo.event_type = nr.event_type
             JOIN nc ON bo.event_type = nc.event_type
@@ -6583,9 +6593,23 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit("2024-01-16").cast("timestamp")
     ref = ev.filter(F.col("ts") < cut).select("event_type", "value")
     cur = ev.filter(F.col("ts") >= cut).select("event_type", "value")
-    out = psi_drift(ref, cur, "value", keys=["event_type"], n_bins=10)
+    # value_scale=2: events.value is exactly 2 dp, so binning compares
+    # integer cents — immune to the 1-ulp lerp divergence when a decile
+    # edge lands exactly on a repeated value (sf1 regression)
+    out = psi_drift(
+        ref, cur, "value", keys=["event_type"], n_bins=10, value_scale=2
+    )
+    # guarded floor quantizer, NOT round(): sf1 landed one key's psi on
+    # an exact .5 tie at the 6th digit, where Spark HALF_UP and DuckDB
+    # half-even disagree even on bit-identical doubles; the +1e-6 guard
+    # (scaled domain) additionally absorbs the ln() libm-vs-JVM ulp
+    # wiggle that plain floor is still exposed to at a boundary
+    _inf = F.lit(float("inf"))
+    psi_q = F.when(F.col("psi") == _inf, _inf).otherwise(
+        F.floor(F.col("psi") * 1e6 + F.lit(1e-6)).cast("double") / 1e6
+    )
     return out.select(
-        "event_type", F.round("psi", 6).alias("psi"), "n_ref", "n_cur"
+        "event_type", psi_q.alias("psi"), "n_ref", "n_cur"
     )
 
 

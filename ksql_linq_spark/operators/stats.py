@@ -275,6 +275,7 @@ def psi_drift(
     value_col: str,
     keys: list[str] | None = None,
     n_bins: int = 10,
+    value_scale: int | None = None,
 ):
     """Population Stability Index between a reference and a current
     snapshot — THE production drift alarm for feature/score
@@ -288,7 +289,19 @@ def psi_drift(
     the broadcast edge array); both sides then need only one grouped
     count each.  Laplace-smoothed fractions ((c+0.5)/(n+bins/2)) keep
     empty current bins finite and deterministic.  ln() is the one
-    libm-vs-JVM wiggle — round the result (callers: 6 dp).
+    libm-vs-JVM wiggle — quantize the result (callers: guarded floor
+    at 6 dp).
+
+    ``value_scale``: when the data lives on a fixed-point grid (prices
+    in cents -> 2), binning compares INTEGER grid units instead of raw
+    doubles: v_int = round(v * 10^s) against edge_int = floor(edge *
+    10^s + 1e-6).  An interpolated quantile edge routinely lands
+    EXACTLY on a repeated data value, where engines' lerp formulas
+    differ by 1 ulp (a+(b-a)f returns `a` exactly when a==b;
+    a(1-f)+bf does not — observed Spark-vs-DuckDB at 10x SF) and the
+    strict `value > edge` comparison flips the whole cohort of tied
+    rows between bins.  Grid comparison is exact for grid data and
+    invariant to any sub-grid edge wiggle.
 
     Returns one row per key: psi, n_ref, n_cur.  Keys present only in
     the CURRENT snapshot (no reference distribution to bin against) are
@@ -322,13 +335,22 @@ def psi_drift(
             if keys
             else df.crossJoin(F.broadcast(edges))
         )
-        b = F.when(F.col("_edges").isNull(), F.lit(-1)).otherwise(
-            F.size(
-                F.filter(
-                    F.col("_edges"),
-                    lambda e: F.col(value_col).cast("double") > e,
-                )
+        if value_scale is not None:
+            scale = float(10 ** value_scale)
+            v_int = F.round(F.col(value_col).cast("double") * scale).cast("long")
+            in_bin = F.filter(
+                F.transform(
+                    F.col("_edges"), lambda e: F.floor(e * scale + F.lit(1e-6))
+                ),
+                lambda e: v_int > e,
             )
+        else:
+            in_bin = F.filter(
+                F.col("_edges"),
+                lambda e: F.col(value_col).cast("double") > e,
+            )
+        b = F.when(F.col("_edges").isNull(), F.lit(-1)).otherwise(
+            F.size(in_bin)
         )
         return (
             j.select(*keys, b.alias("_bin"))
