@@ -397,26 +397,53 @@ def embedding_cosine_pairs_blocked(
         ]
     )
 
+    # the dots matrix is block_rows x n doubles — cap it at ~64 MB so a
+    # 10x corpus doesn't silently turn each Arrow batch into a
+    # multi-GB allocation with 64 full passes of memory traffic
+    # (observed at 20k vectors: 1.6 GB matrix, ~10 min task)
+    block_rows = max(256, int(8_000_000 / max(tbl.num_rows, 1)))
+
     def run(batches):
         for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if len(a_ids) == 0:
-                continue
-            a_acc = np.zeros(len(a_ids), dtype=np.float64)
-            dots = np.zeros((len(a_ids), len(ids)), dtype=np.float64)
-            for i in range(ndim):
-                col = a_mat[:, i]
-                a_acc += col * col
-                dots += col[:, None] * mat[None, :, i]
-            a_norms = np.sqrt(a_acc)
-            cos = dots / (a_norms[:, None] * norms[None, :])
-            ai, bi = np.nonzero((cos >= threshold) & (a_ids[:, None] < ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": ids[bi], "cos": cos[ai, bi]}
-            )
+            for s in range(0, len(pdf), block_rows):
+                sub = pdf.iloc[s : s + block_rows]
+                a_ids = sub[id_col].to_numpy(dtype=np.int64)
+                a_mat = np.array(list(sub[vec_col]), dtype=np.float64)
+                if len(a_ids) == 0:
+                    continue
+                a_acc = np.zeros(len(a_ids), dtype=np.float64)
+                dots = np.zeros((len(a_ids), len(ids)), dtype=np.float64)
+                for i in range(ndim):
+                    col = a_mat[:, i]
+                    a_acc += col * col
+                    dots += col[:, None] * mat[None, :, i]
+                a_norms = np.sqrt(a_acc)
+                cos = dots / (a_norms[:, None] * norms[None, :])
+                ai, bi = np.nonzero(
+                    (cos >= threshold) & (a_ids[:, None] < ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {"id_a": a_ids[ai], "id_b": ids[bi], "cos": cos[ai, bi]}
+                )
 
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, out_schema)
+    # partition by WORK, not input bytes: the n-vector parquet is a few
+    # MB (1-2 file splits) but the kernel is O(n^2) — without an
+    # explicit repartition the whole product runs on 1-2 tasks no
+    # matter how many cores the cluster has.  Pair values are
+    # partitioning-invariant, so results are unchanged.
+    sess = df.sparkSession
+    parts = min(
+        2048,
+        max(
+            sess.sparkContext.defaultParallelism,
+            -(-tbl.num_rows // max(block_rows, 1)),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .repartition(parts)
+        .mapInPandas(run, out_schema)
+    )
 
 
 def semantic_dedup_blocked(
