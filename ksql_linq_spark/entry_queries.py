@@ -1804,15 +1804,18 @@ def retention_latest_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_counts",
     oracle="""
     WITH d AS (
-      SELECT event_type, ts,
+      SELECT event_type, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w > INTERVAL '90 seconds'
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
     g AS (
+      -- order by (ts, event_id) like CTE d: with duplicated timestamps
+      -- (10x replication) an ORDER BY ts alone can place the cohort's
+      -- break row after its ties, splitting one session into two
       SELECT event_type, ts,
-             sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+             sum(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS grp
       FROM d)
     SELECT event_type,
