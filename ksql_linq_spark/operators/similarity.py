@@ -1053,6 +1053,7 @@ def ann_join(
     right_id: str = "vec_id",
     seed: int = 7,
     dim: int | None = None,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN JOIN between two embedding tables — the
     retrieval join (each left row fetches its nearest right rows)
@@ -1067,6 +1068,17 @@ def ann_join(
     map-side).  Output: (left_id, right_id, cos, rank).  Self-matches
     survive when the same table is on both sides — filter on the
     caller's identity columns if unwanted.
+
+    ``max_cell_rows``: degenerate-clump guard.  A tight cluster stays
+    ONE cell at any n_centroids (k-means cannot split a clump tighter
+    than its own convergence — measured: 30% of a 200k corpus in one
+    cell at nlist 16 AND 448), so cell size is unbounded by nlist
+    alone.  With the cap set, oversized cells sub-split on a hash of
+    the right id and probes fan out to every sub-cell: results are
+    bit-identical, the hot cell spreads over ceil(size/cap) shuffle
+    partitions.  Size n_centroids ~ sqrt(n) for balanced corpora and
+    set this cap when the corpus may contain near-duplicate clumps
+    (better: semantic-dedup first — the clump IS a near-dup cluster).
     """
     import numpy as np
     from pyspark.sql import Window
@@ -1099,8 +1111,45 @@ def ann_join(
     rp = assigned_r.select(
         F.col(right_id).alias("_rid"), F.col(vec_col).alias("_rv"), "cell"
     )
+    join_keys = ["cell"]
+    if max_cell_rows is not None:
+        # Degenerate-clump guard (measured in the r6 zipf probe: a
+        # tight cluster holding 30% of the corpus stays ONE cell at
+        # ANY n_centroids — k-means cannot split a clump tighter than
+        # its own convergence, so cell size is unbounded by nlist).
+        # Sub-split oversized cells on a hash of the right id and
+        # fan each probe out to every sub-cell of its probed cell:
+        # the candidate SET is unchanged (results bit-identical), but
+        # the join key becomes (cell, sub) so the clump spreads over
+        # ceil(size/max_cell_rows) shuffle partitions instead of
+        # pinning one.  Cell sizes are an n_centroids-row driver
+        # fetch — bounded like the training sample.
+        import math as _math
+
+        sizes = assigned_r.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+        nsub = {
+            int(r["cell"]): max(1, _math.ceil(int(r["n"]) / max_cell_rows))
+            for r in sizes
+        }
+        if any(v > 1 for v in nsub.values()):
+            nsub_expr = F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[F.lit(x) for kv in sorted(nsub.items()) for x in kv]
+                    ),
+                    F.col("cell").cast("int"),
+                ),
+                F.lit(1),
+            )
+            rp = rp.withColumn("_sub", F.pmod(F.hash(F.col("_rid")), nsub_expr))
+            lp = lp.withColumn(
+                "_sub", F.explode(F.sequence(F.lit(0), nsub_expr - 1))
+            )
+            join_keys = ["cell", "_sub"]
     d = dim
-    cand = lp.join(rp, "cell").select(
+    cand = lp.join(rp, join_keys).select(
         "_lid",
         "_rid",
         cosine(F.col("_lv"), F.col("_rv"), d, cast_elements=True).alias("cos"),

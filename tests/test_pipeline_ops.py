@@ -1687,3 +1687,37 @@ def test_connected_components_regimes_agree(spark):
     # path component labeled by its min node
     assert fast[112] == 100
 
+
+
+def test_ann_join_cell_subsplit_is_result_identical(spark):
+    """max_cell_rows sub-splits oversized IVF cells (the degenerate-
+    clump guard from the r6 zipf probe): the candidate set — and hence
+    every (pair, cos, rank) — must be IDENTICAL to the unsplit join;
+    only the shuffle key changes.  Corpus: 300 vectors collapsed into
+    one tight clump + 100 spread, forcing one dominant cell."""
+    import numpy as np
+
+    from ksql_linq_spark.operators.similarity import ann_join
+
+    rng = np.random.default_rng(11)
+    centroid = rng.normal(0, 1, 16)
+    vecs = np.vstack(
+        [centroid + rng.normal(0, 0.01, (300, 16)), rng.normal(0, 1, (100, 16))]
+    )
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lq = e.filter((F.col("vec_id") % 40) == 0)
+
+    def canon(df):
+        return sorted(
+            (r.left_vec_id, r.right_vec_id, round(r.cos, 12), r.rank)
+            for r in df.collect()
+        )
+
+    base = canon(ann_join(lq, e, k=3, n_centroids=4, n_probes=2, dim=16))
+    split = ann_join(
+        lq, e, k=3, n_centroids=4, n_probes=2, dim=16, max_cell_rows=50
+    )
+    assert canon(split) == base
+    # the split actually engaged: the join key carries the sub column
+    assert "_sub" in split._jdf.queryExecution().analyzed().toString()
