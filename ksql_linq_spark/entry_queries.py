@@ -6901,7 +6901,10 @@ def similarity_ann_join_q(
     e = _t(spark, sf_dir, "embeddings")
     lq = e.filter(F.col("vec_id") % 100 == 0)
     ann = (
-        ann_join(lq, e, k=2, n_centroids=8, n_probes=4, dim=64)
+        # kernel="arrow": cogrouped numpy scoring per IVF cell —
+        # bit-identical cos to the expression path (same IEEE fold),
+        # measured 32.3 s -> 1.9 s on the 10x corpus
+        ann_join(lq, e, k=2, n_centroids=8, n_probes=4, dim=64, kernel="arrow")
         .where(F.col("left_vec_id") != F.col("right_vec_id"))
         .withColumn(
             "rn",

@@ -1054,6 +1054,7 @@ def ann_join(
     seed: int = 7,
     dim: int | None = None,
     max_cell_rows: int | None = None,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Approximate k-NN JOIN between two embedding tables — the
     retrieval join (each left row fetches its nearest right rows)
@@ -1079,6 +1080,18 @@ def ann_join(
     partitions.  Size n_centroids ~ sqrt(n) for balanced corpora and
     set this cap when the corpus may contain near-duplicate clumps
     (better: semantic-dedup first — the clump IS a near-dup cluster).
+
+    ``kernel``: candidate scoring path.  ``"expr"`` scores each joined
+    pair with the JVM cosine expression (measured ~0.5M pairs/s/core —
+    per-pair array traversal).  ``"arrow"`` cogroups both sides by
+    cell and scores each cell with the numpy block kernel
+    (embedding_cosine_pairs_blocked's fold: acc += a[:,i]*b[:,i] per
+    dimension — the identical left-to-right IEEE fold the expression
+    performs, so cos values are BIT-IDENTICAL), pre-reducing to the
+    per-cell top-k by (cos desc, id asc) — a sound superset of the
+    global top-k under the same ordering — before the final window.
+    Same results, far less scoring cost, and a window input of
+    k x probes rows per query instead of every candidate.
     """
     import numpy as np
     from pyspark.sql import Window
@@ -1148,6 +1161,81 @@ def ann_join(
                 "_sub", F.explode(F.sequence(F.lit(0), nsub_expr - 1))
             )
             join_keys = ["cell", "_sub"]
+    if kernel not in ("expr", "arrow"):
+        raise ValueError(f"kernel must be expr|arrow, got {kernel!r}")
+    if kernel == "arrow":
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("_lid", T.LongType()),
+                T.StructField("_rid", T.LongType()),
+                T.StructField("cos", T.DoubleType()),
+            ]
+        )
+        kk = k
+
+        def score_cell(left_pdf, right_pdf):
+            if len(left_pdf) == 0 or len(right_pdf) == 0:
+                return pd.DataFrame(
+                    {"_lid": pd.Series(dtype="int64"),
+                     "_rid": pd.Series(dtype="int64"),
+                     "cos": pd.Series(dtype="float64")}
+                )
+            R = np.array(list(right_pdf["_rv"]), dtype=np.float64)
+            rids = right_pdf["_rid"].to_numpy(np.int64)
+            nd = R.shape[1]
+            r_acc = np.zeros(len(rids))
+            for i in range(nd):
+                rc = R[:, i]
+                r_acc += rc * rc
+            r_norm = np.sqrt(r_acc)
+            out_l, out_r, out_c = [], [], []
+            # chunk the probe side so the dots matrix stays ~64 MB even
+            # for a degenerate mega-cell (embedding_cosine_pairs_blocked
+            # discipline)
+            chunk = max(16, int(8_000_000 / max(len(rids), 1)))
+            for s in range(0, len(left_pdf), chunk):
+                sub = left_pdf.iloc[s : s + chunk]
+                L = np.array(list(sub["_lv"]), dtype=np.float64)
+                lids = sub["_lid"].to_numpy(np.int64)
+                l_acc = np.zeros(len(lids))
+                dots = np.zeros((len(lids), len(rids)))
+                for i in range(nd):
+                    lc = L[:, i]
+                    l_acc += lc * lc
+                    dots += lc[:, None] * R[None, :, i]
+                cos = dots / (np.sqrt(l_acc)[:, None] * r_norm[None, :])
+                top = min(kk, len(rids))
+                for j in range(len(lids)):
+                    # per-left top-k by (cos desc, rid asc) — the exact
+                    # ordering of the final window, so the per-cell cut
+                    # is a sound superset of the global top-k
+                    idx = np.lexsort((rids, -cos[j]))[:top]
+                    out_l.extend([lids[j]] * len(idx))
+                    out_r.extend(rids[idx])
+                    out_c.extend(cos[j, idx])
+            return pd.DataFrame({"_lid": out_l, "_rid": out_r, "cos": out_c})
+
+        cand = (
+            lp.groupBy(*join_keys)
+            .cogroup(rp.groupBy(*join_keys))
+            .applyInPandas(score_cell, out_schema)
+        )
+        w = Window.partitionBy("_lid").orderBy(
+            F.col("cos").desc(), F.col("_rid")
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                F.col("_lid").alias(f"left_{left_id}"),
+                F.col("_rid").alias(f"right_{right_id}"),
+                "cos",
+                "rank",
+            )
+        )
     d = dim
     cand = lp.join(rp, join_keys).select(
         "_lid",

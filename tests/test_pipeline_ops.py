@@ -1721,3 +1721,30 @@ def test_ann_join_cell_subsplit_is_result_identical(spark):
     assert canon(split) == base
     # the split actually engaged: the join key carries the sub column
     assert "_sub" in split._jdf.queryExecution().analyzed().toString()
+
+
+def test_ann_join_arrow_kernel_bit_identical(spark, sf_dir):
+    """kernel="arrow" (cogrouped numpy scoring per IVF cell, per-cell
+    top-k pre-reduction) must reproduce the expression path BIT-FOR-BIT
+    — same IEEE fold order per dimension, same (cos desc, rid asc)
+    ordering at the per-cell cut and the final window."""
+    from ksql_linq_spark.operators.similarity import ann_join
+
+    e = read_table(spark, sf_dir, "embeddings")
+    lq = e.limit(15)
+
+    def canon(df):
+        return sorted(
+            (r.left_vec_id, r.right_vec_id, r.cos.hex(), r.rank)
+            for r in df.collect()
+        )
+
+    expr = canon(ann_join(lq, e, k=3, n_centroids=4, n_probes=2, dim=64))
+    arrow = canon(ann_join(lq, e, k=3, n_centroids=4, n_probes=2, kernel="arrow"))
+    assert expr == arrow and len(expr) > 0
+    # composes with the sub-split guard too
+    salted = canon(
+        ann_join(lq, e, k=3, n_centroids=4, n_probes=2, kernel="arrow",
+                 max_cell_rows=20)
+    )
+    assert salted == expr
