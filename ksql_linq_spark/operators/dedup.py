@@ -400,8 +400,11 @@ def embedding_cosine_pairs_blocked(
     # the dots matrix is block_rows x n doubles — cap it at ~64 MB so a
     # 10x corpus doesn't silently turn each Arrow batch into a
     # multi-GB allocation with 64 full passes of memory traffic
-    # (observed at 20k vectors: 1.6 GB matrix, ~10 min task)
-    block_rows = max(256, int(8_000_000 / max(tbl.num_rows, 1)))
+    # (observed at 20k vectors: 1.6 GB matrix, ~10 min task).
+    # Floor is 16 (not 256): a 256-row floor would let the cap degrade
+    # to 256*n*8 B (~410 MB at 200k vectors), defeating the fix exactly
+    # at the scales it targets.
+    block_rows = max(16, int(8_000_000 / max(tbl.num_rows, 1)))
 
     def run(batches):
         for pdf in batches:

@@ -46,8 +46,17 @@ def dot(a: Column, b: Column, dim: int | None = None, cast_elements: bool = Fals
         for i in range(1, dim + 1):
             expr = expr + elem(a, i) * elem(b, i)
         return expr
+    if cast_elements:
+        # cast INSIDE the zip_with lambda (per element-pair, once) so
+        # the product is computed in double like the unrolled chain —
+        # float*float would round each product to float32 first,
+        # silently diverging from the dim-unrolled path and the numpy
+        # kernels (which are all-double)
+        prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    else:
+        prod = F.zip_with(a, b, lambda x, y: x * y)
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        prod,
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -283,6 +292,72 @@ def _train_sample(df, vec_col: str, id_col: str, train_rows: int):
     return np.array(tbl.column("_v").to_pylist(), dtype=np.float64)
 
 
+class ClumpedCorpusWarning(UserWarning):
+    """An IVF training sample shows an indivisible hot cell (a tight
+    near-duplicate clump); candidate volume will blow up, not spread."""
+
+
+class ClumpedCorpusError(ValueError):
+    """Strict-mode variant of :class:`ClumpedCorpusWarning`."""
+
+
+def _clump_check(
+    pts,
+    C,
+    n_centroids: int,
+    warn_ratio: float = 8.0,
+    strict: bool = False,
+    context: str = "ivf_assign",
+):
+    """Degenerate-clump guardrail — pure driver-side numpy over the
+    training sample already in hand (zero extra Spark jobs).
+
+    Measured pathology (r6 zipf/hot-cluster probe): a tight embedding
+    clump is indivisible by the coarse quantizer — one cell held 30% of
+    a 200k corpus at nlist 16 AND 448, so candidate volume (cell² work
+    in a kNN join) silently grows ~100× and neither nlist nor AQE
+    skew-split helps (sub-splitting measured no-win: 199 s vs 209 s).
+    Detection from the bounded sample is statistically sound: a clump
+    that matters (≥10% of the corpus) appears in a 4096-row sample with
+    overwhelming probability.
+
+    Fires when the max/median sample-cell ratio exceeds ``warn_ratio``
+    or one cell holds ≥25% of the sample despite n_centroids ≥ 8.
+    Warns by default; raises :class:`ClumpedCorpusError` when
+    ``strict``.  Returns (ratio, max_fraction) for tests/telemetry.
+    """
+    import warnings
+
+    import numpy as np
+
+    if len(pts) == 0 or len(C) == 0:
+        return 0.0, 0.0
+    d2 = (pts**2).sum(1)[:, None] - 2 * pts @ C.T + (C**2).sum(1)[None, :]
+    counts = np.bincount(d2.argmin(1), minlength=len(C)).astype(np.float64)
+    nonzero = counts[counts > 0]
+    med = float(np.median(nonzero))
+    mx = float(counts.max())
+    frac = mx / max(1.0, float(counts.sum()))
+    ratio = mx / med if med > 0 else float("inf")
+    if ratio >= warn_ratio or (frac >= 0.25 and n_centroids >= 8):
+        msg = (
+            f"{context}: IVF training sample is clumped — hottest cell "
+            f"holds {frac:.0%} of the sample ({ratio:.1f}x the median "
+            f"cell). A tight near-duplicate cluster is indivisible by "
+            f"the coarse quantizer at ANY n_centroids, so candidate "
+            f"volume (not stragglers) blows up ~ (clump size)². "
+            f"Mitigation order: (1) semantic-dedup the corpus first "
+            f"(semantic_dedup_blocked — the clump IS a near-dup "
+            f"cluster), (2) cap probes / set max_cell_rows to spread "
+            f"the shuffle, (3) pass strict_clumps=False deliberately "
+            f"if the quadratic cost is accepted."
+        )
+        if strict:
+            raise ClumpedCorpusError(msg)
+        warnings.warn(msg, ClumpedCorpusWarning, stacklevel=3)
+    return ratio, frac
+
+
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 16,
@@ -290,6 +365,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     seed: int = 7,
     train_rows: int = 4096,
+    strict_clumps: bool = False,
 ):
     """IVF coarse quantizer: k-means centroids + per-vector cell assignment.
 
@@ -315,6 +391,7 @@ def ivf_assign(
 
     pts = _train_sample(df, vec_col, id_col, train_rows)
     C = _lloyd(pts, n_centroids, seed)
+    _clump_check(pts, C, n_centroids, strict=strict_clumps)
     cn2 = (C**2).sum(1)
 
     def _cell_of(vecs):
@@ -1055,6 +1132,7 @@ def ann_join(
     dim: int | None = None,
     max_cell_rows: int | None = None,
     kernel: str = "expr",
+    strict_clumps: bool = False,
 ) -> DataFrame:
     """Approximate k-NN JOIN between two embedding tables — the
     retrieval join (each left row fetches its nearest right rows)
@@ -1092,6 +1170,18 @@ def ann_join(
     global top-k under the same ordering — before the final window.
     Same results, far less scoring cost, and a window input of
     k x probes rows per query instead of every candidate.
+
+    ``strict_clumps``: build-time clump guardrail.  The IVF training
+    sample is histogrammed per cell on the driver (zero extra jobs);
+    a clumped corpus (one indivisible hot cell — the measured silent
+    100x-candidate pathology) warns with the mitigation order, or
+    raises :class:`ClumpedCorpusError` when True.
+
+    Zero-norm vectors (NaN cosine) are excluded from results on BOTH
+    kernels — the expr path filters ~isnan, the arrow path drops NaN
+    before its per-cell cut — so degenerate input cannot diverge
+    between paths.  ``dim`` likewise applies to both kernels (the
+    arrow matrices are sliced to [:, :dim]).
     """
     import numpy as np
     from pyspark.sql import Window
@@ -1099,7 +1189,8 @@ def ann_join(
     from pyspark.sql.types import ArrayType, IntegerType
 
     assigned_r, centroids = ivf_assign(
-        right, n_centroids, vec_col, right_id, seed
+        right, n_centroids, vec_col, right_id, seed,
+        strict_clumps=strict_clumps,
     )
     C = np.array(centroids, dtype=np.float64)
     Cn = np.sqrt((C**2).sum(1))
@@ -1184,6 +1275,8 @@ def ann_join(
                      "cos": pd.Series(dtype="float64")}
                 )
             R = np.array(list(right_pdf["_rv"]), dtype=np.float64)
+            if dim is not None:
+                R = R[:, :dim]
             rids = right_pdf["_rid"].to_numpy(np.int64)
             nd = R.shape[1]
             r_acc = np.zeros(len(rids))
@@ -1199,6 +1292,8 @@ def ann_join(
             for s in range(0, len(left_pdf), chunk):
                 sub = left_pdf.iloc[s : s + chunk]
                 L = np.array(list(sub["_lv"]), dtype=np.float64)
+                if dim is not None:
+                    L = L[:, :dim]
                 lids = sub["_lid"].to_numpy(np.int64)
                 l_acc = np.zeros(len(lids))
                 dots = np.zeros((len(lids), len(rids)))
@@ -1211,8 +1306,15 @@ def ann_join(
                 for j in range(len(lids)):
                     # per-left top-k by (cos desc, rid asc) — the exact
                     # ordering of the final window, so the per-cell cut
-                    # is a sound superset of the global top-k
-                    idx = np.lexsort((rids, -cos[j]))[:top]
+                    # is a sound superset of the global top-k.  NaN
+                    # cosines (zero-norm vectors) are excluded — both
+                    # kernels filter them identically (the expr path
+                    # applies ~isnan), so degenerate vectors cannot
+                    # diverge between paths.
+                    valid = np.flatnonzero(~np.isnan(cos[j]))
+                    if len(valid) == 0:
+                        continue
+                    idx = valid[np.lexsort((rids[valid], -cos[j, valid]))][:top]
                     out_l.extend([lids[j]] * len(idx))
                     out_r.extend(rids[idx])
                     out_c.extend(cos[j, idx])
@@ -1237,11 +1339,18 @@ def ann_join(
             )
         )
     d = dim
+    # try_divide (not /): a zero-norm vector is a 0/0 cosine — ANSI mode
+    # would abort the whole join; NULL-then-filter drops exactly the
+    # degenerate pairs, matching the arrow kernel's NaN exclusion
     cand = lp.join(rp, join_keys).select(
         "_lid",
         "_rid",
-        cosine(F.col("_lv"), F.col("_rv"), d, cast_elements=True).alias("cos"),
-    )
+        F.try_divide(
+            dot(F.col("_lv"), F.col("_rv"), d, cast_elements=True),
+            norm(F.col("_lv"), d, cast_elements=True)
+            * norm(F.col("_rv"), d, cast_elements=True),
+        ).alias("cos"),
+    ).where(F.col("cos").isNotNull() & ~F.isnan(F.col("cos")))
     # distinct: a right row can appear in several probed cells? no — each
     # right row has ONE cell; but a (left,right) pair can repeat only if
     # the same right cell is probed twice, which explode prevents.

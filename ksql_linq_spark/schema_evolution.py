@@ -233,9 +233,11 @@ def conform(df: DataFrame, target: T.StructType) -> DataFrame:
 # returns the existing id; an incompatible evolution is refused before
 # anything is stored).
 
+import fcntl as _fcntl
 import json as _json
 import os as _os
 import re as _re
+from contextlib import contextmanager as _contextmanager
 from dataclasses import dataclass as _dataclass
 
 # Avro schema-resolution promotions (Avro spec "Schema Resolution"):
@@ -381,14 +383,32 @@ class SubjectStore:
                 out.append((int(m.group(1)), _os.path.join(d, fn)))
         return sorted(out)
 
+    @_contextmanager
+    def _locked(self):
+        """Exclusive advisory lock over the store — id allocation and
+        version creation are read-modify-write across files, so two
+        concurrent registrations could otherwise mint duplicate global
+        ids or overwrite the same version file.  flock releases on
+        process death (no stale-lock cleanup needed)."""
+        p = _os.path.join(self._root, ".lock")
+        with open(p, "w") as f:
+            _fcntl.flock(f, _fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                _fcntl.flock(f, _fcntl.LOCK_UN)
+
     def _next_id(self) -> int:
+        # caller holds _locked()
         p = _os.path.join(self._root, "_ids.json")
         cur = 0
         if _os.path.exists(p):
             with open(p) as f:
                 cur = _json.load(f)["max_id"]
-        with open(p, "w") as f:
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
             _json.dump({"max_id": cur + 1}, f)
+        _os.replace(tmp, p)
         return cur + 1
 
     @staticmethod
@@ -460,22 +480,28 @@ class SubjectStore:
         returns (registered, was_created).  An identical latest schema
         short-circuits to the stored id; an incompatible change raises
         IncompatibleSchemaError and stores nothing."""
-        latest = self.latest(subject)
-        if latest is not None and self._canon(latest.schema) == self._canon(schema):
-            return latest, False
-        errors = self.check(subject, schema)
-        if errors:
-            raise IncompatibleSchemaError(
-                f"subject {subject!r} mode {self.get_compatibility(subject)}: "
-                + "; ".join(errors)
-            )
-        d = self._dir(subject)
-        _os.makedirs(d, exist_ok=True)
-        version = (latest.version + 1) if latest else 1
-        sid = self._next_id()
-        with open(_os.path.join(d, f"{version}.json"), "w") as f:
-            _json.dump({"id": sid, "schema": schema, "version": version}, f, indent=2)
-        return RegisteredSchema(subject, version, sid, schema), True
+        with self._locked():
+            latest = self.latest(subject)
+            if latest is not None and self._canon(latest.schema) == self._canon(schema):
+                return latest, False
+            errors = self.check(subject, schema)
+            if errors:
+                raise IncompatibleSchemaError(
+                    f"subject {subject!r} mode {self.get_compatibility(subject)}: "
+                    + "; ".join(errors)
+                )
+            d = self._dir(subject)
+            _os.makedirs(d, exist_ok=True)
+            version = (latest.version + 1) if latest else 1
+            sid = self._next_id()
+            vp = _os.path.join(d, f"{version}.json")
+            tmp = vp + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(
+                    {"id": sid, "schema": schema, "version": version}, f, indent=2
+                )
+            _os.replace(tmp, vp)
+            return RegisteredSchema(subject, version, sid, schema), True
 
     def register_context(self, ctx) -> dict[str, RegisteredSchema]:
         """Register every entity's key/value subjects (the context-boot

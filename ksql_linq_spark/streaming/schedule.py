@@ -165,7 +165,18 @@ class RefreshingScheduleProvider:
             for v in idx.values():
                 v.sort()
             self._index = idx
-        key = "\0".join(str(p) for p in key_parts)
+        parts = [str(p) for p in key_parts]
+        if len(parts) != 1:
+            # the index is keyed by the provider's single schedule-key
+            # column; a composite key would silently never match, so
+            # fail loudly (reference composes multi-part keys with \0,
+            # but this provider is constructed over one key column)
+            raise ValueError(
+                f"is_in_session expects exactly one key part for "
+                f"schedule key column {self._key!r}, got {len(parts)}: "
+                f"{parts!r}"
+            )
+        key = parts[0]
         intervals = self._index.get(key)
         if not intervals:
             return False

@@ -1748,3 +1748,92 @@ def test_ann_join_arrow_kernel_bit_identical(spark, sf_dir):
                  max_cell_rows=20)
     )
     assert salted == expr
+
+
+def test_ivf_clump_guardrail(spark):
+    """r7 guardrail: an IVF build over a clumped corpus (one tight
+    near-dup cluster the quantizer cannot split — the measured silent
+    100x-candidate pathology) must WARN with the mitigation order, and
+    raise under strict_clumps; a uniform corpus must stay silent."""
+    import warnings
+
+    import numpy as np
+
+    from ksql_linq_spark.operators.similarity import (
+        ClumpedCorpusError,
+        ClumpedCorpusWarning,
+        ann_join,
+        ivf_assign,
+    )
+
+    rng = np.random.default_rng(23)
+
+    def mkdf(vecs):
+        rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    clumped = mkdf(
+        np.vstack(
+            [
+                rng.normal(0, 1, 16) + rng.normal(0, 0.01, (500, 16)),
+                rng.normal(0, 1, (500, 16)),
+            ]
+        )
+    )
+    uniform = mkdf(rng.normal(0, 1, (1000, 16)))
+
+    with pytest.warns(ClumpedCorpusWarning, match="semantic-dedup"):
+        ivf_assign(clumped, n_centroids=16)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ClumpedCorpusWarning)
+        ivf_assign(uniform, n_centroids=16)  # must not warn
+
+    with pytest.raises(ClumpedCorpusError, match="clumped"):
+        ann_join(
+            clumped, clumped, k=1, n_centroids=16, strict_clumps=True
+        )
+
+    # non-strict ann_join still builds and runs on the clumped corpus
+    with pytest.warns(ClumpedCorpusWarning):
+        out = ann_join(
+            clumped.limit(5), clumped, k=1, n_centroids=16, n_probes=1
+        )
+        assert out.count() == 5
+
+
+def test_ann_join_arrow_dim_and_nan_parity(spark):
+    """ADVICE r6: the arrow kernel must honor ``dim`` (slice to
+    [:, :dim]) and must exclude NaN cosines (zero-norm vectors)
+    exactly like the expr path — degenerate input cannot diverge."""
+    import numpy as np
+
+    from ksql_linq_spark.operators.similarity import ann_join
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(0, 1, (60, 16))
+    vecs[7] = 0.0  # zero-norm corpus vector -> NaN cosine everywhere
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lq = e.filter(F.col("vec_id") < 10)  # includes the zero-norm probe
+
+    def canon(df):
+        return sorted(
+            (r.left_vec_id, r.right_vec_id, r.cos.hex(), r.rank)
+            for r in df.collect()
+        )
+
+    for d in (None, 8):
+        expr = canon(
+            ann_join(lq, e, k=3, n_centroids=4, n_probes=2, dim=d)
+        )
+        arrow = canon(
+            ann_join(
+                lq, e, k=3, n_centroids=4, n_probes=2, dim=d,
+                kernel="arrow",
+            )
+        )
+        assert expr == arrow and len(expr) > 0
+        # the zero-norm vector never appears on either side of a pair
+        assert all(r[1] != 7 for r in expr)
+        assert all(r[0] != 7 for r in expr)

@@ -267,3 +267,34 @@ def test_subject_store_registers_context_subjects(tmp_path, spark):
     regs3 = store.register_context(ctx)
     assert regs3["trades-value"].version == 2
     assert regs3["trades-key"].version == 1
+
+
+def test_subject_store_concurrent_registrations(tmp_path):
+    """ADVICE r6: id allocation + version creation are read-modify-write
+    across files — concurrent registrations must still mint unique
+    global ids and distinct version files (flock-serialized)."""
+    import threading
+
+    from ksql_linq_spark.schema_evolution import SubjectStore
+
+    store = SubjectStore(str(tmp_path / "registry"))
+    n = 16
+    results: list = [None] * n
+    barrier = threading.Barrier(n)
+
+    def worker(i: int) -> None:
+        barrier.wait()
+        schema = _record({"name": "id", "type": "long"})
+        reg, created = store.register(f"subj-{i}-value", schema)
+        results[i] = (reg.schema_id, created)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    ids = sorted(sid for sid, _ in results)
+    assert ids == list(range(1, n + 1))  # unique AND gap-free
+    assert all(created for _, created in results)
+    assert len(store.subjects()) == n

@@ -1854,3 +1854,28 @@ def test_stream_stream_join_state_rows_plateau_under_watermark(spark):
     # the unbounded-accumulation line
     assert plateau_late <= 4 * 8, f"state not bounded: {totals}"
     assert plateau_late < ingested / 3
+
+
+def test_is_in_session_composite_key_raises(spark, tmp_path):
+    """ADVICE r6: the interval index is keyed by the single schedule-key
+    column — a composite key_parts call must fail loudly instead of
+    silently returning False."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from ksql_linq_spark.streaming.schedule import RefreshingScheduleProvider
+
+    sched_dir = str(tmp_path / "sched")
+    spark.createDataFrame(
+        [("NYSE",
+          dt.datetime(2024, 1, 1, 9, 0),
+          dt.datetime(2024, 1, 1, 17, 0))],
+        "market_key string, open_time timestamp, close_time timestamp",
+    ).write.mode("overwrite").parquet(sched_dir)
+    prov = RefreshingScheduleProvider(
+        spark, sched_dir, now_fn=lambda: dt.datetime(2024, 1, 1, 12, 0)
+    )
+    assert prov.is_in_session(["NYSE"], dt.datetime(2024, 1, 1, 10, 0))
+    with _pytest.raises(ValueError, match="exactly one key part"):
+        prov.is_in_session(["NYSE", "US"], dt.datetime(2024, 1, 1, 10, 0))
