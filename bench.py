@@ -63,32 +63,53 @@ def main() -> None:
             release_lineage_cuts(spark)
         return timings
 
+    load_start = os.getloadavg()
     cold = one_pass()   # pass 1: warm-up (JIT, page cache, codegen cache)
     warm = one_pass()   # pass 2: steady state
 
-    # report the per-query MIN of the two passes: a query's best
-    # observed time is its true plan cost; multi-second host-level
-    # stalls (noisy-neighbor CPU steal, observed r3: a 0-shuffle
-    # aggregate reading 16 s in one pass and 0.4 s in the other) land
-    # in ONE pass, so min-of-2 rejects them while still charging JIT
-    # warm-up to neither.  Errors (-1) propagate if either pass errored.
+    # report the per-query MIN of the passes: a query's best observed
+    # time is its true plan cost; multi-second host-level stalls
+    # (noisy-neighbor CPU steal, observed r3: a 0-shuffle aggregate
+    # reading 16 s in one pass and 0.4 s in the other) land in ONE
+    # pass, so min-of-N rejects them while still charging JIT warm-up
+    # to neither.  Errors (-1) propagate if any pass errored.
+    cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
+    warm_total = round(sum(t for t in warm.values() if t >= 0), 3)
+    all_passes = [cold, warm]
+    # contention tiebreak (r6: the driver's single-shot record diverged
+    # 19% from the dev min-of-2 on the SAME build — host contention):
+    # when the two pass totals disagree by >20%, at least one pass was
+    # confounded, so run a THIRD and let min-of-3 outvote the spike
+    spread = abs(cold_total - warm_total) / max(1e-9, min(cold_total, warm_total))
+    if spread > 0.20:
+        print(f"# bench: pass totals diverge {spread:.0%}; "
+              f"running tiebreak pass 3", file=sys.stderr)
+        all_passes.append(one_pass())
     best = {
-        name: (-1.0 if cold[name] < 0 or warm[name] < 0
-               else min(cold[name], warm[name]))
+        name: (-1.0 if any(p[name] < 0 for p in all_passes)
+               else min(p[name] for p in all_passes))
         for name in warm
     }
     total = round(sum(t for t in best.values() if t >= 0), 3)
-    cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
-    warm_total = round(sum(t for t in warm.values() if t >= 0), 3)
+    load_end = os.getloadavg()
     payload = {
         "metric": "total_sec",
         "value": total,
         "unit": "sec",
         "queries": best,
         "sf": sf,
-        "passes": 2,
+        "passes": len(all_passes),
         "cold_total_sec": cold_total,
         "warm_total_sec": warm_total,
+        "pass_totals_sec": [
+            round(sum(t for t in p.values() if t >= 0), 3) for p in all_passes
+        ],
+        # the box's OTHER load: loadavg sampled before pass 1 (this
+        # process hasn't contributed yet) and at the end.  A start
+        # value near 0 means the record is trustworthy; a large one
+        # attributes pass divergence to contention, not regression
+        "loadavg_1m_start": round(load_start[0], 2),
+        "loadavg_1m_end": round(load_end[0], 2),
     }
     # persist the FULL per-query record (both passes, not just the min)
     # alongside the driver's truncated tail so per-query diffs across
@@ -100,12 +121,10 @@ def main() -> None:
     )
     try:
         with open(full_path, "w") as f:
-            json.dump(
-                {**payload, "cold_queries": cold, "warm_queries": warm},
-                f,
-                indent=1,
-                sort_keys=True,
-            )
+            full = {**payload, "cold_queries": cold, "warm_queries": warm}
+            if len(all_passes) > 2:
+                full["tiebreak_queries"] = all_passes[2]
+            json.dump(full, f, indent=1, sort_keys=True)
     except OSError as e:
         print(f"# bench: could not write {full_path}: {e}", file=sys.stderr)
     print(json.dumps(payload))

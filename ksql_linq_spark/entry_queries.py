@@ -3623,9 +3623,10 @@ def dataset_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00')
-    SELECT CAST(promo AS DOUBLE) AS promo_revenue,
-           CAST(total AS DOUBLE) AS total_revenue,
-           100.0 * (CAST(promo AS DOUBLE) / CAST(total AS DOUBLE))
+    SELECT CAST(FLOOR(promo * 100) AS DOUBLE) / 100 AS promo_revenue,
+           CAST(FLOOR(total * 100) AS DOUBLE) / 100 AS total_revenue,
+           100.0 * ((CAST(FLOOR(promo * 100) AS DOUBLE) / 100)
+                    / (CAST(FLOOR(total * 100) AS DOUBLE) / 100))
              AS promo_pct
     FROM s
     """,
@@ -3654,8 +3655,12 @@ def join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).alias("total"),
         )
     )
-    promo_d = F.col("promo").cast("double")
-    total_d = F.col("total").cast("double")
+    # floor-to-money-scale before the DOUBLE cast (the r7 2^53 audit:
+    # this scale-6 sum crosses 2^53 unscaled at ~12.6x sf0.1, where the
+    # DECIMAL->DOUBLE cast rounds 1 ulp apart across engines; the
+    # floored integer stays exact past 100x — agg_pricing_summary rule)
+    promo_d = F.floor(F.col("promo") * 100).cast("double") / 100
+    total_d = F.floor(F.col("total") * 100).cast("double") / 100
     return s.select(
         promo_d.alias("promo_revenue"),
         total_d.alias("total_revenue"),

@@ -522,3 +522,26 @@ def test_ann_probe_fetch_launches_no_spark_job(spark, sf_dir):
             f"{name} construction launched {n} jobs vs read-only "
             f"baseline {baseline} — a scan job crept back in"
         )
+
+
+def test_lineage_cut_block_loss_fails_loudly(spark):
+    """VERDICT r6 item 4: the nine lineage-cut localCheckpoint blocks are
+    not fault-tolerant — this pins the FAILURE MODE.  Losing a cut
+    block mid-lifecycle (simulated by unpersisting the checkpointed
+    RDD, the same block-manager state executor loss leaves behind) must
+    raise CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next action — a LOUD
+    error the caller retries from the source scan — never a silent
+    recompute with possibly-diverged data."""
+    from py4j.protocol import Py4JJavaError
+
+    from ksql_linq_spark.session import release_lineage_cuts
+
+    df = spark.range(0, 50000).selectExpr("id", "id % 7 as k")
+    cut = df.localCheckpoint(eager=True)
+    assert cut.count() == 50000  # blocks live, action works
+
+    assert release_lineage_cuts(spark) >= 1  # drop the cut's blocks
+
+    with pytest.raises(Py4JJavaError) as exc:
+        cut.count()
+    assert "CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND" in str(exc.value)
