@@ -127,8 +127,19 @@ def _run(spark, label: str, fn) -> bool:
 
 def main() -> int:
     root = "/tmp/skew_probe"
+    # --no-aqe-skew (r7, VERDICT r6 item 7): rerun the probes with AQE's
+    # skew-join split disabled to separate operators whose skew story is
+    # shape-safe BY CONSTRUCTION (salted_agg's two-stage agg, funnel's
+    # user-local windows) from those that lean on AQE's runtime
+    # re-partitioning (plain hot-key joins).  A straggler that appears
+    # only in this mode is an AQE dependency, not a topology bug.
+    no_aqe_skew = "--no-aqe-skew" in sys.argv[1:]
+    extra = {"spark.ui.enabled": "true"}
+    if no_aqe_skew:
+        extra["spark.sql.adaptive.skewJoin.enabled"] = "false"
+        print("mode: AQE skew-join split DISABLED")
     spark = build_session(
-        "skew-probe", extra_conf={"spark.ui.enabled": "true"}
+        "skew-probe" + ("-noaqe" if no_aqe_skew else ""), extra_conf=extra
     )
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.exists(f"{root}/events"):
