@@ -111,3 +111,24 @@ def test_query_registration_rotation_failed_then_unscored_first(tmp_path, monkey
         "rotation must be failed-last-scoring, then never-scored, "
         "then least-recently-scored"
     )
+
+
+def test_cli_ai_assist_prints_guide(tmp_path):
+    """CLI parity with the reference's `ai-assist` (AiAssistCommand.cs:
+    prints the library-embedded assistant guide)."""
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, "tools/ddl_export.py", "ai-assist"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    ).stdout
+    assert "AI Assistant Guide" in out
+    assert "staged fluent builder" in out
+
+    dst = tmp_path / "guide.md"
+    subprocess.run(
+        [_sys.executable, "tools/ddl_export.py", "ai-assist", "-o", str(dst)],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    assert "verify in the user's own Spark environment" in dst.read_text()

@@ -55,11 +55,32 @@ def _demo_context():
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("command", choices=["script", "avro"])
+    ap.add_argument("command", choices=["script", "avro", "ai-assist"])
     ap.add_argument("--module", "-m", help="module exposing build_context()")
     ap.add_argument("--output", "-o", help="output path (default stdout)")
     ap.add_argument("--no-header", action="store_true")
     args = ap.parse_args()
+
+    if args.command == "ai-assist":
+        # parity with the reference CLI's `ai-assist` (AiAssistCommand.cs:
+        # prints the library-embedded assistant guide; --copy/clipboard is
+        # a desktop nicety skipped here — pipe to your clipboard tool).
+        # The guide ships inside the package like the embedded resource.
+        guide = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            os.pardir, "ksql_linq_spark", "AI_ASSISTANT_GUIDE.md",
+        )
+        if not os.path.exists(guide):
+            print("AI_ASSISTANT_GUIDE.md not found", file=sys.stderr)
+            return 1
+        with open(guide) as f:
+            text = f.read()
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(text)
+        else:
+            print(text)
+        return 0
 
     if args.module:
         ctx = importlib.import_module(args.module).build_context()
