@@ -2830,7 +2830,12 @@ def decontamination_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").withColumn("split", hash_split("doc_id"))
     train = d.filter(F.col("split") == "train")
     test = d.filter(F.col("split") == "test")
-    approx = contamination_report(train, test, shingle_n=3, approx_train_docs=True)
+    # hll_lgk=14: the r7 30x sweep measured the lgk=12 default's error
+    # tail at 6.2% max over 15k docs — past the 5% invariant below;
+    # lgk=14 halves the rsd (bound moves to ~6 sigma, no flips)
+    approx = contamination_report(
+        train, test, shingle_n=3, approx_train_docs=True, hll_lgk=14
+    )
     exact_td = contamination_report(train, test, shingle_n=3).select(
         "doc_id", F.col("train_docs").alias("_exact_td")
     )
@@ -7703,11 +7708,47 @@ def mart_monthly_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "events_weekly_value_bands",
     oracle="""
-    SELECT event_type,
-           CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
-           quantile_cont(value, 0.5) AS p50,
-           quantile_cont(value, 0.9) AS p90
-    FROM events GROUP BY 1, 2
+    -- explicit Spark-formula lerp instead of quantile_cont: the r7 30x
+    -- sweep caught DuckDB's interpolation 1 ulp off Spark's on tied
+    -- 2-dp values (114.02 vs 114.02000000000001 — the quantile-edge
+    -- tie class).  Spark's exact percentile is
+    --   pos = p*(n-1); l = floor(pos); h = ceil(pos);
+    --   l = h -> v[l]  else  (h-pos)*v[l] + (pos-l)*v[h]
+    -- replicated below operand-for-operand so both engines run the
+    -- same IEEE ops on the same exact inputs.
+    WITH g AS (
+      SELECT event_type,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('week', ts)
+                                ORDER BY value) - 1 AS r,
+             count(*) OVER (PARTITION BY event_type, date_trunc('week', ts)) AS n
+      FROM events),
+    e AS (
+      SELECT event_type, week, r, value,
+             -- ::DOUBLE is load-bearing: a bare 0.9 literal is DECIMAL
+             -- in DuckDB, and decimal positions round differently
+             CAST(0.5 AS DOUBLE) * (n - 1) AS pos50,
+             CAST(0.9 AS DOUBLE) * (n - 1) AS pos90
+      FROM g),
+    agg AS (
+      SELECT event_type, week,
+             max(pos50) AS pos50, max(pos90) AS pos90,
+             max(CASE WHEN r = CAST(floor(pos50) AS BIGINT) THEN value END) AS lo50,
+             max(CASE WHEN r = CAST(ceil(pos50)  AS BIGINT) THEN value END) AS hi50,
+             max(CASE WHEN r = CAST(floor(pos90) AS BIGINT) THEN value END) AS lo90,
+             max(CASE WHEN r = CAST(ceil(pos90)  AS BIGINT) THEN value END) AS hi90
+      FROM e GROUP BY 1, 2)
+    SELECT event_type, week,
+           -- lo = hi is Spark's tie shortcut (equal neighbor values
+           -- return the value exactly, no lerp)
+           CASE WHEN floor(pos50) = ceil(pos50) OR lo50 = hi50 THEN lo50
+                ELSE lo50 * (ceil(pos50) - pos50)
+                     + hi50 * (pos50 - floor(pos50)) END AS p50,
+           CASE WHEN floor(pos90) = ceil(pos90) OR lo90 = hi90 THEN lo90
+                ELSE lo90 * (ceil(pos90) - pos90)
+                     + hi90 * (pos90 - floor(pos90)) END AS p90
+    FROM agg
     """,
 )
 def events_weekly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,6 +40,7 @@ def contamination_report(
     shingle_n: int = 3,
     max_shingle_freq: int | None = None,
     approx_train_docs: bool = False,
+    hll_lgk: int = 12,
 ) -> DataFrame:
     """Per eval document: ``total`` distinct shingles, ``overlap`` of
     them present in the train corpus, ``train_docs`` distinct training
@@ -79,9 +80,16 @@ def contamination_report(
         id_col, "_train_id"
     )
     if approx_train_docs:
+        # hll_lgk sizes the sketch (rsd ~ 1.04/sqrt(2^lgk)): lgk=12 is
+        # ~1.6% rsd, measured max error 6.2% over 15k docs at 30x (a
+        # ~4-sigma tail breaches a 5% accuracy contract); lgk=14 halves
+        # the rsd so the same 5% bound sits at ~6 sigma.  Sketches stay
+        # sparse (small) for the long tail of rare shingles — only hot
+        # shingles pay the dense-mode size, so the shuffle cost of +2
+        # lgk is marginal.
         tr_dim = tr.groupBy("s").agg(
             F.count(F.lit(1)).alias("_df"),
-            F.hll_sketch_agg("_train_id").alias("_hll"),
+            F.hll_sketch_agg("_train_id", F.lit(hll_lgk)).alias("_hll"),
         )
         if max_shingle_freq is not None:
             tr_dim = tr_dim.filter(F.col("_df") <= max_shingle_freq)
