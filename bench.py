@@ -85,9 +85,12 @@ def main() -> None:
         print(f"# bench: pass totals diverge {spread:.0%}; "
               f"running tiebreak pass 3", file=sys.stderr)
         all_passes.append(one_pass())
+    # min over the passes that SUCCEEDED: a transient failure in one
+    # pass (e.g. the optional tiebreak) must not poison a query that
+    # already has valid measurements; -1 only when no pass succeeded
     best = {
-        name: (-1.0 if any(p[name] < 0 for p in all_passes)
-               else min(p[name] for p in all_passes))
+        name: (min(ok) if (ok := [p[name] for p in all_passes if p[name] >= 0])
+               else -1.0)
         for name in warm
     }
     total = round(sum(t for t in best.values() if t >= 0), 3)

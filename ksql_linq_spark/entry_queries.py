@@ -3644,7 +3644,13 @@ def join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partition-prunable on a date-partitioned layout), so the join sees
     one month of the fact table and zero shuffles.  The percentage is
     computed in DOUBLE from two exact DECIMAL sums — same IEEE ops both
-    engines, bit-exact."""
+    engines, bit-exact.
+
+    Output contract (deliberate, r7): revenues are FLOORED TO CENTS
+    before the DOUBLE cast and promo_pct derives from the floored
+    values — up to 0.01 below the exact TPC-H ratio.  This buys
+    cross-engine determinism past the ~12.6x point where the exact
+    scale-6 sum's unscaled integer crosses 2^53 (SCALING.md r7)."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))

@@ -324,14 +324,16 @@ def _clump_check(
     Fires when the max/median sample-cell ratio exceeds ``warn_ratio``
     or one cell holds ≥25% of the sample despite n_centroids ≥ 8.
     Warns by default; raises :class:`ClumpedCorpusError` when
-    ``strict``.  Returns (ratio, max_fraction) for tests/telemetry.
+    ``strict``.  Returns (ratio, max_fraction, fired) for callers that
+    react to the detection (ann_join auto-engages its sub-split cap
+    when skew-join is unavailable) and for tests/telemetry.
     """
     import warnings
 
     import numpy as np
 
     if len(pts) == 0 or len(C) == 0:
-        return 0.0, 0.0
+        return 0.0, 0.0, False
     d2 = (pts**2).sum(1)[:, None] - 2 * pts @ C.T + (C**2).sum(1)[None, :]
     counts = np.bincount(d2.argmin(1), minlength=len(C)).astype(np.float64)
     nonzero = counts[counts > 0]
@@ -339,7 +341,8 @@ def _clump_check(
     mx = float(counts.max())
     frac = mx / max(1.0, float(counts.sum()))
     ratio = mx / med if med > 0 else float("inf")
-    if ratio >= warn_ratio or (frac >= 0.25 and n_centroids >= 8):
+    fired = ratio >= warn_ratio or (frac >= 0.25 and n_centroids >= 8)
+    if fired:
         msg = (
             f"{context}: IVF training sample is clumped — hottest cell "
             f"holds {frac:.0%} of the sample ({ratio:.1f}x the median "
@@ -355,7 +358,7 @@ def _clump_check(
         if strict:
             raise ClumpedCorpusError(msg)
         warnings.warn(msg, ClumpedCorpusWarning, stacklevel=3)
-    return ratio, frac
+    return ratio, frac, fired
 
 
 def ivf_assign(
@@ -366,12 +369,16 @@ def ivf_assign(
     seed: int = 7,
     train_rows: int = 4096,
     strict_clumps: bool = False,
+    return_stats: bool = False,
 ):
     """IVF coarse quantizer: k-means centroids + per-vector cell assignment.
 
     Returns (assigned_df with a ``cell`` column, centroids list).  The
     centroid count trades recall for candidate-set size: cells ≈ n/k
-    vectors each.
+    vectors each.  With ``return_stats`` a third element carries the
+    clump-guardrail telemetry ({ratio, max_frac, fired}) so callers can
+    react to a detected clump without re-sampling (ann_join uses it to
+    auto-engage its sub-split cap when AQE skew-join is off).
 
     Scale discipline — the whole point of IVF training is that it does
     NOT need the corpus: a deterministic bounded sample (the
@@ -391,7 +398,7 @@ def ivf_assign(
 
     pts = _train_sample(df, vec_col, id_col, train_rows)
     C = _lloyd(pts, n_centroids, seed)
-    _clump_check(pts, C, n_centroids, strict=strict_clumps)
+    ratio, max_frac, fired = _clump_check(pts, C, n_centroids, strict=strict_clumps)
     cn2 = (C**2).sum(1)
 
     def _cell_of(vecs):
@@ -407,7 +414,12 @@ def ivf_assign(
     cell_of = pandas_udf(_cell_of, IntegerType())
 
     assigned = df.withColumn("cell", cell_of(F.col(vec_col)))
-    return assigned, [list(map(float, c)) for c in C]
+    cents = [list(map(float, c)) for c in C]
+    if return_stats:
+        return assigned, cents, {
+            "ratio": ratio, "max_frac": max_frac, "fired": fired,
+        }
+    return assigned, cents
 
 
 def ivf_topk(
@@ -1158,6 +1170,11 @@ def ann_join(
     partitions.  Size n_centroids ~ sqrt(n) for balanced corpora and
     set this cap when the corpus may contain near-duplicate clumps
     (better: semantic-dedup first — the clump IS a near-dup cluster).
+    AUTO-ENGAGED when left None, the build-time clump guardrail fires,
+    AND the session has AQE skew-join split disabled (the r7 AQE-off
+    probe's 2.60x straggler case): the cap defaults to 2x the median
+    actual cell size.  AQE-on deployments (Spark's default) are
+    unaffected — the skew split already handles the hot partition.
 
     ``kernel``: candidate scoring path.  ``"expr"`` scores each joined
     pair with the JVM cosine expression (measured ~0.5M pairs/s/core —
@@ -1188,9 +1205,9 @@ def ann_join(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
-    assigned_r, centroids = ivf_assign(
+    assigned_r, centroids, clump = ivf_assign(
         right, n_centroids, vec_col, right_id, seed,
-        strict_clumps=strict_clumps,
+        strict_clumps=strict_clumps, return_stats=True,
     )
     C = np.array(centroids, dtype=np.float64)
     Cn = np.sqrt((C**2).sum(1))
@@ -1216,6 +1233,45 @@ def ann_join(
         F.col(right_id).alias("_rid"), F.col(vec_col).alias("_rv"), "cell"
     )
     join_keys = ["cell"]
+    sizes = None
+    if max_cell_rows is None and clump["fired"]:
+        # Auto-engage the sub-split cap when the deployment cannot fall
+        # back on AQE's skew-join split (r7 AQE-off probe: ann_join was
+        # the ONLY operator whose skew story delegated to AQE — the
+        # hot-cell run degraded 178 s -> 289 s with a 2.60x straggler
+        # ratio when adaptive.skewJoin was disabled and the cap, which
+        # is exactly the mitigation, sat unset).  The clump signal is
+        # free (build-time training-sample histogram); the cap defaults
+        # to ~2x the median ACTUAL cell so balanced cells never split
+        # while the clump spreads.  With AQE skew-split on (Spark's
+        # default) behavior is unchanged — measured fine there.
+        conf = right.sparkSession.conf
+        aqe_skew_on = (
+            str(conf.get("spark.sql.adaptive.enabled", "true")).lower()
+            == "true"
+            and str(conf.get("spark.sql.adaptive.skewJoin.enabled", "true"))
+            .lower() == "true"
+        )
+        if not aqe_skew_on:
+            import warnings
+
+            sizes = assigned_r.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+            med = float(np.median([int(r["n"]) for r in sizes])) if sizes else 0.0
+            if med > 0:
+                max_cell_rows = max(1, int(2 * med))
+                warnings.warn(
+                    f"ann_join: clumped corpus detected (hottest sample "
+                    f"cell {clump['max_frac']:.0%}) and AQE skew-join "
+                    f"split is disabled — auto-engaging "
+                    f"max_cell_rows={max_cell_rows} (2x median cell) so "
+                    f"the hot cell spreads across shuffle partitions. "
+                    f"Results are bit-identical; pass max_cell_rows "
+                    f"explicitly to override.",
+                    ClumpedCorpusWarning,
+                    stacklevel=2,
+                )
     if max_cell_rows is not None:
         # Degenerate-clump guard (measured in the r6 zipf probe: a
         # tight cluster holding 30% of the corpus stays ONE cell at
@@ -1230,9 +1286,10 @@ def ann_join(
         # fetch — bounded like the training sample.
         import math as _math
 
-        sizes = assigned_r.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("n")
-        ).collect()
+        if sizes is None:
+            sizes = assigned_r.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
         nsub = {
             int(r["cell"]): max(1, _math.ceil(int(r["n"]) / max_cell_rows))
             for r in sizes
@@ -1276,6 +1333,15 @@ def ann_join(
                 )
             R = np.array(list(right_pdf["_rv"]), dtype=np.float64)
             if dim is not None:
+                # fail loudly like the expr path would (element_at past
+                # the array end is NULL/ANSI error, never a silent
+                # narrowing) — numpy slicing would otherwise just use
+                # fewer components than requested
+                if R.shape[1] < dim:
+                    raise ValueError(
+                        f"ann_join arrow kernel: dim={dim} exceeds stored "
+                        f"vector length {R.shape[1]}"
+                    )
                 R = R[:, :dim]
             rids = right_pdf["_rid"].to_numpy(np.int64)
             nd = R.shape[1]
@@ -1293,6 +1359,11 @@ def ann_join(
                 sub = left_pdf.iloc[s : s + chunk]
                 L = np.array(list(sub["_lv"]), dtype=np.float64)
                 if dim is not None:
+                    if L.shape[1] < dim:
+                        raise ValueError(
+                            f"ann_join arrow kernel: dim={dim} exceeds stored "
+                            f"vector length {L.shape[1]}"
+                        )
                     L = L[:, :dim]
                 lids = sub["_lid"].to_numpy(np.int64)
                 l_acc = np.zeros(len(lids))
