@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 
 from .windows import bucket_start, parse_timeframe, timeframe_seconds
 
+# 1 s rows-stream retention default — the golden hub DDL pins
+# retention_ms=604800000 (tests/Query/Golden/rows_1s_stream.sql;
+# constant: src/Query/Analysis/DerivedTumblingPipeline.cs:24)
+DEFAULT_ROWS_STREAM_RETENTION_MS = 7 * 24 * 60 * 60 * 1000
+
 
 @dataclass
 class CascadePlan:
@@ -43,6 +48,8 @@ class CascadePlan:
     timeframes: list[str]  # normalized + sorted, 1 s hub implied
     week_anchor: str = "monday"
     grace_seconds: dict[str, int] = field(default_factory=dict)  # default 1 s/tier
+    # hub retention: the reference's rows-stream default (7 d) unless set
+    retention_ms: int = DEFAULT_ROWS_STREAM_RETENTION_MS
 
     def __post_init__(self):
         # normalize + sort by duration, calendar frames last
@@ -59,6 +66,66 @@ class CascadePlan:
 
     def tier_name(self, tf: str) -> str:
         return f"{self.base_name}_{tf}_live"  # {base}_{tf}_live convention
+
+
+def cascade_ddl_meta(plan: CascadePlan) -> dict:
+    """Design-time structural contract of a cascade — the Spark-side
+    twin of the DDL the reference's planner renders, in the exact terms
+    the checked-in goldens pin (tests/Query/Golden/rows_1s_stream.sql,
+    bars_{5m,15m,60m}_live.sql):
+
+    - hub: STREAM ``{base}_1s_rows`` (DerivationPlanner.cs:58), role
+      Final1sStream — NO emit clause (RoleTraits.cs:16), the designated
+      timestamp column, the declared keys, retention_ms defaulting to
+      7 d (DerivedTumblingPipeline.cs:24);
+    - one tier per timeframe: TABLE ``{base}_{tf}_live``, role Live —
+      EMIT CHANGES (RoleTraits.cs:18), ``window tumbling(size ...)``
+      over the HUB (never the raw ticks), grouped by the same keys,
+      grace adopted as-is per tier with NO auto-increment
+      (DerivationPlanner.cs:43), OHLC aggregate roles
+      open/high/low/close.
+
+    Deliberate divergences from the golden TEXT (semantics, not shape):
+    open/close use event-time carriers ``min_by(open, first_ts)`` /
+    ``max_by(close, last_ts)`` where ksqlDB uses offset order
+    (earliest/latest_by_offset) — deterministic under replay and
+    repartitioning, which offset order is not; and the hub carries the
+    re-aggregable partials (sum_v, cnt, first_ts, last_ts —
+    HubSelectPolicy.cs:38-90) as extra columns.
+    """
+    tiers = []
+    for tf in plan.timeframes:
+        secs = timeframe_seconds(tf)
+        tiers.append(
+            {
+                "name": plan.tier_name(tf),
+                "kind": "table",
+                "emit": "CHANGES",  # Role.Live
+                "window": "tumbling",
+                "size_seconds": secs,  # None for calendar wk/mo tiers
+                "source": plan.hub_name,
+                "group_by": list(plan.keys),
+                "grace_seconds": plan.grace_seconds.get(tf, 1),
+                "aggregates": {
+                    "open": "min_by(open, first_ts)",
+                    "high": "max(high)",
+                    "low": "min(low)",
+                    "close": "max_by(close, last_ts)",
+                },
+            }
+        )
+    return {
+        "hub": {
+            "name": plan.hub_name,
+            "kind": "stream",
+            "emit": None,  # Role.Final1sStream: no EMIT clause
+            "keys": list(plan.keys),
+            "timestamp": plan.ts_col,
+            "retention_ms": plan.retention_ms,
+            "grace_seconds": plan.grace_seconds.get("1s", 1),
+        },
+        "tiers": tiers,
+    }
 
 
 def build_hub(plan: CascadePlan, ticks: DataFrame) -> DataFrame:
