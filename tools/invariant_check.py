@@ -1,0 +1,470 @@
+"""Oracle-free upward-scale invariant harness (VERDICT r7 item 1).
+
+The 50x sweep proved the DuckDB oracle — not the engine — is the scale
+ceiling (one oracle leg cost 751 s single-threaded while Spark's leg
+was cheap).  This harness validates the engine at 100x and beyond with
+NO oracle: every check derives its expected answer from the engine
+itself plus the algebra of `make_scaled_sf.py`'s construction (K
+replicas of the base data, every key shifted by replica*offset,
+replica 0 bit-identical to the source, measures copied verbatim).
+
+Invariant families:
+
+R. **replica-0 projection** — for queries whose output rows are
+   REPLICA-LOCAL (each row derives only from one replica's rows: row
+   projections, per-replicated-key aggregates/windows, dedup winners
+   with min-id tiebreaks), the K-times result restricted to replica-0
+   keys (key < domain offset) must be RENDER-IDENTICAL to the base
+   result.  This is the strongest generic check: bit-exact, no
+   tolerance, exercises the full plan at scale.
+L. **fixed-dim K-linearity** — for queries grouped by non-scaling
+   dimensions, counts scale exactly K-fold, min/max and label columns
+   are bit-equal, and double columns derived from exact carriers match
+   within 1e-9 relative (floor-to-money quantizers legally absorb
+   sub-cent mass, and IEEE division of K-scaled operands may differ in
+   the last ulp — both documented in SCALING.md).
+C. **contract booleans** — the approx operators (HLL, GK, CM) register
+   their own error-bound booleans; at scale every one must hold.
+D. **decimal-sum linearity** — engine-internal: exact DECIMAL sums of
+   measure columns at Kx equal K * (base sum) EXACTLY (decimal algebra
+   has no rounding), globally and per fixed-dim group.  Validates the
+   shuffle/partial-agg path bit-exactly at 60M rows.
+W. **cascade composition** — bars rolled up FROM THE HUB equal bars
+   aggregated directly from raw rows (the W2 contract) on the full
+   scaled event stream.
+E. **dedup replication algebra** — exact replication makes dedup
+   outputs derivable: the distinct-content count is scale-invariant,
+   every content group is exactly K-fold, keep-best retains precisely
+   the base winners, and every replica family lands in ONE cluster.
+
+Usage:
+  python tools/invariant_check.py [scaled_dir] [base_dir] [K] [name ...]
+  (defaults: /tmp/sf10 /root/testdata/sf0.1 100; names filter checks)
+
+Writes INVARIANTS_last.json; exit 1 on any failure.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from ksql_linq_spark.session import build_session, release_lineage_cuts
+
+# domain -> (owning table, key column); must mirror tools/make_scaled_sf.py
+DOMAINS = {
+    "C": ("customer", "c_custkey"),
+    "S": ("supplier", "s_suppkey"),
+    "P": ("part", "p_partkey"),
+    "O": ("orders", "o_orderkey"),
+    "E": ("events", "event_id"),
+    "U": ("events", "user_id"),
+    "D": ("documents", "doc_id"),
+    "V": ("embeddings", "vec_id"),
+}
+
+# ---------------------------------------------------------------------------
+# family R: replica-0 projection — query -> (output key column, domain)
+# Each entry was classified by reading the query: its output rows must
+# derive only from rows of ONE replica (or from corpus-level statistics
+# that are invariant under exact replication, e.g. unigram relative
+# frequencies).  A failure here is either an engine scale bug or a
+# misclassification — investigate before touching the list.
+# ---------------------------------------------------------------------------
+REPLICA0 = {
+    "filter_predicates": ("o_orderkey", "O"),
+    "scalar_string_functions": ("p_partkey", "P"),
+    "scalar_math_date_functions": ("o_orderkey", "O"),
+    "conditional_null_functions": ("c_custkey", "C"),
+    "text_gopher_rules": ("doc_id", "D"),
+    "text_redact_pii": ("doc_id", "D"),
+    "text_quality_stats": ("doc_id", "D"),
+    "text_language_id": ("doc_id", "D"),
+    "text_fingerprint": ("doc_id", "D"),
+    "text_token_counts": ("doc_id", "D"),
+    "text_repetition_pii": ("doc_id", "D"),
+    "text_unigram_logprob": ("doc_id", "D"),  # LM probs are count ratios
+    "events_scd2_history": ("user_id", "U"),
+    "events_point_in_time_features": ("event_id", "E"),
+    "layout_zorder_key": ("event_id", "E"),
+    "dataset_hash_split": ("doc_id", "D"),
+    "dataset_doc_chunking": ("doc_id", "D"),
+    # dedup winners are scale-INVARIANT: K copies collapse to the one
+    # base winner, so the full Kx output equals the base output ("inv")
+    "dedup_exact": ("doc_id", "D", "inv"),
+    "dedup_keep_best_quality": ("doc_id", "D", "inv"),
+    "dedup_minhash_clusters": ("doc_id", "D"),
+    "topk_per_group": ("o_custkey", "C"),
+    "asof_join_prior_purchase": ("event_id", "E"),
+    "agg_having": ("o_custkey", "C"),
+}
+
+# ---------------------------------------------------------------------------
+# family L: fixed-dim K-linearity — query -> (sort keys, {col: mode})
+# modes: "k"  = exactly K * base (integer counts),
+#        "eq" = bit-equal (labels, min/max over replicated values),
+#        "k~" = K * base within rtol (double built from exact carriers),
+#        "eq~"= equal within rtol (ratios/averages of K-scaled operands)
+# ---------------------------------------------------------------------------
+RTOL = 1e-9
+KLINEAR = {
+    "count_star": ([], {"n": "k"}),
+    "agg_pricing_summary": (
+        ["l_returnflag", "l_linestatus"],
+        {"count_order": "k", "sum_qty": "k~", "sum_base_price": "k~",
+         "sum_disc_price": "k~", "sum_charge": "k~",
+         "avg_qty": "eq~", "avg_disc": "eq~"},
+    ),
+    "agg_priority_linestatus": (
+        ["l_linestatus"], {"high_line_count": "k", "low_line_count": "k"},
+    ),
+    "join_inner_agg": (
+        ["c_mktsegment"], {"orders": "k", "revenue": "k~"},
+    ),
+    "events_funnel_conversion": (
+        ["step_no"], {"step": "eq", "n_users": "k", "conversion": "eq~"},
+    ),
+    "agg_customer_order_distribution": (
+        ["c_count"], {"custdist": "k"},
+    ),
+    "audit_referential_integrity": (["fk"], {"orphans": "k"}),
+    # global trailing window: per-event output (restrict to replica-0
+    # events), but each event's 1 h frame sees all K replicas — counts
+    # scale K-fold, the decimal frame sum scales K-fold (cast noise
+    # only), the average is replica-invariant
+    "trailing_1h_window": (
+        ["event_id"],
+        {"ts": "eq", "value": "eq", "sum_1h": "k~", "n_1h": "k",
+         "avg_1h": "eq~"},
+        ("event_id", "E"),
+    ),
+}
+
+# family C: approx-operator error-bound contracts — query -> bound column
+CONTRACTS = {
+    "approx_count_distinct": "within_5pct",
+    "agg_percentiles_approx": "approx_in_rank_window",
+    "approx_cm_frequency": "never_undercounts",
+    "approx_hll_mergeable_rollup": "err_ok",
+    "decontamination_overlap_hll": "train_docs_ok",
+    "events_audience_overlap_hll": "est_ok",
+}
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """check.py's driver-calibrated canonicalization (columns sorted by
+    name, rows by all columns, positional index)."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf.columns):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def render(pdf: pd.DataFrame) -> str:
+    return pdf.to_csv(index=False)
+
+
+def offsets_from(base_dir: str) -> dict[str, int]:
+    """Replica offsets, same formula as make_scaled_sf.py: next power of
+    10 above the BASE key domain's max."""
+    out = {}
+    for dom, (table, col) in DOMAINS.items():
+        t = pq.read_table(os.path.join(base_dir, f"{table}.parquet"), columns=[col])
+        out[dom] = 10 ** math.ceil(math.log10(int(t[col].to_numpy().max()) + 2))
+    return out
+
+
+class Harness:
+    def __init__(self, spark, scaled_dir, base_dir, k):
+        self.spark = spark
+        self.scaled = scaled_dir
+        self.base = base_dir
+        self.k = k
+        self.offsets = offsets_from(base_dir)
+        self.qs = entry_mod.queries()
+        self.results: list[dict] = []
+
+    def record(self, family: str, name: str, ok: bool, detail: str, secs: float):
+        self.results.append(
+            {"family": family, "name": name, "ok": bool(ok),
+             "detail": detail, "secs": round(secs, 1)}
+        )
+        print(f"{'PASS' if ok else 'FAIL'}  [{family}] {name}: {detail} ({secs:.1f}s)")
+
+    # ---------------- family R ----------------
+    def replica0(self, name: str):
+        spec = REPLICA0[name]
+        key, dom = spec[0], spec[1]
+        expect_k = len(spec) < 3 or spec[2] != "inv"
+        t0 = time.time()
+        try:
+            base = self.qs[name](self.spark, self.base).toPandas()
+            release_lineage_cuts(self.spark)
+            cut = self.offsets[dom]
+            sdf = self.qs[name](self.spark, self.scaled)
+            scaled = sdf.where(F.col(key) < cut).toPandas()
+            release_lineage_cuts(self.spark)
+            # Catalyst pushes the replica-0 key filter below row-local
+            # projections and through per-key aggregates (it IS the
+            # grouping key), pruning the heavy compute — a correct and
+            # welcome optimization, but it would let the slice compare
+            # validate only pushdown.  The UNfiltered count leg forces
+            # the full Kx plan to execute: every replica-local query
+            # must yield exactly K * base rows.
+            n_full = sdf.count()
+            release_lineage_cuts(self.spark)
+        except Exception as e:  # noqa: BLE001 — harness must finish
+            self.record("replica0", name, False, f"error: {e}"[:300], time.time() - t0)
+            return
+        want_full = self.k * len(base) if expect_k else len(base)
+        if len(base) != len(scaled) or n_full != want_full:
+            self.record("replica0", name, False,
+                        f"rowcount base={len(base)} scaled|r0={len(scaled)} "
+                        f"scaled_full={n_full} (expect {want_full})",
+                        time.time() - t0)
+            return
+        same = render(canon(base)) == render(canon(scaled))
+        self.record("replica0", name, same,
+                    f"{len(base)} rows render-{'identical' if same else 'DIVERGENT'}; "
+                    f"full output {n_full} == "
+                    f"{'%dx' % self.k if expect_k else 'base (winners)'}",
+                    time.time() - t0)
+
+    # ---------------- family L ----------------
+    def klinear(self, name: str):
+        spec = KLINEAR[name]
+        sort_keys, cols = spec[0], spec[1]
+        restrict = spec[2] if len(spec) > 2 else None
+        t0 = time.time()
+        try:
+            base = self.qs[name](self.spark, self.base).toPandas()
+            release_lineage_cuts(self.spark)
+            sdf = self.qs[name](self.spark, self.scaled)
+            if restrict:  # per-row outputs: compare the replica-0 slice
+                key, dom = restrict
+                sdf = sdf.where(F.col(key) < self.offsets[dom])
+            scaled = sdf.toPandas()
+            release_lineage_cuts(self.spark)
+        except Exception as e:  # noqa: BLE001
+            self.record("klinear", name, False, f"error: {e}"[:300], time.time() - t0)
+            return
+        if len(base) != len(scaled):
+            self.record("klinear", name, False,
+                        f"group count base={len(base)} scaled={len(scaled)}",
+                        time.time() - t0)
+            return
+        if sort_keys:
+            base = base.sort_values(sort_keys, kind="mergesort").reset_index(drop=True)
+            scaled = scaled.sort_values(sort_keys, kind="mergesort").reset_index(drop=True)
+            if not base[sort_keys].equals(scaled[sort_keys]):
+                self.record("klinear", name, False, "group keys differ", time.time() - t0)
+                return
+        bad = []
+        for col, mode in cols.items():
+            b, s = base[col], scaled[col]
+            if mode == "k":
+                ok = (s == b * self.k).all()
+            elif mode == "eq":
+                ok = s.equals(b) or (s == b).all()
+            elif mode == "k~":
+                ok = ((s - b * self.k).abs()
+                      <= RTOL * (b.abs() * self.k).clip(lower=1.0)).all()
+            else:  # eq~
+                ok = ((s - b).abs() <= RTOL * b.abs().clip(lower=1e-12)).all()
+            if not ok:
+                bad.append(col)
+        self.record("klinear", name, not bad,
+                    ("all column laws hold" if not bad else f"violated: {bad}"),
+                    time.time() - t0)
+
+    # ---------------- family C ----------------
+    def contract(self, name: str):
+        col = CONTRACTS[name]
+        t0 = time.time()
+        try:
+            pdf = self.qs[name](self.spark, self.scaled).toPandas()
+            release_lineage_cuts(self.spark)
+        except Exception as e:  # noqa: BLE001
+            self.record("contract", name, False, f"error: {e}"[:300], time.time() - t0)
+            return
+        ok = bool(pdf[col].all()) and len(pdf) > 0
+        self.record("contract", name, ok,
+                    f"{col} true on {int(pdf[col].sum())}/{len(pdf)} rows",
+                    time.time() - t0)
+
+    # ---------------- family D ----------------
+    def decimal_linearity(self):
+        t0 = time.time()
+        dec = F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
+        lb = self.spark.read.parquet(os.path.join(self.base, "lineitem.parquet"))
+        ls = self.spark.read.parquet(os.path.join(self.scaled, "lineitem.parquet"))
+        gb = {r["l_returnflag"]: r["s"]
+              for r in lb.groupBy("l_returnflag").agg(dec.alias("s")).collect()}
+        gs = {r["l_returnflag"]: r["s"]
+              for r in ls.groupBy("l_returnflag").agg(dec.alias("s")).collect()}
+        ok = set(gb) == set(gs) and all(gs[g] == gb[g] * self.k for g in gb)
+        tb = lb.agg(dec.alias("s")).collect()[0]["s"]
+        ts = ls.agg(dec.alias("s")).collect()[0]["s"]
+        ok = ok and ts == tb * self.k
+        self.record("decimal", "lineitem_extendedprice_sums", ok,
+                    f"global {ts} == {self.k} * {tb}: {ts == tb * self.k}; "
+                    f"{len(gb)} returnflag groups exact",
+                    time.time() - t0)
+
+    # ---------------- family W ----------------
+    def cascade_composition(self):
+        from ksql_linq_spark.operators.cascade import (
+            CascadePlan,
+            build_hub,
+            rollup_tier,
+        )
+        from ksql_linq_spark.operators.windows import bucket_start
+
+        t0 = time.time()
+        # events.value is exact 2dp by construction — sum it as DECIMAL
+        # so composition is associative and the check is bit-exact.
+        # (A raw DOUBLE sum composes only to 1 ulp — IEEE addition is
+        # order-dependent, which is exactly why the engine's money/avg
+        # cascades carry decimal partials; calibrated at 10x: only
+        # sum_v diverged, every OHLC column was bit-identical.)
+        ev = self.spark.read.parquet(
+            os.path.join(self.scaled, "events.parquet")
+        ).withColumn("value", F.col("value").cast("decimal(18,2)"))
+        plan = CascadePlan(
+            base_name="ev", keys=["event_type"], ts_col="ts",
+            price_col="value", timeframes=["5m"],
+        )
+        via_hub = rollup_tier(plan, build_hub(plan, ev), "5m").select(
+            "event_type", "bucket_start", "open", "high", "low", "close",
+            "sum_v", "cnt",
+        )
+        ts, price = F.col("ts"), F.col("value")
+        direct = ev.groupBy(
+            "event_type", bucket_start("ts", "5m").alias("bucket_start")
+        ).agg(
+            F.min_by(price, ts).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, ts).alias("close"),
+            F.sum(price).alias("sum_v"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        a, b = canon(via_hub.toPandas()), canon(direct.toPandas())
+        same = render(a) == render(b)
+        self.record("cascade", "hub_composition_5m", same,
+                    f"{len(a)} bars from-hub vs from-raw "
+                    f"{'identical' if same else 'DIVERGENT'}",
+                    time.time() - t0)
+
+    # ---------------- family E ----------------
+    def dedup_replication(self):
+        t0 = time.time()
+        db = self.spark.read.parquet(os.path.join(self.base, "documents.parquet"))
+        ds = self.spark.read.parquet(os.path.join(self.scaled, "documents.parquet"))
+        h = F.sha2(F.col("text"), 256).alias("h")
+        base_groups = {r["h"]: r["n"] for r in
+                       db.select(h).groupBy("h").agg(F.count(F.lit(1)).alias("n")).collect()}
+        scaled_groups = {r["h"]: r["n"] for r in
+                         ds.select(h).groupBy("h").agg(F.count(F.lit(1)).alias("n")).collect()}
+        ok1 = set(base_groups) == set(scaled_groups)
+        ok2 = ok1 and all(scaled_groups[g] == base_groups[g] * self.k
+                          for g in base_groups)
+        self.record("dedup", "content_groups_k_fold", ok2,
+                    f"{len(base_groups)} distinct contents invariant, "
+                    f"every group exactly {self.k}-fold: {ok2}",
+                    time.time() - t0)
+
+        # keep-best at Kx retains EXACTLY the base winners (quality ties
+        # across replicas break to min doc_id, which lives in replica 0)
+        t0 = time.time()
+        try:
+            kb_base = canon(self.qs["dedup_keep_best_quality"](
+                self.spark, self.base).toPandas())
+            kb_scaled = canon(self.qs["dedup_keep_best_quality"](
+                self.spark, self.scaled).toPandas())
+            release_lineage_cuts(self.spark)
+            same = render(kb_base) == render(kb_scaled)
+            self.record("dedup", "keep_best_winners_scale_invariant", same,
+                        f"{len(kb_base)} winners vs {len(kb_scaled)} at {self.k}x",
+                        time.time() - t0)
+        except Exception as e:  # noqa: BLE001
+            self.record("dedup", "keep_best_winners_scale_invariant", False,
+                        f"error: {e}"[:300], time.time() - t0)
+
+        # every replica family coheres: all K copies of a doc share one
+        # minhash cluster (join clusters back to content hash)
+        t0 = time.time()
+        try:
+            clusters = self.qs["dedup_minhash_clusters"](self.spark, self.scaled)
+            joined = clusters.join(
+                ds.select(F.col("doc_id"), h), "doc_id"
+            )
+            frag = (
+                joined.groupBy("h")
+                .agg(F.countDistinct("cluster_id").alias("nc"))
+                .where(F.col("nc") > 1)
+                .count()
+            )
+            release_lineage_cuts(self.spark)
+            self.record("dedup", "replica_families_single_cluster", frag == 0,
+                        f"{frag} content groups fragmented across clusters",
+                        time.time() - t0)
+        except Exception as e:  # noqa: BLE001
+            self.record("dedup", "replica_families_single_cluster", False,
+                        f"error: {e}"[:300], time.time() - t0)
+
+
+def main() -> int:
+    scaled = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    only = set(sys.argv[4:])
+
+    spark = build_session("invariant-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    h = Harness(spark, scaled, base, k)
+
+    for name in REPLICA0:
+        if not only or name in only:
+            h.replica0(name)
+    for name in KLINEAR:
+        if not only or name in only:
+            h.klinear(name)
+    for name in CONTRACTS:
+        if not only or name in only:
+            h.contract(name)
+    if not only or "decimal" in only:
+        h.decimal_linearity()
+    if not only or "cascade" in only:
+        h.cascade_composition()
+    if not only or "dedup" in only:
+        h.dedup_replication()
+
+    fails = [r for r in h.results if not r["ok"]]
+    out = {
+        "scaled_dir": scaled, "base_dir": base, "k": k,
+        "checks": len(h.results), "failures": len(fails),
+        "results": h.results,
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "INVARIANTS_last.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n{len(h.results) - len(fails)}/{len(h.results)} invariants hold "
+          f"at {k}x -> INVARIANTS_last.json")
+    if fails:
+        print("failing:", " ".join(f"[{r['family']}]{r['name']}" for r in fails))
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

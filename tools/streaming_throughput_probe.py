@@ -15,9 +15,22 @@ growth).  Rates double until a leg fails; the ceiling is the last
 sustained rate.  State rows per tier come from each query's
 ``lastProgress.stateOperators``.
 
+v2 (r8, VERDICT r7 item 5): the r7 ladder ran with 5 distinct keys —
+trivial state cardinality, so the 800k rows/s number proved RATE, not
+STATE pressure.  ``--key-ladder`` holds the rate fixed and fans the key
+domain out (100k..1M synthetic symbols): state rows per tier scale with
+keys x open-windows, and each leg records per-tier state rows AND
+stateOperators memoryUsedBytes (the HDFSBackedStateStore resident size
+— this container has no RocksDB provider), so the artifact shows the
+knee and WHICH resource binds (batch duration → CPU; memory growth →
+state store).
+
 Run on an idle box (concurrent load manufactures false back-pressure).
 Usage: python tools/streaming_throughput_probe.py [start_rate]
        (default 100_000 rows/s, doubling)
+       python tools/streaming_throughput_probe.py --key-ladder \
+           [rate] [n_keys ...]
+       (default rate 400_000; keys 1k 10k 100k 500k 1M)
 """
 
 from __future__ import annotations
@@ -38,7 +51,7 @@ TRIGGER_SECONDS = 5
 MAX_LEGS = 6
 
 
-def run_leg(spark, rate: int) -> dict:
+def run_leg(spark, rate: int, n_keys: int = 5) -> dict:
     from pyspark.sql import functions as F
 
     from ksql_linq_spark.operators.cascade import (
@@ -46,7 +59,7 @@ def run_leg(spark, rate: int) -> dict:
         start_streaming_cascade,
     )
 
-    tmp = tempfile.mkdtemp(prefix=f"thr_{rate}_")
+    tmp = tempfile.mkdtemp(prefix=f"thr_{rate}_{n_keys}_")
     ticks = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", str(rate))
@@ -54,7 +67,7 @@ def run_leg(spark, rate: int) -> dict:
         .load()
         .select(
             F.col("timestamp").alias("ts"),
-            F.concat(F.lit("k"), (F.col("value") % 5).cast("string")).alias(
+            F.concat(F.lit("k"), (F.col("value") % n_keys).cast("string")).alias(
                 "event_type"
             ),
             ((F.col("value") % 10000).cast("double") / 100).alias("value"),
@@ -72,6 +85,7 @@ def run_leg(spark, rate: int) -> dict:
     t0 = time.time()
     samples = []  # (elapsed, inputRps, processedRps, batchDurMs)
     state_rows: dict[str, int] = {}
+    state_bytes: dict[str, int] = {}
     try:
         while time.time() - t0 < LEG_SECONDS:
             time.sleep(TRIGGER_SECONDS)
@@ -91,6 +105,10 @@ def run_leg(spark, rate: int) -> dict:
                 state_rows[q.name or q.id] = sum(
                     so["numRowsTotal"] for so in lp.get("stateOperators", [])
                 )
+                state_bytes[q.name or q.id] = sum(
+                    so.get("memoryUsedBytes", 0)
+                    for so in lp.get("stateOperators", [])
+                )
     finally:
         for q in queries:
             q.stop()
@@ -98,26 +116,58 @@ def run_leg(spark, rate: int) -> dict:
 
     half = [s for s in samples if s[0] > LEG_SECONDS / 2]
     if not half:
-        return {"rate": rate, "sustained": False, "reason": "no steady samples"}
+        return {"rate": rate, "n_keys": n_keys, "sustained": False,
+                "reason": "no steady samples"}
     mean_proc = sum(s[2] for s in half) / len(half)
     max_batch_ms = max(s[3] for s in half)
-    sustained = (
-        mean_proc >= 0.97 * rate and max_batch_ms <= TRIGGER_SECONDS * 1000 * 1.5
-    )
+    cpu_bound = max_batch_ms > TRIGGER_SECONDS * 1000 * 1.5
+    sustained = mean_proc >= 0.97 * rate and not cpu_bound
     return {
         "rate": rate,
+        "n_keys": n_keys,
         "sustained": bool(sustained),
         "steady_processed_rps": round(mean_proc),
         "max_batch_ms": max_batch_ms,
+        # which resource binds when a leg fails: batch overrun = CPU;
+        # sustained-but-growing memory = state store
+        "binding": ("batch_duration(cpu)" if cpu_bound
+                    else ("none" if sustained else "throughput")),
         "state_rows_by_tier": state_rows,
+        "state_bytes_by_tier": state_bytes,
         "samples": len(half),
     }
 
 
 def main() -> int:
-    rate = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     spark = build_session("stream-throughput")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--key-ladder":
+        rate = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
+        key_steps = ([int(x) for x in sys.argv[3:]]
+                     or [1_000, 10_000, 100_000, 500_000, 1_000_000])
+        legs = []
+        knee = None
+        for nk in key_steps:
+            res = run_leg(spark, rate, n_keys=nk)
+            legs.append(res)
+            print(json.dumps(res))
+            if not res["sustained"] and knee is None:
+                knee = nk
+        out = {
+            "mode": "key_ladder",
+            "trigger_seconds": TRIGGER_SECONDS,
+            "leg_seconds": LEG_SECONDS,
+            "rate_rows_per_sec": rate,
+            "first_unsustained_n_keys": knee,
+            "legs": legs,
+        }
+        with open("STREAM_THROUGHPUT_KEYS.json", "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"key-ladder knee: {knee} -> STREAM_THROUGHPUT_KEYS.json")
+        return 0
+
+    rate = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     legs = []
     ceiling = None
     for _ in range(MAX_LEGS):
