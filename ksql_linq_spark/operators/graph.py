@@ -145,12 +145,39 @@ def connected_components(
             .groupBy(F.col("v").alias("node2"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
             .select(
                 "node",
                 F.least("label", F.coalesce("nmin", "label")).alias("label"),
                 (F.col("nmin") < F.col("label")).alias("_changed"),
+            )
+        )
+        # pointer doubling: label <- label(label).  Plain neighbor-min
+        # propagation converges in O(diameter) rounds, and the LSH
+        # 256-cap turns degenerate buckets into O(n) CHAINS — at 100x
+        # exact-duplication (the r8 invariant harness) chain diameters
+        # blew past any fixed round cap.  Shortcutting through the
+        # label graph (a label is always a node id of the same
+        # component, so the self-join below always resolves) halves the
+        # effective diameter per round: convergence is O(log d), and
+        # max_rounds=30 now covers diameters past 2^30.  Labels only
+        # ever decrease toward the component min, so the fixpoint is
+        # unchanged — pinned by test_graph_cc_long_chain_converges.
+        # checkpoint before the self-join so the neighbor-min subtree
+        # runs once per round, not twice
+        stepped = _co(stepped).localCheckpoint()
+        lab_of_lab = stepped.select(
+            F.col("node").alias("_ln"), F.col("label").alias("_ll")
+        )
+        new_labels = (
+            stepped.join(lab_of_lab, stepped["label"] == F.col("_ln"), "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("_ll", "label")).alias("label"),
+                (
+                    F.col("_changed") | (F.col("_ll") < F.col("label"))
+                ).alias("_changed"),
             )
         )
         new_labels = _co(new_labels).localCheckpoint()

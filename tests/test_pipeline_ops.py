@@ -1688,6 +1688,27 @@ def test_connected_components_regimes_agree(spark):
     assert fast[112] == 100
 
 
+def test_graph_cc_long_chain_converges(spark):
+    """r8 invariant-harness finding: plain neighbor-min propagation is
+    O(diameter) rounds, and the LSH 256-cap turns degenerate buckets
+    into O(n) chains — the 100x exact-duplication regime built chains
+    past the 30-round cap ('no fixpoint in 30 rounds').  With pointer
+    doubling the loop is O(log d): a 3000-node path (diameter 3000 >>
+    2^30-round budget under doubling, hopeless without) must converge
+    in the distributed regime and label every node with the chain min."""
+    from ksql_linq_spark.operators.graph import connected_components
+
+    n = 3000
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    cc = connected_components(
+        df, driver_max_edges=0, loop_partitions=8
+    ).collect()
+    labels = {r["node"]: r["component"] for r in cc}
+    assert len(labels) == n + 1
+    assert set(labels.values()) == {0}
+
 
 def test_ann_join_cell_subsplit_is_result_identical(spark):
     """max_cell_rows sub-splits oversized IVF cells (the degenerate-

@@ -213,14 +213,17 @@ class Harness:
             cut = self.offsets[dom]
             sdf = self.qs[name](self.spark, self.scaled)
             scaled = sdf.where(F.col(key) < cut).toPandas()
-            release_lineage_cuts(self.spark)
             # Catalyst pushes the replica-0 key filter below row-local
             # projections and through per-key aggregates (it IS the
             # grouping key), pruning the heavy compute — a correct and
             # welcome optimization, but it would let the slice compare
             # validate only pushdown.  The UNfiltered count leg forces
             # the full Kx plan to execute: every replica-local query
-            # must yield exactly K * base rows.
+            # must yield exactly K * base rows.  release_lineage_cuts
+            # must wait until BOTH actions ran: releasing between them
+            # drops the lazy localCheckpoint blocks the second action
+            # still references (the loud CHECKPOINT_RDD_BLOCK_ID_NOT_
+            # FOUND failure pinned in tests/test_plans.py).
             n_full = sdf.count()
             release_lineage_cuts(self.spark)
         except Exception as e:  # noqa: BLE001 — harness must finish
