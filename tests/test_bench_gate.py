@@ -28,17 +28,20 @@ def _write(tmp_path, name, queries, sf=0.1):
 
 
 def test_gate_flags_only_real_regressions(tmp_path):
+    # the regressing fixture needs a name that cannot occur as a word
+    # in SCALING.md prose — the gate's exemption is a word-boundary
+    # match against that file ("slow" was exempted by ordinary text)
     base = _write(tmp_path, "base.json", {
-        "fast": 0.05, "slow": 1.0, "errored": -1.0, "gone": 0.4,
+        "fast": 0.05, "slowpoke_zq": 1.0, "errored": -1.0, "gone": 0.4,
     })
     cur = _write(tmp_path, "cur.json", {
-        "fast": 0.2,       # 4x but under the 0.3s absolute floor: noise
-        "slow": 2.5,       # 2.5x and +1.5s: violation
-        "errored": 0.5,    # errored baseline: skipped
-        "brand_new": 9.9,  # no baseline: note only
+        "fast": 0.2,          # 4x but under the 0.3s absolute floor: noise
+        "slowpoke_zq": 2.5,   # 2.5x and +1.5s: violation
+        "errored": 0.5,       # errored baseline: skipped
+        "brand_new": 9.9,     # no baseline: note only
     })
     violations, notes = bench_gate.gate(cur, base)
-    assert len(violations) == 1 and violations[0].startswith("slow:")
+    assert len(violations) == 1 and violations[0].startswith("slowpoke_zq:")
     assert any("brand_new" in n for n in notes)
     assert any("errored" in n for n in notes)
 

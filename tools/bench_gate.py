@@ -82,7 +82,10 @@ def gate(current_path: str, baseline_path: str) -> tuple[list[str], list[str]]:
                 f"{name}: {b:.2f}s -> {c:.2f}s ({c / max(b, 1e-9):.1f}x, "
                 f"+{c - b:.2f}s)"
             )
-            if name in scaling:
+            # word-boundary match: a bare substring test would exempt a
+            # query whose name happens to appear inside ordinary prose
+            # (SCALING.md legitimately contains words like "slow")
+            if re.search(rf"\b{re.escape(name)}\b", scaling):
                 notes.append(f"exempt (named in SCALING.md): {msg}")
             else:
                 violations.append(msg)
