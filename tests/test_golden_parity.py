@@ -239,6 +239,54 @@ def test_golden_fill_join_semantics(spark):
     assert rows[0] == (10.0, False) and rows[120] == (12.0, False)
 
 
+def test_golden_keypath_styles_collapse_to_one_plan(spark):
+    """keypath_{arrow,dot,none}.sql: the three KeyPathStyle renderings
+    (key->broker / key.broker / bare broker — RenderOptions.cs:3-8,
+    auto-detected Arrow for tables, None for streams) are TEXT variants
+    of one query: same aggregates, same grouping, same output schema.
+    Spark keys are plain columns, so the style axis is structurally
+    inapplicable — pin that the three goldens agree modulo the key
+    prefix, and that the engine's composite-key groupBy covers them."""
+    texts = {s: golden(f"keypath_{s}.sql") for s in ("arrow", "dot", "none")}
+    # strip the style prefix and the sink name: all three must coincide
+    norm = {}
+    for s, t in texts.items():
+        t = t.replace(f"keypath_{s}", "SINK")
+        t = t.replace("key->", "").replace("key.", "")
+        norm[s] = t
+    assert norm["arrow"] == norm["dot"] == norm["none"]
+    # every variant: sum(qty) grouped by (broker, symbol), emit changes
+    assert "sum(qty)as total" in norm["none"]
+    assert "group by broker, symbol" in norm["none"]
+    assert "emit changes" in norm["none"]
+
+    df = spark.createDataFrame(
+        [("b1", "s1", 2.0), ("b1", "s1", 3.0), ("b2", "s1", 5.0)],
+        "broker string, symbol string, qty double",
+    )
+    out = df.groupBy("broker", "symbol").agg(F.sum("qty").alias("total"))
+    rows = {(r["broker"], r["symbol"]): r["total"] for r in out.collect()}
+    assert rows == {("b1", "s1"): 5.0, ("b2", "s1"): 5.0}
+
+
+def test_golden_partition_by_composite_group(spark):
+    """partition_by_variants.sql: a composite GROUP BY re-keys the sink
+    on the grouping columns (key_format='kafka').  Spark analog: the
+    grouped output carries every grouping column, in declaration order,
+    as its key columns — the partitioning/primary-key contract."""
+    sql = golden("partition_by_variants.sql")
+    m = re.search(r"group by ([\w, ]+?)\s*emit", sql)
+    assert m and [c.strip() for c in m.group(1).split(",")] == [
+        "customerid", "id",
+    ]
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "id long, customerid long"
+    )
+    out = df.groupBy("customerid", "id").agg(F.count(F.lit(1)).alias("n"))
+    assert out.columns[:2] == ["customerid", "id"]
+    assert out.count() == 3
+
+
 def test_golden_windowstart_endts_fixup_is_structurally_impossible(spark):
     """KsqlCreateWindowedStatementBuilder.cs:211 rewrites the textual
     projection `WINDOWSTART AS ENDTS` to `WINDOWEND AS EndTs` — a
