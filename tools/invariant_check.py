@@ -369,6 +369,40 @@ class Harness:
                     f"{'identical' if same else 'DIVERGENT'}",
                     time.time() - t0)
 
+    # ---------------- family A ----------------
+    def ann_replication(self):
+        """Brute-force top-k at Kx is exactly derivable: every base
+        vector has K verbatim copies with bit-identical cosines, and
+        the (cos desc, id asc) tiebreak ranks a base vector's replicas
+        by replica index (ids shift by r*offset).  For k <= K the
+        scaled top-k must be the first k replicas of the base top-1:
+        ids = base_nn1 + r*offset, all at the base cosine."""
+        from ksql_linq_spark.operators.similarity import brute_force_topk
+
+        t0 = time.time()
+        try:
+            eb = self.spark.read.parquet(
+                os.path.join(self.base, "embeddings.parquet"))
+            es = self.spark.read.parquet(
+                os.path.join(self.scaled, "embeddings.parquet"))
+            probe = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+            base_top = brute_force_topk(eb, probe, k=1).collect()[0]
+            k = min(10, self.k)
+            scaled_top = brute_force_topk(es, probe, k=k).collect()
+            off = self.offsets["V"]
+            want_ids = [base_top["vec_id"] + r * off for r in range(k)]
+            got_ids = [r["vec_id"] for r in scaled_top]
+            cos_ok = all(r["cos"] == base_top["cos"] for r in scaled_top)
+            ok = got_ids == want_ids and cos_ok
+            self.record(
+                "ann", "bruteforce_topk_replica_ranking", ok,
+                f"top-{k} at {self.k}x {'==' if ok else '!='} the first "
+                f"{k} replicas of base NN (cos bit-equal: {cos_ok})",
+                time.time() - t0)
+        except Exception as e:  # noqa: BLE001
+            self.record("ann", "bruteforce_topk_replica_ranking", False,
+                        f"error: {e}"[:300], time.time() - t0)
+
     # ---------------- family E ----------------
     def dedup_replication(self):
         t0 = time.time()
@@ -450,6 +484,8 @@ def main() -> int:
         h.decimal_linearity()
     if not only or "cascade" in only:
         h.cascade_composition()
+    if not only or "ann" in only:
+        h.ann_replication()
     if not only or "dedup" in only:
         h.dedup_replication()
 
