@@ -106,7 +106,22 @@ REPLICA0 = {
     "dedup_minhash_clusters": ("doc_id", "D"),
     "topk_per_group": ("o_custkey", "C"),
     "asof_join_prior_purchase": ("event_id", "E"),
+    "asof_join_next_error": ("event_id", "E"),
     "agg_having": ("o_custkey", "C"),
+    "text_char_entropy": ("doc_id", "D"),
+    # NOT replica-local (calibrated at 10x, render-DIVERGENT by
+    # construction, not engine bugs — documented so nobody re-adds):
+    #   text_dup_ngram_fraction — dup_frac counts 3-grams shared with
+    #     >=2 DISTINCT docs; replicas make every gram cross-doc-shared.
+    #   text_tfidf_top_terms — the output carries raw doc_freq, which
+    #     legitimately scales K-fold.
+    "unpivot_doc_metrics": ("doc_id", "D"),
+    "text_hashed_features": ("doc_id", "D"),
+    "text_bpe_tokenize": ("doc_id", "D"),  # merge ranks are count ratios
+    "dedup_simhash": ("doc_id", "D"),
+    "embedding_quantize_int8": ("vec_id", "V"),
+    "embedding_rp_reduce": ("vec_id", "V"),
+    "embedding_standardize": ("vec_id", "V"),  # fixed-point exact moments
 }
 
 # ---------------------------------------------------------------------------
@@ -138,6 +153,24 @@ KLINEAR = {
         ["c_count"], {"custdist": "k"},
     ),
     "audit_referential_integrity": (["fk"], {"orphans": "k"}),
+    "events_session_funnel": (
+        ["step_no"], {"step": "eq", "n_sessions": "k", "conversion": "eq~"},
+    ),
+    "window_count_distinct_users": (
+        ["event_type", "window_start"], {"u": "k", "n": "k"},
+    ),
+    "dataset_quality_gate": (
+        ["rule"], {"n_violations": "k", "n_clean": "k", "n_total": "k"},
+    ),
+    "text_langid_confusion": (
+        ["labeled_lang", "detected_lang"], {"n": "k", "frac": "eq~"},
+    ),
+    # med/mad over a K-replicated multiset equal the base (tied-value
+    # quantiles); outlier counts scale
+    "events_mad_outliers": (
+        ["event_type"],
+        {"med": "eq", "mad": "eq", "n_outliers": "k", "n": "k"},
+    ),
     # global trailing window: per-event output (restrict to replica-0
     # events), but each event's 1 h frame sees all K replicas — counts
     # scale K-fold, the decimal frame sum scales K-fold (cast noise
