@@ -93,6 +93,13 @@ def main() -> None:
                else -1.0)
         for name in warm
     }
+    # intermittent failures must stay visible: min-over-successes gives a
+    # clean time to a query that errored in 2 of 3 passes, so record the
+    # errored-pass count per query (non-zero entries only) alongside it
+    errored = {
+        name: n for name in warm
+        if (n := sum(1 for p in all_passes if p[name] < 0))
+    }
     total = round(sum(t for t in best.values() if t >= 0), 3)
     load_end = os.getloadavg()
     payload = {
@@ -113,6 +120,7 @@ def main() -> None:
         # attributes pass divergence to contention, not regression
         "loadavg_1m_start": round(load_start[0], 2),
         "loadavg_1m_end": round(load_end[0], 2),
+        "errored_passes": errored,
     }
     # persist the FULL per-query record (both passes, not just the min)
     # alongside the driver's truncated tail so per-query diffs across

@@ -1261,17 +1261,24 @@ def ann_join(
             med = float(np.median([int(r["n"]) for r in sizes])) if sizes else 0.0
             if med > 0:
                 max_cell_rows = max(1, int(2 * med))
-                warnings.warn(
-                    f"ann_join: clumped corpus detected (hottest sample "
-                    f"cell {clump['max_frac']:.0%}) and AQE skew-join "
-                    f"split is disabled — auto-engaging "
-                    f"max_cell_rows={max_cell_rows} (2x median cell) so "
-                    f"the hot cell spreads across shuffle partitions. "
-                    f"Results are bit-identical; pass max_cell_rows "
-                    f"explicitly to override.",
-                    ClumpedCorpusWarning,
-                    stacklevel=2,
-                )
+                # only claim a spread that will actually happen: when
+                # 2x-median exceeds every real cell, nsub is all-1 and
+                # no split occurs, so stay silent (the cap is then a
+                # no-op).  The AQE conf was sampled at plan-build time
+                # above; a conf flip before the action runs is not seen.
+                if any(int(r["n"]) > max_cell_rows for r in sizes):
+                    warnings.warn(
+                        f"ann_join: clumped corpus detected (hottest sample "
+                        f"cell {clump['max_frac']:.0%}) and AQE skew-join "
+                        f"split is disabled (as of plan build) — "
+                        f"auto-engaging "
+                        f"max_cell_rows={max_cell_rows} (2x median cell) so "
+                        f"the hot cell spreads across shuffle partitions. "
+                        f"Results are bit-identical; pass max_cell_rows "
+                        f"explicitly to override.",
+                        ClumpedCorpusWarning,
+                        stacklevel=2,
+                    )
     if max_cell_rows is not None:
         # Degenerate-clump guard (measured in the r6 zipf probe: a
         # tight cluster holding 30% of the corpus stays ONE cell at

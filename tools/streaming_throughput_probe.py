@@ -20,17 +20,32 @@ trivial state cardinality, so the 800k rows/s number proved RATE, not
 STATE pressure.  ``--key-ladder`` holds the rate fixed and fans the key
 domain out (100k..1M synthetic symbols): state rows per tier scale with
 keys x open-windows, and each leg records per-tier state rows AND
-stateOperators memoryUsedBytes (the HDFSBackedStateStore resident size
-— this container has no RocksDB provider), so the artifact shows the
-knee and WHICH resource binds (batch duration → CPU; memory growth →
-state store).
+stateOperators memoryUsedBytes.
+
+v3 (r9, VERDICT r8 item 1): ``--store rocksdb`` runs the same ladder on
+the RocksDBStateStoreProvider.  The r8 docstring claimed "this
+container has no RocksDB provider" — FALSE (PySpark 4.1.2 bundles
+rocksdbjni; verified working here by tools/env_probe.py), so the r8
+knee measured only the HDFSBackedStateStore worst case.  The reference
+engine's whole table story runs on RocksDB (src/Cache/Core/
+TableCache.cs:43 — Streamiz RocksDB store), so the RocksDB ladder is
+the fidelity-relevant one; both stores' knees are recorded side by
+side in STREAM_THROUGHPUT_KEYS.json.
+
+Binding diagnosis (r8 advisor): each leg now samples the hub tier's
+state bytes over time and labels the binding resource honestly —
+``batch_duration(commit-inclusive)`` when batches overrun the trigger
+(state-store commit time is INSIDE batchDuration, so this label does
+not discriminate CPU from commit cost), ``state_growth`` when
+throughput lags while second-half state bytes still grow monotonically
+>25% (store not reaching steady state), else ``throughput``/``none``.
 
 Run on an idle box (concurrent load manufactures false back-pressure).
 Usage: python tools/streaming_throughput_probe.py [start_rate]
        (default 100_000 rows/s, doubling)
        python tools/streaming_throughput_probe.py --key-ladder \
-           [rate] [n_keys ...]
-       (default rate 400_000; keys 1k 10k 100k 500k 1M)
+           [--store hdfs|rocksdb|both] [rate] [n_keys ...]
+       (default store both, rate 400_000; keys 1k 10k 100k 500k 1M)
 """
 
 from __future__ import annotations
@@ -50,8 +65,19 @@ LEG_SECONDS = 75
 TRIGGER_SECONDS = 5
 MAX_LEGS = 6
 
+PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
 
-def run_leg(spark, rate: int, n_keys: int = 5) -> dict:
+
+def run_leg(spark, rate: int, n_keys: int = 5, store: str = "hdfs") -> dict:
     from pyspark.sql import functions as F
 
     from ksql_linq_spark.operators.cascade import (
@@ -59,7 +85,12 @@ def run_leg(spark, rate: int, n_keys: int = 5) -> dict:
         start_streaming_cascade,
     )
 
-    tmp = tempfile.mkdtemp(prefix=f"thr_{rate}_{n_keys}_")
+    # session conf is captured per-query at start, so setting it here
+    # scopes the provider to this leg's queries
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", PROVIDERS[store]
+    )
+    tmp = tempfile.mkdtemp(prefix=f"thr_{store}_{rate}_{n_keys}_")
     ticks = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", str(rate))
@@ -83,7 +114,7 @@ def run_leg(spark, rate: int, n_keys: int = 5) -> dict:
     )
     hub = queries[0]
     t0 = time.time()
-    samples = []  # (elapsed, inputRps, processedRps, batchDurMs)
+    samples = []  # (elapsed, inputRps, processedRps, batchDurMs, stateBytes)
     state_rows: dict[str, int] = {}
     state_bytes: dict[str, int] = {}
     try:
@@ -97,6 +128,10 @@ def run_leg(spark, rate: int, n_keys: int = 5) -> dict:
                         p["inputRowsPerSecond"],
                         p["processedRowsPerSecond"],
                         p["batchDuration"],
+                        sum(
+                            so.get("memoryUsedBytes", 0)
+                            for so in p.get("stateOperators", [])
+                        ),
                     )
                 )
         for q in queries:
@@ -116,22 +151,41 @@ def run_leg(spark, rate: int, n_keys: int = 5) -> dict:
 
     half = [s for s in samples if s[0] > LEG_SECONDS / 2]
     if not half:
-        return {"rate": rate, "n_keys": n_keys, "sustained": False,
-                "reason": "no steady samples"}
+        return {"rate": rate, "n_keys": n_keys, "store": store,
+                "sustained": False, "reason": "no steady samples"}
     mean_proc = sum(s[2] for s in half) / len(half)
     max_batch_ms = max(s[3] for s in half)
-    cpu_bound = max_batch_ms > TRIGGER_SECONDS * 1000 * 1.5
-    sustained = mean_proc >= 0.97 * rate and not cpu_bound
+    batch_overrun = max_batch_ms > TRIGGER_SECONDS * 1000 * 1.5
+    sustained = mean_proc >= 0.97 * rate and not batch_overrun
+    # state-growth heuristic (r8 advisor): second-half hub state bytes
+    # growing monotonically by >25% while throughput lags means the
+    # store never reached steady state — distinguishable from a batch
+    # overrun, whose duration already INCLUDES state-commit time (so
+    # that label cannot discriminate CPU from commit cost and says so)
+    sb = [s[4] for s in half]
+    state_growing = (
+        len(sb) >= 3
+        and all(b >= a for a, b in zip(sb, sb[1:]))
+        and sb[0] > 0
+        and sb[-1] > 1.25 * sb[0]
+    )
+    if batch_overrun:
+        binding = "batch_duration(commit-inclusive)"
+    elif sustained:
+        binding = "none"
+    elif state_growing:
+        binding = "state_growth"
+    else:
+        binding = "throughput"
     return {
         "rate": rate,
         "n_keys": n_keys,
+        "store": store,
         "sustained": bool(sustained),
         "steady_processed_rps": round(mean_proc),
         "max_batch_ms": max_batch_ms,
-        # which resource binds when a leg fails: batch overrun = CPU;
-        # sustained-but-growing memory = state store
-        "binding": ("batch_duration(cpu)" if cpu_bound
-                    else ("none" if sustained else "throughput")),
+        "binding": binding,
+        "state_bytes_first_last_half": [sb[0], sb[-1]],
         "state_rows_by_tier": state_rows,
         "state_bytes_by_tier": state_bytes,
         "samples": len(half),
@@ -143,28 +197,40 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     if len(sys.argv) > 1 and sys.argv[1] == "--key-ladder":
-        rate = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
-        key_steps = ([int(x) for x in sys.argv[3:]]
+        argv = sys.argv[2:]
+        stores = ["hdfs", "rocksdb"]
+        if argv[:1] == ["--store"]:
+            stores = [argv[1]] if argv[1] != "both" else ["hdfs", "rocksdb"]
+            argv = argv[2:]
+        rate = int(argv[0]) if argv else 400_000
+        key_steps = ([int(x) for x in argv[1:]]
                      or [1_000, 10_000, 100_000, 500_000, 1_000_000])
-        legs = []
-        knee = None
-        for nk in key_steps:
-            res = run_leg(spark, rate, n_keys=nk)
-            legs.append(res)
-            print(json.dumps(res))
-            if not res["sustained"] and knee is None:
-                knee = nk
+        by_store = {}
+        for store in stores:
+            legs = []
+            knee = None
+            for nk in key_steps:
+                res = run_leg(spark, rate, n_keys=nk, store=store)
+                legs.append(res)
+                print(json.dumps(res))
+                if not res["sustained"] and knee is None:
+                    knee = nk
+            by_store[store] = {
+                "first_unsustained_n_keys": knee,
+                "legs": legs,
+            }
+            print(f"{store} knee: {knee}")
         out = {
             "mode": "key_ladder",
+            "version": 3,
             "trigger_seconds": TRIGGER_SECONDS,
             "leg_seconds": LEG_SECONDS,
             "rate_rows_per_sec": rate,
-            "first_unsustained_n_keys": knee,
-            "legs": legs,
+            "stores": by_store,
         }
         with open("STREAM_THROUGHPUT_KEYS.json", "w") as f:
             json.dump(out, f, indent=1)
-        print(f"key-ladder knee: {knee} -> STREAM_THROUGHPUT_KEYS.json")
+        print("-> STREAM_THROUGHPUT_KEYS.json")
         return 0
 
     rate = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
