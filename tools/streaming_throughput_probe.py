@@ -65,15 +65,28 @@ LEG_SECONDS = 75
 TRIGGER_SECONDS = 5
 MAX_LEGS = 6
 
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+# store -> (providerClass, extra session confs).  "rocksdb" is the
+# provider at its defaults: every commit snapshots full SST files to
+# the checkpoint (measured r9: 41 s batches at just 10k keys — WORSE
+# than HDFSBacked).  "rocksdb_cl" adds changelog checkpointing, the
+# production configuration (incremental per-batch changelogs, periodic
+# background snapshots) and the analog of the reference's RocksDB
+# table story (src/Cache/Core/TableCache.cs:43).
 PROVIDERS = {
     "hdfs": (
         "org.apache.spark.sql.execution.streaming.state."
-        "HDFSBackedStateStoreProvider"
+        "HDFSBackedStateStoreProvider",
+        {},
     ),
-    "rocksdb": (
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider"
-    ),
+    "rocksdb": (_ROCKSDB, {}),
+    "rocksdb_cl": (_ROCKSDB, {
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }),
 }
 
 
@@ -86,10 +99,17 @@ def run_leg(spark, rate: int, n_keys: int = 5, store: str = "hdfs") -> dict:
     )
 
     # session conf is captured per-query at start, so setting it here
-    # scopes the provider to this leg's queries
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass", PROVIDERS[store]
-    )
+    # scopes the provider (and its extra confs) to this leg's queries
+    provider, extra = PROVIDERS[store]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    for _, other_extra in PROVIDERS.values():  # clear prior legs' extras
+        for k in other_extra:
+            try:
+                spark.conf.unset(k)
+            except Exception:  # noqa: BLE001 — not set yet
+                pass
+    for k, v in extra.items():
+        spark.conf.set(k, v)
     tmp = tempfile.mkdtemp(prefix=f"thr_{store}_{rate}_{n_keys}_")
     ticks = (
         spark.readStream.format("rate")
@@ -198,9 +218,10 @@ def main() -> int:
 
     if len(sys.argv) > 1 and sys.argv[1] == "--key-ladder":
         argv = sys.argv[2:]
-        stores = ["hdfs", "rocksdb"]
+        stores = ["hdfs", "rocksdb", "rocksdb_cl"]
         if argv[:1] == ["--store"]:
-            stores = [argv[1]] if argv[1] != "both" else ["hdfs", "rocksdb"]
+            stores = ([argv[1]] if argv[1] not in ("both", "all")
+                      else ["hdfs", "rocksdb", "rocksdb_cl"])
             argv = argv[2:]
         rate = int(argv[0]) if argv else 400_000
         key_steps = ([int(x) for x in argv[1:]]
@@ -228,9 +249,21 @@ def main() -> int:
             "rate_rows_per_sec": rate,
             "stores": by_store,
         }
-        with open("STREAM_THROUGHPUT_KEYS.json", "w") as f:
+        # merge with a prior v3 record so per-store runs compose into
+        # one side-by-side artifact instead of clobbering each other
+        path = "STREAM_THROUGHPUT_KEYS.json"
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    prior = json.load(f)
+                if (prior.get("version") == 3
+                        and prior.get("rate_rows_per_sec") == rate):
+                    out["stores"] = {**prior["stores"], **by_store}
+            except (OSError, ValueError):
+                pass
+        with open(path, "w") as f:
             json.dump(out, f, indent=1)
-        print("-> STREAM_THROUGHPUT_KEYS.json")
+        print(f"-> {path}")
         return 0
 
     rate = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
