@@ -37,9 +37,52 @@ E. **dedup replication algebra** — exact replication makes dedup
    every content group is exactly K-fold, keep-best retains precisely
    the base winners, and every replica family lands in ONE cluster.
 
+Metamorphic families (r9, VERDICT r8 item 2) — laws that need no second
+engine, covering the previously ORACLE-BOUND families (TPC-H join-shape
+value checks, scalar-function semantics, tie-sensitive
+window/percentile queries):
+
+M. **partition-union additivity** — slice the scaled fact tables
+   (orders+lineitem, consistently by l_orderkey%3 so o⋈l pairs stay
+   within a slice; dims full in every slice) into disjoint thirds; a
+   query whose output is a per-group SUM over fact rows must compose:
+   groupwise-summing the three slice results equals the full result
+   (counts exactly; DOUBLE columns from exact DECIMAL carriers within
+   1e-9 — each slice result is one decimal→double cast, so the
+   3-term recomposition differs from the full cast by ulps only).
+F. **filter-complement conservation** — count(p) + count(NOT p)
+   [+ count(p IS NULL) for a null-bearing predicate] == count(*), and
+   the DECIMAL sum over p plus over NOT p equals the total EXACTLY
+   (decimal algebra), on the full scaled lineitem.
+X. **scalar-function laws** — algebraic identities of the engine's
+   function registry evaluated over every row of the scaled tables
+   (one aggregation pass per table counting violations): string
+   roundtrips (case/trim/split-join/replace/left+substring
+   recompose), IfNull∘NullIf identity, math identities
+   (|x|·sign(x)=x, floor/ceil sandwich, exp∘ln, √x², log-base
+   change, sin²+cos²), date inverses (±7 days, 24h=1day,
+   format→parse roundtrip, make_timestamp recompose), cast
+   roundtrips, JSON/URL construct→extract roundtrips, crypto digest
+   lengths, geo identity/symmetry.
+P. **LIMIT-prefix consistency** — under the engine's orderBy+take
+   path with a total order (unique tiebreak), take(10) is a prefix of
+   take(100) is a prefix of take(1000), and the sort key is monotone.
+V. **plan-perturbation invariance** — run the tie-sensitive and
+   argmin/ratio queries twice on the scaled data under materially
+   different physical plans (shuffle.partitions 32→7, scan splits
+   128m→16m, AQE coalesce off) and require the full output multiset
+   bit-identical (order-insensitive distributed checksum: sum of
+   per-row sha2-derived 60-bit ints + count — driver fetches 1 row,
+   so per-row outputs at 100x stay bounded).  Every registered query
+   is engineered for partition-order-independent values (decimal
+   carriers, unique tiebreaks) because the driver hash already
+   demands cross-engine determinism — so any divergence here is a
+   real tie-sensitivity bug.
+
 Usage:
   python tools/invariant_check.py [scaled_dir] [base_dir] [K] [name ...]
-  (defaults: /tmp/sf10 /root/testdata/sf0.1 100; names filter checks)
+  (defaults: /tmp/sf10 /root/testdata/sf0.1 100; names filter checks;
+   family names also work: metamorphic complement scalar prefix perturb)
 
 Writes INVARIANTS_last.json; exit 1 on any failure.
 """
@@ -183,6 +226,56 @@ KLINEAR = {
     ),
 }
 
+# ---------------------------------------------------------------------------
+# family M: partition-union additivity — query -> (group keys, {col: mode})
+# modes: "sum" = integer-exact additive, "sum~" = double within RTOL.
+# Eligible queries: output value columns are SUMs (or counts, incl.
+# count(DISTINCT o_orderkey) — orderkey determines the slice, so
+# distinct sets are slice-disjoint) over orders/lineitem fact rows,
+# group keys are dim attributes or fact columns; NOT eligible: ratios
+# (join_promo_revenue, join_national_market_share), argmin/max shapes
+# (join_min_cost_supplier, join_top_supplier_revenue), correlated
+# per-part averages (agg_small_quantity_revenue), LIMIT outputs
+# (join_shipping_priority, join_returned_items) — those get family V.
+# ---------------------------------------------------------------------------
+ADDITIVE = {
+    "join_nation_volume_shipping": (
+        ["supp_nation", "cust_nation", "l_year"], {"revenue": "sum~"}),
+    "join_product_profit": (["nation", "o_year"], {"profit": "sum~"}),
+    "join_local_supplier_volume": (["n_name"], {"revenue": "sum~"}),
+    "join_binational_volume": (
+        ["supp_nation", "cust_nation", "l_year"], {"volume": "sum~"}),
+    "filter_disjunctive_revenue": ([], {"revenue": "sum~", "n_lines": "sum"}),
+    "filter_revenue_increase": ([], {"revenue": "sum~", "n_rows": "sum"}),
+    "mart_monthly_region_revenue": (
+        ["region", "month"], {"revenue": "sum~", "orders": "sum"}),
+}
+N_SLICES = 3
+
+# family V: plan-perturbation invariance — queries whose VALUES are
+# tie-sensitive (argmin/argmax, window ranks, percentiles, min_by/
+# max_by) or oracle-bound join shapes; two physical plans must agree
+PERTURB = [
+    "join_min_cost_supplier",
+    "join_national_market_share",
+    "join_top_supplier_revenue",
+    "join_shipping_priority",
+    "join_returned_items",
+    "join_promo_revenue",
+    "agg_small_quantity_revenue",
+    "agg_percentiles",
+    "agg_percentiles_disc",
+    "events_weekly_value_bands",
+    "corpus_weighted_median_length",
+    "corpus_weighted_p90_length",
+    "window_ranking",
+    "moving_average_window",
+    "window_analytics_extended",
+    "ohlc_1m_bars",
+    "agg_minmax_earliest_latest",
+    "session_window_counts",
+]
+
 # family C: approx-operator error-bound contracts — query -> bound column
 CONTRACTS = {
     "approx_count_distinct": "within_5pct",
@@ -205,6 +298,43 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def render(pdf: pd.DataFrame) -> str:
     return pdf.to_csv(index=False)
+
+
+def make_slices(scaled_dir: str, n: int = N_SLICES) -> list[str]:
+    """Disjoint fact slices of the scaled dir for family M.
+
+    orders and lineitem are sliced CONSISTENTLY on orderkey % n (an
+    order's lineitems land in its slice, so o⋈l join pairs never cross
+    slices); every other table is a symlink to the full file (dims must
+    be complete in every slice).  Idempotent via a marker file.
+    """
+    import duckdb
+
+    root = scaled_dir.rstrip("/") + "_slices"
+    dirs = [os.path.join(root, f"s{i}") for i in range(n)]
+    marker = os.path.join(root, f"SLICES_OK_{n}")
+    if os.path.exists(marker):
+        return dirs
+    tables = [f[:-8] for f in os.listdir(scaled_dir) if f.endswith(".parquet")]
+    slice_key = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+    con = duckdb.connect()
+    for i, d in enumerate(dirs):
+        os.makedirs(d, exist_ok=True)
+        for t in tables:
+            src = os.path.join(scaled_dir, f"{t}.parquet")
+            dst = os.path.join(d, f"{t}.parquet")
+            if t in slice_key:
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{src}') "
+                    f"WHERE {slice_key[t]} % {n} = {i}) "
+                    f"TO '{dst}' (FORMAT PARQUET)"
+                )
+            elif not os.path.lexists(dst):
+                os.symlink(src, dst)
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return dirs
 
 
 def offsets_from(base_dir: str) -> dict[str, int]:
@@ -233,6 +363,17 @@ class Harness:
              "detail": detail, "secs": round(secs, 1)}
         )
         print(f"{'PASS' if ok else 'FAIL'}  [{family}] {name}: {detail} ({secs:.1f}s)")
+        # Broadcast cleanup is driver-GC driven (ContextCleaner acts on
+        # weak references): a single 117-check session accumulated
+        # enough unreferenced broadcasts that check #112's broadcast
+        # build hit "Not enough memory to build and broadcast" while
+        # the same check passes fresh (observed r9).  Nudge the JVM GC
+        # periodically so session length cannot manufacture failures.
+        if len(self.results) % 10 == 0:
+            try:
+                self.spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — best-effort
+                pass
 
     # ---------------- family R ----------------
     def replica0(self, name: str):
@@ -494,6 +635,302 @@ class Harness:
                         f"error: {e}"[:300], time.time() - t0)
 
 
+    # ---------------- family M ----------------
+    def additivity(self, name: str, slice_dirs: list[str]):
+        keys, cols = ADDITIVE[name]
+        t0 = time.time()
+        try:
+            full = self.qs[name](self.spark, self.scaled).toPandas()
+            release_lineage_cuts(self.spark)
+            parts = []
+            for d in slice_dirs:
+                parts.append(self.qs[name](self.spark, d).toPandas())
+                release_lineage_cuts(self.spark)
+        except Exception as e:  # noqa: BLE001
+            self.record("additivity", name, False, f"error: {e}"[:300],
+                        time.time() - t0)
+            return
+        comp = pd.concat(parts, ignore_index=True)
+        missing = [c for c in list(keys) + list(cols)
+                   if c not in full.columns]
+        if missing:
+            self.record("additivity", name, False,
+                        f"spec columns absent from output: {missing} "
+                        f"(have {list(full.columns)})", time.time() - t0)
+            return
+        if keys:
+            comp = comp.groupby(keys, as_index=False, dropna=False)[
+                list(cols)].sum()
+            merged = full.merge(comp, on=keys, how="outer",
+                                suffixes=("", "_c"), indicator=True)
+            if (merged["_merge"] != "both").any():
+                n_miss = int((merged["_merge"] != "both").sum())
+                self.record("additivity", name, False,
+                            f"{n_miss} groups differ between full and "
+                            f"slice-union ({len(full)} vs {len(comp)})",
+                            time.time() - t0)
+                return
+        else:
+            merged = full.copy()
+            for c in cols:
+                merged[c + "_c"] = comp[c].sum()
+        bad = []
+        for col, mode in cols.items():
+            b, s = merged[col], merged[col + "_c"]
+            if mode == "sum":
+                ok = (s == b).all()
+            else:  # sum~: each slice value is one decimal->double cast,
+                # so the n-term recomposition differs by ulps only
+                ok = ((s - b).abs() <= RTOL * b.abs().clip(lower=1.0)).all()
+            if not ok:
+                bad.append(col)
+        self.record("additivity", name, not bad,
+                    (f"{len(full)} groups compose exactly from "
+                     f"{len(slice_dirs)} disjoint fact slices" if not bad
+                     else f"violated: {bad}"),
+                    time.time() - t0)
+
+    # ---------------- family F ----------------
+    def filter_complement(self):
+        li = self.spark.read.parquet(
+            os.path.join(self.scaled, "lineitem.parquet"))
+        dec = F.col("l_extendedprice").cast("decimal(38,2)")
+
+        t0 = time.time()
+        p = F.col("l_discount").between(0.05, 0.07)
+        r = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(p, 1).otherwise(0)).alias("np"),
+            F.sum(F.when(~p, 1).otherwise(0)).alias("nq"),
+            F.sum(F.when(p, dec)).alias("sp"),
+            F.sum(F.when(~p, dec)).alias("sq"),
+            F.sum(dec).alias("st"),
+        ).collect()[0]
+        ok = (r["np"] + r["nq"] == r["n"]
+              and (r["sp"] or 0) + (r["sq"] or 0) == r["st"])
+        self.record("complement", "discount_band_conservation", ok,
+                    f"{r['np']}+{r['nq']}=={r['n']} rows; decimal sums "
+                    f"{'exact' if ok else 'VIOLATED'}",
+                    time.time() - t0)
+
+        # null-bearing predicate: 3-valued logic — NULL rows belong to
+        # neither p nor NOT p; the three-way split must conserve rows
+        t0 = time.time()
+        pn = (F.when(F.col("l_returnflag") == "N", F.lit(None))
+              .otherwise(F.col("l_returnflag")) == "R")
+        r = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(pn, 1).otherwise(0)).alias("np"),
+            F.sum(F.when(~pn, 1).otherwise(0)).alias("nq"),
+            F.sum(F.when(pn.isNull(), 1).otherwise(0)).alias("nn"),
+        ).collect()[0]
+        ok = (r["np"] + r["nq"] + r["nn"] == r["n"] and r["nn"] > 0)
+        self.record("complement", "null_threeway_conservation", ok,
+                    f"{r['np']}+{r['nq']}+{r['nn']}(null)=={r['n']} rows",
+                    time.time() - t0)
+
+    # ---------------- family X ----------------
+    def scalar_laws(self):
+        import math as _m
+
+        from ksql_linq_spark import functions as KF
+
+        def part_laws():
+            x = F.col("p_name")
+            y = F.col("p_retailprice")
+            z = y - F.lit(1500.0)  # mixed signs for sign/floor laws
+            pk = F.col("p_partkey")
+            url = F.concat(F.lit("https://ex.com/p/"), pk.cast("string"))
+            arr = KF.Split(x, " ")
+            la1, lo1 = F.pmod(y, F.lit(90.0)) - 45, F.pmod(pk, F.lit(180)) - 90
+            la2, lo2 = F.pmod(y, F.lit(80.0)) - 40, F.pmod(pk, F.lit(160)) - 80
+            return {
+                "lcase_ucase": KF.LCase(KF.UCase(x)) != KF.LCase(x),
+                "trim_idempotent": KF.Trim(KF.Trim(x)) != KF.Trim(x),
+                "left_substr_recompose":
+                    KF.Concat(KF.Left(x, 3), KF.Substring(x, 4)) != x,
+                "replace_roundtrip":
+                    KF.Replace(KF.Replace(x, "a", "\x01"), "\x01", "a") != x,
+                "contains_indexof":
+                    KF.Contains(x, "al") != (KF.IndexOf(x, "al") > 0),
+                "split_join_roundtrip": KF.ArrayJoin(arr, " ") != x,
+                "len_concat_additive":
+                    KF.Len(KF.Concat(x, x)) != 2 * KF.Len(x),
+                "ifnull_nullif_identity":
+                    KF.IfNull(KF.NullIf(x, "PART_7"), "PART_7") != x,
+                "array_contains_first":
+                    ~KF.ArrayContains(arr, F.element_at(arr, 1)),
+                "array_union_self": F.size(KF.ArrayUnion(arr, arr))
+                    != F.size(KF.ArrayDistinct(arr)),
+                "abs_sign": KF.Abs(z) * KF.Sign(z) != z,
+                "floor_ceil_sandwich": ~((KF.Floor(z) <= z) & (z <= KF.Ceiling(z))
+                                         & (KF.Ceiling(z) - KF.Floor(z) <= 1)),
+                "sqrt_square": F.abs(KF.Power(KF.Sqrt(y), 2) - y) > 1e-9 * y,
+                "exp_log": F.abs(KF.Exp(KF.Log(y)) - y) > 1e-9 * y,
+                "log10_base_change":
+                    F.abs(KF.Log10(y) - KF.Log(y) / _m.log(10.0)) > 1e-12,
+                "round_idempotent": KF.Round(KF.Round(z, 2), 2) != KF.Round(z, 2),
+                "sin2_cos2": F.abs(KF.Sin(z) * KF.Sin(z)
+                                   + KF.Cos(z) * KF.Cos(z) - 1) > 1e-9,
+                "cast_roundtrip": KF.ToDouble(KF.ToStringCol(KF.ToDecimal(y)))
+                    != KF.ToDouble(KF.ToDecimal(y)),
+                "json_extract_roundtrip": KF.JsonExtractString(
+                    F.to_json(F.struct(x.alias("k"))), "$.k") != x,
+                "url_path": KF.UrlExtractPath(url)
+                    != F.concat(F.lit("/p/"), pk.cast("string")),
+                "url_host": KF.UrlExtractHost(url) != F.lit("ex.com"),
+                "digest_lengths": (KF.Len(KF.Sha256(x)) != 64)
+                    | (KF.Len(KF.Md5(x)) != 32) | (KF.Len(KF.Sha1(x)) != 40),
+                "geo_identity_symmetry":
+                    (KF.GeoDistance(la1, lo1, la1, lo1) != 0)
+                    | (F.abs(KF.GeoDistance(la1, lo1, la2, lo2)
+                             - KF.GeoDistance(la2, lo2, la1, lo1)) > 1e-9),
+            }
+
+        def orders_laws():
+            d = F.col("o_orderdate")
+            tp = F.col("o_totalprice")
+            return {
+                "adddays_inverse": KF.AddDays(KF.AddDays(d, 7), -7) != d,
+                "addhours_day": KF.AddHours(d, 24) != KF.AddDays(d, 1),
+                "format_parse_roundtrip": F.to_timestamp(
+                    KF.FormatTimestamp(d), "yyyy-MM-dd'T'HH:mm:ss") != d,
+                "make_timestamp_recompose": F.make_timestamp(
+                    KF.Year(d), KF.Month(d), KF.Day(d),
+                    KF.Hour(d), KF.Minute(d), KF.Second(d)) != d,
+                "calendar_ranges": ~(KF.DayOfWeek(d).between(1, 7)
+                                     & KF.DayOfYear(d).between(1, 366)
+                                     & KF.WeekOfYear(d).between(1, 53)),
+                "case_sign_consistency": KF.Case(
+                    (tp < 0, F.lit("neg")), default=F.lit("nonneg"))
+                    != F.when(KF.Sign(tp) < 0, "neg").otherwise("nonneg"),
+            }
+
+        def lineitem_laws():
+            v = F.col("l_extendedprice")
+            qy = F.col("l_quantity")
+            return {
+                "power_vs_mult":
+                    F.abs(KF.Power(qy, 2) - qy * qy) > 1e-9 * qy * qy,
+                "coalesce_first":
+                    KF.Coalesce(F.lit(None).cast("double"), v) != v,
+                "tostring_todouble_roundtrip":
+                    KF.ToDouble(KF.ToStringCol(v)) != v,
+            }
+
+        for table, laws in [("part", part_laws()), ("orders", orders_laws()),
+                            ("lineitem", lineitem_laws())]:
+            t0 = time.time()
+            try:
+                df = self.spark.read.parquet(
+                    os.path.join(self.scaled, f"{table}.parquet"))
+                aggs = [F.sum(F.when(cond, 1).otherwise(0)).alias(nm)
+                        for nm, cond in laws.items()]
+                aggs.append(F.count(F.lit(1)).alias("_n"))
+                row = df.agg(*aggs).collect()[0]
+            except Exception as e:  # noqa: BLE001
+                for nm in laws:
+                    self.record("scalar", f"{table}.{nm}", False,
+                                f"error: {e}"[:200], time.time() - t0)
+                continue
+            secs = (time.time() - t0) / len(laws)
+            for nm in laws:
+                self.record("scalar", f"{table}.{nm}", row[nm] == 0,
+                            f"{row[nm]} violations over {row['_n']} rows",
+                            secs)
+
+    # ---------------- family P ----------------
+    def limit_prefix(self):
+        from ksql_linq_spark.query.builder import from_df
+
+        t0 = time.time()
+        try:
+            od = self.spark.read.parquet(
+                os.path.join(self.scaled, "orders.parquet"))
+
+            def topn(n):
+                return (
+                    from_df(od)
+                    .select("o_orderkey", "o_totalprice")
+                    .order_by(F.col("o_totalprice").desc(),
+                              F.col("o_orderkey").asc())
+                    .take(n)
+                    .to_df()
+                    .toPandas()
+                )
+
+            a, b, c = topn(10), topn(100), topn(1000)
+        except Exception as e:  # noqa: BLE001
+            self.record("prefix", "orderby_take_prefix", False,
+                        f"error: {e}"[:300], time.time() - t0)
+            return
+        prefix_ok = (a.equals(b.head(10).reset_index(drop=True))
+                     and b.equals(c.head(100).reset_index(drop=True)))
+        mono_ok = (c["o_totalprice"].diff().dropna() <= 0).all()
+        resorted = c.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True],
+            kind="mergesort").reset_index(drop=True)
+        order_ok = c.equals(resorted)
+        ok = bool(prefix_ok and mono_ok and order_ok)
+        self.record("prefix", "orderby_take_prefix", ok,
+                    f"take(10)⊑take(100)⊑take(1000): {prefix_ok}; "
+                    f"sort key monotone: {mono_ok}; total order: {order_ok}",
+                    time.time() - t0)
+
+    # ---------------- family V ----------------
+    PERTURB_CONFS = {
+        "spark.sql.shuffle.partitions": "7",
+        "spark.sql.files.maxPartitionBytes": "16m",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+
+    def _fingerprint(self, df) -> tuple[int, int]:
+        """Order-insensitive multiset fingerprint: per-row sha2 of the
+        canonical (name-sorted) JSON rendering, its leading 60 bits
+        summed as decimal(38,0) plus the row count.  Driver fetches one
+        row, so per-row outputs at 100x stay bounded."""
+        cols = sorted(df.columns)
+        h = F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256)
+        v = F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
+        row = df.select(v.alias("v")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        ).collect()[0]
+        return int(row["n"]), int(row["s"] or 0)
+
+    def perturb(self, name: str):
+        t0 = time.time()
+        conf = self.spark.conf
+        saved: dict[str, str | None] = {}
+        try:
+            a = self._fingerprint(self.qs[name](self.spark, self.scaled))
+            release_lineage_cuts(self.spark)
+            for k, val in self.PERTURB_CONFS.items():
+                try:
+                    saved[k] = conf.get(k)
+                except Exception:  # noqa: BLE001 — unset conf
+                    saved[k] = None
+                conf.set(k, val)
+            b = self._fingerprint(self.qs[name](self.spark, self.scaled))
+            release_lineage_cuts(self.spark)
+        except Exception as e:  # noqa: BLE001
+            self.record("perturb", name, False, f"error: {e}"[:300],
+                        time.time() - t0)
+            return
+        finally:
+            for k, val in saved.items():
+                if val is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, val)
+        ok = a == b
+        self.record(
+            "perturb", name, ok,
+            f"{a[0]} rows; multiset checksum "
+            f"{'identical' if ok else f'DIVERGENT: {a} vs {b}'} across "
+            f"shuffle=32/7, split=128m/16m, AQE-coalesce on/off plans",
+            time.time() - t0)
+
+
 def main() -> int:
     scaled = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -521,6 +958,22 @@ def main() -> int:
         h.ann_replication()
     if not only or "dedup" in only:
         h.dedup_replication()
+    run_m = [n for n in ADDITIVE
+             if not only or n in only or "metamorphic" in only]
+    if run_m:
+        slice_dirs = make_slices(scaled)
+        for name in run_m:
+            h.additivity(name, slice_dirs)
+    if not only or "complement" in only or "metamorphic" in only:
+        h.filter_complement()
+    if not only or "scalar" in only or "metamorphic" in only:
+        h.scalar_laws()
+    if not only or "prefix" in only or "metamorphic" in only:
+        h.limit_prefix()
+    for name in PERTURB:
+        if not only or name in only or "perturb" in only \
+                or "metamorphic" in only:
+            h.perturb(name)
 
     fails = [r for r in h.results if not r["ok"]]
     out = {
