@@ -1,0 +1,298 @@
+"""Kill/restart recovery soak at REAL hub-key cardinality (r9, VERDICT
+r8 item 4), on both state-store providers.
+
+The r4/r5 cascade soaks (tests/test_streaming.py::
+test_cascade_soak_restart_midstream_exactly_once) prove exactly-once
+recovery with a handful of keys — trivial state.  The r8/r9 key ladders
+show state is the binding constraint near ~100k hub keys, so this probe
+re-runs the kill-restart drill AT that cardinality and records what the
+unit test never measures: checkpoint-recovery wall time when the store
+holds ~10^5 windows.
+
+Method: a deterministic 6M-row tick set (100k keys, 180 s event-time
+span at ~33k rows/s, unique (key, second) pairs so min_by/max_by ties
+cannot occur) is written as 4 time-contiguous parquet chunks, staged
+OUTSIDE the watched directory (the file source lists every file in the
+dir regardless of extension — staging inside it would feed all phases
+at once) and moved in per phase.  The 180 s span closes two 1m windows
+per key so the 1m tier EMITS under the kill (the 5m tier legitimately
+holds its single open window — asserted as state, not output).  For
+each store (HDFSBacked / RocksDB):
+  phase 1: the engine's 3-tier streaming cascade (1 s hub -> 1m -> 5m,
+           operators/cascade.start_streaming_cascade) consumes chunks
+           0-1, then ALL THREE queries are stopped mid-stream;
+  phase 2: chunks 2-3 arrive; the cascade restarts from its checkpoints
+           (recovery wall = restart-to-first-committed-batch, i.e. the
+           state reload + first micro-batch at full state);
+  phase 3: pure-replay restart with no new data — must append nothing.
+
+Asserts the reference's stabilization contract (Lifecycle.cs:300-341)
+at scale: zero duplicate (key, bucket) bars in every tier sink, every
+streamed hub bar value-identical to the batch aggregate over the same
+raw rows (including bars whose window spans the kill), and the replay
+restart is a no-op.  Writes RESTART_SOAK.json.
+
+Run on an idle box.  Usage:
+  python tools/restart_soak_probe.py [--store hdfs|rocksdb|both]
+      [n_keys] [n_rows]      (defaults: both, 100_000, 6_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ksql_linq_spark.session import build_session
+
+# "rocksdb" here means the PRODUCTION config — changelog checkpointing
+# on (incremental per-batch commits; the r9 ladder measured the
+# snapshot-per-commit default at 41 s batches for 10k keys, unusable).
+# Recovery with changelogs = load last snapshot + replay changelogs,
+# which is exactly the path this probe times.
+PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+        {},
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+        {"spark.sql.streaming.stateStore.rocksdb."
+         "changelogCheckpointing.enabled": "true"},
+    ),
+}
+BASE_TS = "2024-01-01 00:00:00"
+
+
+def make_chunks(spark, src_dir: str, n_keys: int, n_rows: int) -> None:
+    """4 time-contiguous single-file chunks; (key, second) unique by
+    construction: a key recurs every n_keys ids (~3 s of event time at
+    the 180 s span), so consecutive appearances land in distinct
+    seconds and min_by/max_by orderings are tie-free."""
+    from pyspark.sql import functions as F
+
+    rows_per_sec = n_rows // 180
+    os.makedirs(src_dir, exist_ok=True)
+    os.makedirs(f"{src_dir}_staged", exist_ok=True)
+    per = n_rows // 4
+    # chunk by id range == time range (ts is monotone in id); stage in a
+    # SIBLING dir — the parquet file source lists every file under the
+    # watched dir regardless of extension
+    for i in range(4):
+        tmp = f"{src_dir}_staged/c{i}"
+        chunk = spark.range(i * per, (i + 1) * per).select(
+            (F.to_timestamp(F.lit(BASE_TS))
+             + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                                  F.floor(F.col("id") / rows_per_sec))
+             ).alias("ts"),
+            F.concat(F.lit("k"), (F.col("id") % n_keys).cast("string"))
+            .alias("event_type"),
+            ((F.col("id") % 10000).cast("double") / 100).alias("value"),
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.replace(f"{tmp}/{f}", f"{src_dir}_staged/chunk_{i}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def publish_chunk(src_dir: str, i: int) -> None:
+    os.replace(f"{src_dir}_staged/chunk_{i}.parquet",
+               f"{src_dir}/chunk_{i}.parquet")
+
+
+def run_store(spark, store: str, src_dir: str, n_keys: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from ksql_linq_spark.operators.cascade import (
+        CascadePlan,
+        start_streaming_cascade,
+    )
+
+    provider, extra = PROVIDERS[store]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    for _, other_extra in PROVIDERS.values():
+        for k in other_extra:
+            try:
+                spark.conf.unset(k)
+            except Exception:  # noqa: BLE001 — not set yet
+                pass
+    for k, v in extra.items():
+        spark.conf.set(k, v)
+    tmp = tempfile.mkdtemp(prefix=f"soak_{store}_")
+    sink, ckpt = f"{tmp}/sink", f"{tmp}/ckpt"
+    plan = CascadePlan(
+        base_name="soak", keys=["event_type"], ts_col="ts",
+        price_col="value", timeframes=["1m", "5m"],
+    )
+    rec: dict = {"store": store, "n_keys": n_keys}
+
+    def start():
+        stream = (
+            spark.readStream
+            .schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        return start_streaming_cascade(
+            plan, stream, sink_dir=sink, checkpoint_dir=ckpt,
+            trigger_seconds=2,
+        )
+
+    def drain(queries):
+        # hub first (tiers stream FROM the hub sink), then each tier
+        for q in queries:
+            q.processAllAvailable()
+        state = {}
+        for q in queries:
+            lp = q.lastProgress
+            if lp:
+                state[q.name] = sum(
+                    so["numRowsTotal"] for so in lp.get("stateOperators", [])
+                )
+        for q in queries:
+            q.stop()
+        return state
+
+    try:
+        # phase 1: half the input, then a mid-stream kill of all tiers
+        publish_chunk(src_dir, 0)
+        publish_chunk(src_dir, 1)
+        t0 = time.time()
+        qs = start()
+        rec["phase1_state_rows"] = drain(qs)
+        rec["phase1_secs"] = round(time.time() - t0, 1)
+        hub_mid = spark.read.parquet(f"{sink}/{plan.hub_name}").count()
+        rec["hub_bars_at_kill"] = hub_mid
+        assert hub_mid > 0, "no closed hub bars before the kill"
+
+        # phase 2: rest of the data arrives; restart from checkpoints.
+        # recovery wall = start() -> first committed hub batch (state
+        # reload happens inside that first batch's task setup)
+        publish_chunk(src_dir, 2)
+        publish_chunk(src_dir, 3)
+        t0 = time.time()
+        qs = start()
+        hub = qs[0]
+        while True:
+            p = hub.lastProgress
+            if p and p["numInputRows"] > 0:
+                break
+            if time.time() - t0 > 300:
+                raise TimeoutError("hub never committed after restart")
+            time.sleep(0.5)
+        rec["recovery_to_first_batch_secs"] = round(time.time() - t0, 1)
+        rec["phase2_state_rows"] = drain(qs)
+        rec["phase2_secs"] = round(time.time() - t0, 1)
+        n_after = {
+            t: spark.read.parquet(f"{sink}/{t}").count()
+            for t in os.listdir(sink)
+        }
+
+        # phase 3: pure-replay restart — recovery at FULL state, no-op
+        t0 = time.time()
+        qs = start()
+        drain(qs)
+        rec["replay_restart_secs"] = round(time.time() - t0, 1)
+        n_replay = {
+            t: spark.read.parquet(f"{sink}/{t}").count()
+            for t in os.listdir(sink)
+        }
+        rec["replay_noop"] = n_replay == n_after
+        rec["bars_by_tier"] = n_after
+
+        # exactly-once: zero duplicate (key, bucket) per tier sink
+        dup = {}
+        for t in n_after:
+            dup[t] = (
+                spark.read.parquet(f"{sink}/{t}")
+                .groupBy("event_type", "bucket_start").count()
+                .where("count > 1").count()
+            )
+        rec["dup_bars_by_tier"] = dup
+
+        # value identity vs the batch hub over the same raw rows —
+        # every streamed bar (incl. kill-spanning windows) must match
+        ticks = spark.read.parquet(f"{src_dir}/chunk_*.parquet")
+        ts, price = F.col("ts"), F.col("value")
+        batch_hub = (
+            ticks.groupBy("event_type", F.window("ts", "1 second").alias("w"))
+            .agg(
+                F.min_by(price, ts).alias("open"),
+                F.max(price).alias("high"),
+                F.min(price).alias("low"),
+                F.max_by(price, ts).alias("close"),
+                F.sum(price).alias("sum_v"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .select(F.col("w.start").alias("bucket_start"), "event_type",
+                    "open", "high", "low", "close", "sum_v", "cnt")
+        )
+        streamed = spark.read.parquet(f"{sink}/{plan.hub_name}").select(
+            "bucket_start", "event_type",
+            "open", "high", "low", "close", "sum_v", "cnt")
+        mism = streamed.alias("s").join(
+            batch_hub.alias("b"), ["event_type", "bucket_start"], "left"
+        ).where(
+            "b.open IS NULL OR s.open != b.open OR s.high != b.high OR "
+            "s.low != b.low OR s.close != b.close OR s.sum_v != b.sum_v "
+            "OR s.cnt != b.cnt"
+        ).count()
+        rec["hub_bars_streamed"] = streamed.count()
+        rec["hub_value_mismatches_vs_batch"] = mism
+        rec["ok"] = bool(
+            rec["replay_noop"] and mism == 0
+            and all(v == 0 for v in dup.values())
+            # the kill must land mid-stream (phase 1 saw only half the
+            # data) and the 1m tier must EMIT closed bars
+            and rec["hub_bars_at_kill"] < rec["hub_bars_streamed"]
+            and n_after.get(plan.tier_name("1m"), 0) > 0
+        )
+        return rec
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    stores = ["hdfs", "rocksdb"]
+    if argv[:1] == ["--store"]:
+        stores = [argv[1]] if argv[1] != "both" else stores
+        argv = argv[2:]
+    n_keys = int(argv[0]) if argv else 100_000
+    n_rows = int(argv[1]) if len(argv) > 1 else 6_000_000
+
+    spark = build_session("restart-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"n_keys": n_keys, "n_rows": n_rows, "stores": []}
+    for store in stores:
+        src = tempfile.mkdtemp(prefix=f"soak_src_{store}_")
+        try:
+            make_chunks(spark, src, n_keys, n_rows)
+            rec = run_store(spark, store, src, n_keys)
+        except Exception as e:  # noqa: BLE001 — record, don't crash the sweep
+            rec = {"store": store, "ok": False,
+                   "error": f"{type(e).__name__}: {e}"[:400]}
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(f"{src}_staged", ignore_errors=True)
+        out["stores"].append(rec)
+        print(json.dumps(rec))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "RESTART_SOAK.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    ok = all(r.get("ok") for r in out["stores"])
+    print(f"{'ALL OK' if ok else 'FAILURES'} -> {path}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
