@@ -111,30 +111,71 @@ def streaming_gap_fill(
     )
 
     def fn(key_tuple, pdf_iter, state):
-        import datetime as dt
+        # Vectorized gap synthesis (r9): the original iterrows() loop
+        # was row-at-a-time Python INSIDE the Arrow batch and dominated
+        # the composed streaming pipeline's batch time once 100k keys'
+        # bars flush at once (15.7 s batches at 60k rows/s in the r9
+        # --composed probe).  Gap counts come from integer bucket
+        # arithmetic; variable-length gap runs expand via
+        # repeat + arange, no per-row Python.
+        import numpy as np
 
         (k,) = key_tuple
         if state.exists:
             last_epoch, last_close = state.get
         else:
             last_epoch, last_close = None, None
-        rows: list[tuple] = []
+        outs: list[pd.DataFrame] = []
         for pdf in pdf_iter:
+            if pdf.empty:
+                continue
             pdf = pdf.sort_values(bucket_col)
-            for _, r in pdf.iterrows():
-                epoch = int(r[bucket_col].timestamp())
-                if last_epoch is not None:
-                    gap = last_epoch + step
-                    while gap < epoch:  # synthesize missing buckets
-                        rows.append(
-                            (k, dt.datetime.utcfromtimestamp(gap), last_close, True)
-                        )
-                        gap += step
-                rows.append((k, r[bucket_col].to_pydatetime(), float(r[close_col]), False))
-                last_epoch, last_close = epoch, float(r[close_col])
+            epochs = (pdf[bucket_col].astype("int64") // 10**9).to_numpy()
+            closes = pdf[close_col].astype("float64").to_numpy()
+            if last_epoch is None:
+                # no state: the first row opens the series, no gap before it
+                prev_e = np.concatenate(([epochs[0]], epochs[:-1]))
+                prev_c = np.concatenate(([closes[0]], closes[:-1]))
+            else:
+                prev_e = np.concatenate(([last_epoch], epochs[:-1]))
+                prev_c = np.concatenate(([last_close], closes[:-1]))
+            counts = np.maximum((epochs - prev_e) // step - 1, 0)
+            real = pd.DataFrame({
+                key: k,
+                bucket_col: pdf[bucket_col].to_numpy(),
+                close_col: closes,
+                "is_synthetic": False,
+            })
+            n_gaps = int(counts.sum())
+            if n_gaps:
+                idx = np.repeat(np.arange(len(epochs)), counts)
+                within = np.arange(n_gaps) - np.repeat(
+                    np.cumsum(counts) - counts, counts
+                )
+                gap_e = prev_e[idx] + (within + 1) * step
+                synth = pd.DataFrame({
+                    key: k,
+                    bucket_col: pd.to_datetime(gap_e, unit="s"),
+                    close_col: prev_c[idx],
+                    "is_synthetic": True,
+                })
+                out = pd.concat([real, synth], ignore_index=True)
+                out = out.sort_values(bucket_col, ignore_index=True)
+            else:
+                out = real
+            outs.append(out)
+            last_epoch, last_close = int(epochs[-1]), float(closes[-1])
         if last_epoch is not None:
             state.update((last_epoch, last_close))
-        yield pd.DataFrame(rows, columns=[key, bucket_col, close_col, "is_synthetic"])
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+        else:
+            yield pd.DataFrame(
+                {key: pd.Series(dtype="object"),
+                 bucket_col: pd.Series(dtype="datetime64[ns]"),
+                 close_col: pd.Series(dtype="float64"),
+                 "is_synthetic": pd.Series(dtype="bool")}
+            )
 
     return bars.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"

@@ -40,12 +40,27 @@ not discriminate CPU from commit cost), ``state_growth`` when
 throughput lags while second-half state bytes still grow monotonically
 >25% (store not reaching steady state), else ``throughput``/``none``.
 
+v3 composed mode (r9, VERDICT r8 item 6): ``--composed`` measures the
+FLAGSHIP path under state pressure — calendar session gating (broadcast
+semi-join against a 150-session schedule with 2 s closures, operators/
+calendar.in_session_join) feeding the 3-tier cascade at the measured
+key knee (default 100k hub keys), plus a FOURTH streaming query running
+operators/gapfill.streaming_gap_fill (applyInPandasWithState) over the
+1m tier's sink, whose per-key state adds n_keys rows on the same store.
+Event time is simulation time (value/rate seconds past a fixed base) so
+the schedule is deterministic and session closures create real bar gaps
+for the gap-filler.  Rates double until a leg fails; writes
+STREAM_THROUGHPUT.json v3.
+
 Run on an idle box (concurrent load manufactures false back-pressure).
 Usage: python tools/streaming_throughput_probe.py [start_rate]
        (default 100_000 rows/s, doubling)
        python tools/streaming_throughput_probe.py --key-ladder \
-           [--store hdfs|rocksdb|both] [rate] [n_keys ...]
-       (default store both, rate 400_000; keys 1k 10k 100k 500k 1M)
+           [--store hdfs|rocksdb|rocksdb_cl|all] [rate] [n_keys ...]
+       (default store all, rate 400_000; keys 1k 10k 100k 500k 1M)
+       python tools/streaming_throughput_probe.py --composed \
+           [--store ...] [n_keys] [start_rate]
+       (defaults rocksdb_cl, 100_000 keys, 100_000 rows/s doubling)
 """
 
 from __future__ import annotations
@@ -62,6 +77,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ksql_linq_spark.session import build_session
 
 LEG_SECONDS = 75
+COMPOSED_LEG_SECONDS = 150  # 1m flushes must land in the measured half
 TRIGGER_SECONDS = 5
 MAX_LEGS = 6
 
@@ -90,6 +106,21 @@ PROVIDERS = {
 }
 
 
+def _set_store(spark, store: str) -> None:
+    """Session conf is captured per-query at start; clears other
+    stores' extra confs so back-to-back legs don't leak settings."""
+    provider, extra = PROVIDERS[store]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    for _, other_extra in PROVIDERS.values():
+        for k in other_extra:
+            try:
+                spark.conf.unset(k)
+            except Exception:  # noqa: BLE001 — not set yet
+                pass
+    for k, v in extra.items():
+        spark.conf.set(k, v)
+
+
 def run_leg(spark, rate: int, n_keys: int = 5, store: str = "hdfs") -> dict:
     from pyspark.sql import functions as F
 
@@ -98,18 +129,7 @@ def run_leg(spark, rate: int, n_keys: int = 5, store: str = "hdfs") -> dict:
         start_streaming_cascade,
     )
 
-    # session conf is captured per-query at start, so setting it here
-    # scopes the provider (and its extra confs) to this leg's queries
-    provider, extra = PROVIDERS[store]
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
-    for _, other_extra in PROVIDERS.values():  # clear prior legs' extras
-        for k in other_extra:
-            try:
-                spark.conf.unset(k)
-            except Exception:  # noqa: BLE001 — not set yet
-                pass
-    for k, v in extra.items():
-        spark.conf.set(k, v)
+    _set_store(spark, store)
     tmp = tempfile.mkdtemp(prefix=f"thr_{store}_{rate}_{n_keys}_")
     ticks = (
         spark.readStream.format("rate")
@@ -212,6 +232,152 @@ def run_leg(spark, rate: int, n_keys: int = 5, store: str = "hdfs") -> dict:
     }
 
 
+def run_composed_leg(spark, rate: int, n_keys: int, store: str) -> dict:
+    """Flagship composition: session gate -> 3-tier cascade -> gap-fill."""
+    from pyspark.sql import functions as F
+
+    from ksql_linq_spark.operators.cascade import (
+        CascadePlan,
+        start_streaming_cascade,
+    )
+    from ksql_linq_spark.operators.calendar import in_session_join
+    from ksql_linq_spark.operators.gapfill import streaming_gap_fill
+
+    _set_store(spark, store)
+    tmp = tempfile.mkdtemp(prefix=f"thrc_{store}_{rate}_{n_keys}_")
+    base = "2024-01-01 00:00:00"
+    # 150 sessions of 10 s separated by 2 s closures per market — 30 min
+    # of simulation time; 4 markets so the broadcast side has real keys
+    sched = spark.createDataFrame(
+        [(f"m{m}", i) for m in range(4) for i in range(150)],
+        "market_key string, i int",
+    ).select(
+        "market_key",
+        (F.to_timestamp(F.lit(base))
+         + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.col("i") * 12)).alias("open_time"),
+        (F.to_timestamp(F.lit(base))
+         + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.col("i") * 12 + 10)).alias("close_time"),
+    )
+    ticks = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rate))
+        .option("numPartitions", "8")
+        .load()
+        .select(
+            # simulation event time: value/rate s past base (1x wall
+            # pace, same bar-emission volume as the plain ladder so the
+            # ceilings are comparable); composed legs run 2x longer so
+            # the 1m flushes and the gap-fill tier's work land INSIDE
+            # the measured second half
+            (F.to_timestamp(F.lit(base)) + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.lit(0),
+                F.col("value").cast("double") / rate)).alias("ts"),
+            F.concat(F.lit("m"), (F.col("value") % 4).cast("string"))
+            .alias("market"),
+            F.concat(F.lit("k"), (F.col("value") % n_keys).cast("string"))
+            .alias("event_type"),
+            ((F.col("value") % 10000).cast("double") / 100).alias("value"),
+        )
+    )
+    gated = in_session_join(ticks, sched, row_key="market", ts_col="ts")
+    plan = CascadePlan(
+        base_name="thrc", keys=["event_type"], ts_col="ts",
+        price_col="value", timeframes=["1m", "5m"],
+    )
+    queries = start_streaming_cascade(
+        plan, gated.drop("market"), sink_dir=f"{tmp}/sink",
+        checkpoint_dir=f"{tmp}/ckpt", trigger_seconds=TRIGGER_SECONDS,
+    )
+    # 4th stateful query: gap-fill continuation over the 1m tier's sink
+    # (per-key state on the same store — the flagship consumer path)
+    bars_1m = (
+        spark.readStream
+        .schema("bucket_start timestamp, event_type string, open double, "
+                "high double, low double, close double, sum_v double, "
+                "cnt long")
+        .parquet(f"{tmp}/sink/{plan.tier_name('1m')}")
+        .select("event_type", "bucket_start", "close")
+    )
+    gf = streaming_gap_fill(bars_1m, key="event_type",
+                            bucket_col="bucket_start", close_col="close",
+                            timeframe="1m")
+    queries.append(
+        gf.writeStream.format("noop").queryName("thrc_gapfill")
+        .option("checkpointLocation", f"{tmp}/ckpt/gapfill")
+        .outputMode("append")
+        .trigger(processingTime=f"{TRIGGER_SECONDS} seconds")
+        .start()
+    )
+    hub = queries[0]
+    t0 = time.time()
+    samples = []
+    state_rows: dict[str, int] = {}
+    state_bytes: dict[str, int] = {}
+    try:
+        while time.time() - t0 < COMPOSED_LEG_SECONDS:
+            time.sleep(TRIGGER_SECONDS)
+            p = hub.lastProgress
+            if p and p["numInputRows"] > 0:
+                samples.append(
+                    (time.time() - t0, p["inputRowsPerSecond"],
+                     p["processedRowsPerSecond"], p["batchDuration"],
+                     sum(so.get("memoryUsedBytes", 0)
+                         for so in p.get("stateOperators", [])))
+                )
+        for q in queries:
+            lp = q.lastProgress
+            if lp:
+                state_rows[q.name or q.id] = sum(
+                    so["numRowsTotal"] for so in lp.get("stateOperators", [])
+                )
+                state_bytes[q.name or q.id] = sum(
+                    so.get("memoryUsedBytes", 0)
+                    for so in lp.get("stateOperators", [])
+                )
+    finally:
+        for q in queries:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    half = [s for s in samples if s[0] > COMPOSED_LEG_SECONDS / 2]
+    if not half:
+        return {"rate": rate, "n_keys": n_keys, "store": store,
+                "sustained": False, "reason": "no steady samples"}
+    mean_proc = sum(s[2] for s in half) / len(half)
+    max_batch_ms = max(s[3] for s in half)
+    mean_batch_ms = sum(s[3] for s in half) / len(half)
+    # The composed pipeline has a PERIODIC flush batch (once per event
+    # minute the 1m tier emits all n_keys bars and the gap-filler
+    # processes all n_keys groups) that exceeds the trigger and then
+    # fully recovers — distinct from monotone backlog growth.  Verdict
+    # is therefore amortized: mean throughput must keep up AND the MEAN
+    # batch must fit the trigger budget; the strict max-batch verdict
+    # is recorded alongside for anyone who needs hard p100 latency.
+    strict = (mean_proc >= 0.97 * rate
+              and max_batch_ms <= TRIGGER_SECONDS * 1000 * 1.5)
+    sustained = (mean_proc >= 0.97 * rate
+                 and mean_batch_ms <= TRIGGER_SECONDS * 1000 * 1.5
+                 and max_batch_ms <= TRIGGER_SECONDS * 1000 * 6)
+    return {
+        "rate": rate,
+        "n_keys": n_keys,
+        "store": store,
+        "sustained": bool(sustained),
+        "sustained_strict_max_batch": bool(strict),
+        "steady_processed_rps": round(mean_proc),
+        "mean_batch_ms": round(mean_batch_ms),
+        "max_batch_ms": max_batch_ms,
+        "binding": ("none" if sustained
+                    else ("batch_duration(commit-inclusive)"
+                          if mean_batch_ms > TRIGGER_SECONDS * 1000 * 1.5
+                          or max_batch_ms > TRIGGER_SECONDS * 1000 * 6
+                          else "throughput")),
+        "state_rows_by_query": state_rows,
+        "state_bytes_by_query": state_bytes,
+        "samples": len(half),
+    }
+
+
 def main() -> int:
     spark = build_session("stream-throughput")
     spark.sparkContext.setLogLevel("ERROR")
@@ -245,7 +411,7 @@ def main() -> int:
             "mode": "key_ladder",
             "version": 3,
             "trigger_seconds": TRIGGER_SECONDS,
-            "leg_seconds": LEG_SECONDS,
+            "leg_seconds": COMPOSED_LEG_SECONDS,
             "rate_rows_per_sec": rate,
             "stores": by_store,
         }
@@ -264,6 +430,35 @@ def main() -> int:
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"-> {path}")
+        return 0
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--composed":
+        argv = sys.argv[2:]
+        store = "rocksdb_cl"
+        if argv[:1] == ["--store"]:
+            store = argv[1]
+            argv = argv[2:]
+        n_keys = int(argv[0]) if argv else 100_000
+        rate = int(argv[1]) if len(argv) > 1 else 100_000
+        legs = []
+        ceiling = None
+        for _ in range(MAX_LEGS):
+            res = run_composed_leg(spark, rate, n_keys, store)
+            legs.append(res)
+            print(json.dumps(res))
+            if not res["sustained"]:
+                break
+            ceiling = rate
+            rate *= 2
+        out = {"mode": "composed_ceiling", "version": 3, "store": store,
+               "n_keys": n_keys, "trigger_seconds": TRIGGER_SECONDS,
+               "leg_seconds": LEG_SECONDS,
+               "pipeline": "session-gate -> 1s hub -> 1m/5m tiers "
+                           "-> streaming gap-fill",
+               "ceiling_rows_per_sec": ceiling, "legs": legs}
+        with open("STREAM_THROUGHPUT.json", "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"composed ceiling: {ceiling} rows/s -> STREAM_THROUGHPUT.json")
         return 0
 
     rate = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
