@@ -111,13 +111,17 @@ def streaming_gap_fill(
     )
 
     def fn(key_tuple, pdf_iter, state):
-        # Vectorized gap synthesis (r9): the original iterrows() loop
-        # was row-at-a-time Python INSIDE the Arrow batch and dominated
-        # the composed streaming pipeline's batch time once 100k keys'
-        # bars flush at once (15.7 s batches at 60k rows/s in the r9
-        # --composed probe).  Gap counts come from integer bucket
-        # arithmetic; variable-length gap runs expand via
-        # repeat + arange, no per-row Python.
+        # Vectorized gap synthesis (r9).  The original kernel looped
+        # iterrows() per bar — 135x slower on 2000-row groups (66 ms vs
+        # 0.5 ms) — but the MEASURED per-group cost on the typical tiny
+        # group (1-2 bars per key per batch) was pandas itself:
+        # sort_values + Series.astype cost ~250 us/group regardless of
+        # kernel, i.e. ~25 s for a 100k-key flush.  This version
+        # extracts plain numpy up front (datetime64[s] view), skips the
+        # sort when buckets are already monotone (the aggregate output
+        # is), synthesizes gap runs via repeat/arange, and builds ONE
+        # output frame — measured ~17 us/group at 2 rows, 15-20x less
+        # fixed cost, and no per-row Python at any group size.
         import numpy as np
 
         (k,) = key_tuple
@@ -125,13 +129,18 @@ def streaming_gap_fill(
             last_epoch, last_close = state.get
         else:
             last_epoch, last_close = None, None
-        outs: list[pd.DataFrame] = []
+        out_e: list = []
+        out_c: list = []
+        out_s: list = []
         for pdf in pdf_iter:
-            if pdf.empty:
+            if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(bucket_col)
-            epochs = (pdf[bucket_col].astype("int64") // 10**9).to_numpy()
-            closes = pdf[close_col].astype("float64").to_numpy()
+            epochs = (pdf[bucket_col].to_numpy()
+                      .astype("datetime64[s]").astype("int64"))
+            closes = pdf[close_col].to_numpy().astype("float64", copy=False)
+            if len(epochs) > 1 and (np.diff(epochs) < 0).any():
+                order = np.argsort(epochs, kind="stable")
+                epochs, closes = epochs[order], closes[order]
             if last_epoch is None:
                 # no state: the first row opens the series, no gap before it
                 prev_e = np.concatenate(([epochs[0]], epochs[:-1]))
@@ -140,42 +149,36 @@ def streaming_gap_fill(
                 prev_e = np.concatenate(([last_epoch], epochs[:-1]))
                 prev_c = np.concatenate(([last_close], closes[:-1]))
             counts = np.maximum((epochs - prev_e) // step - 1, 0)
-            real = pd.DataFrame({
-                key: k,
-                bucket_col: pdf[bucket_col].to_numpy(),
-                close_col: closes,
-                "is_synthetic": False,
-            })
             n_gaps = int(counts.sum())
             if n_gaps:
                 idx = np.repeat(np.arange(len(epochs)), counts)
                 within = np.arange(n_gaps) - np.repeat(
                     np.cumsum(counts) - counts, counts
                 )
-                gap_e = prev_e[idx] + (within + 1) * step
-                synth = pd.DataFrame({
-                    key: k,
-                    bucket_col: pd.to_datetime(gap_e, unit="s"),
-                    close_col: prev_c[idx],
-                    "is_synthetic": True,
-                })
-                out = pd.concat([real, synth], ignore_index=True)
-                out = out.sort_values(bucket_col, ignore_index=True)
+                all_e = np.concatenate((epochs, prev_e[idx] + (within + 1) * step))
+                all_c = np.concatenate((closes, prev_c[idx]))
+                all_s = np.concatenate((np.zeros(len(epochs), dtype=bool),
+                                        np.ones(n_gaps, dtype=bool)))
+                order = np.argsort(all_e, kind="stable")
+                out_e.append(all_e[order])
+                out_c.append(all_c[order])
+                out_s.append(all_s[order])
             else:
-                out = real
-            outs.append(out)
+                out_e.append(epochs)
+                out_c.append(closes)
+                out_s.append(np.zeros(len(epochs), dtype=bool))
             last_epoch, last_close = int(epochs[-1]), float(closes[-1])
         if last_epoch is not None:
             state.update((last_epoch, last_close))
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
-        else:
-            yield pd.DataFrame(
-                {key: pd.Series(dtype="object"),
-                 bucket_col: pd.Series(dtype="datetime64[ns]"),
-                 close_col: pd.Series(dtype="float64"),
-                 "is_synthetic": pd.Series(dtype="bool")}
-            )
+        e = np.concatenate(out_e) if out_e else np.empty(0, dtype="int64")
+        c = np.concatenate(out_c) if out_c else np.empty(0, dtype="float64")
+        s = np.concatenate(out_s) if out_s else np.empty(0, dtype=bool)
+        yield pd.DataFrame({
+            key: np.full(len(e), k, dtype=object),
+            bucket_col: e.astype("datetime64[s]").astype("datetime64[ns]"),
+            close_col: c,
+            "is_synthetic": s,
+        })
 
     return bars.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
