@@ -115,18 +115,30 @@ def stream_changelog_join(
         if pdfs:
             pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
             # event-time order within the batch: upserts take effect
-            # before probes at the same timestamp (side 1 first)
-            pdf = pdf.sort_values(["__ts", "__side"], ascending=[True, False])
-            for _, r in pdf.iterrows():
-                if r["__side"] == 1:
-                    if pd.isna(r["__v"]):
+            # before probes at the same timestamp (side 1 first).
+            # numpy lexsort + a zip loop over plain python values keeps
+            # the EXACT sequential upsert/probe interleaving (state
+            # mutates mid-batch, so this loop is inherently ordered)
+            # while dropping the sort_values + iterrows per-group fixed
+            # cost — the r9 gap-fill lesson (SCALING.md): at high key
+            # cardinality applyInPandasWithState cost is per-group
+            # pandas overhead, not loop arithmetic.
+            import numpy as np  # executor-side
+
+            sides = pdf["__side"].to_numpy()
+            tss = pdf["__ts"].to_numpy()
+            order = np.lexsort((-sides, tss))  # ts asc, side desc
+            sides_l = sides[order].tolist()
+            vs = pdf["__v"].to_numpy()[order]
+            ls = pdf["__l"].to_numpy()[order]
+            for side, v, l in zip(sides_l, vs, ls):
+                if side == 1:
+                    if pd.isna(v):
                         has_value, value = False, None  # tombstone
                     else:
-                        v = r["__v"]
                         has_value = True
                         value = v.item() if hasattr(v, "item") else v
                 else:
-                    l = r["__l"]
                     rows.append(
                         (k, *[l[c] for c in left_cols],
                          value if has_value else None)
