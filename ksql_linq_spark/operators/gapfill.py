@@ -84,7 +84,7 @@ def streaming_gap_fill(
 ) -> DataFrame:
     """Streaming continuation via applyInPandasWithState.
 
-    State per key: (last_bucket_epoch, last_close).  On each batch, emits
+    State per key: (last_bucket_epoch_ns, last_close).  On each batch, emits
     the new bars plus synthetic (bucket, prev_close) rows for any gap
     between state and the earliest new bucket, then advances state.
     Output schema: key, bucket, close, is_synthetic.
@@ -103,9 +103,13 @@ def streaming_gap_fill(
             T.StructField("is_synthetic", T.BooleanType()),
         ]
     )
+    # epoch NANOSECONDS: gap math at full timestamp precision, so real
+    # (non-synthetic) bucket values pass through bit-exact even when
+    # they are not whole-second aligned (a [s] view would silently
+    # truncate observed data, not just synthesized rows)
     state_schema = T.StructType(
         [
-            T.StructField("last_bucket_epoch", T.LongType()),
+            T.StructField("last_bucket_epoch_ns", T.LongType()),
             T.StructField("last_close", T.DoubleType()),
         ]
     )
@@ -117,7 +121,7 @@ def streaming_gap_fill(
         # group (1-2 bars per key per batch) was pandas itself:
         # sort_values + Series.astype cost ~250 us/group regardless of
         # kernel, i.e. ~25 s for a 100k-key flush.  This version
-        # extracts plain numpy up front (datetime64[s] view), skips the
+        # extracts plain numpy up front (int64 ns epochs), skips the
         # sort when buckets are already monotone (the aggregate output
         # is), synthesizes gap runs via repeat/arange, and builds ONE
         # output frame — measured ~17 us/group at 2 rows, 15-20x less
@@ -132,11 +136,19 @@ def streaming_gap_fill(
         out_e: list = []
         out_c: list = []
         out_s: list = []
+        step_ns = step * 1_000_000_000
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
+            if pdf[bucket_col].isna().any():
+                # NaT would view as INT64_MIN and synthesize an
+                # astronomically long gap run — fail loudly instead
+                raise ValueError(
+                    f"streaming_gap_fill: NULL {bucket_col!r} for key "
+                    f"{k!r}; bucket timestamps must be non-null"
+                )
             epochs = (pdf[bucket_col].to_numpy()
-                      .astype("datetime64[s]").astype("int64"))
+                      .astype("datetime64[ns]").astype("int64"))
             closes = pdf[close_col].to_numpy().astype("float64", copy=False)
             if len(epochs) > 1 and (np.diff(epochs) < 0).any():
                 order = np.argsort(epochs, kind="stable")
@@ -148,14 +160,19 @@ def streaming_gap_fill(
             else:
                 prev_e = np.concatenate(([last_epoch], epochs[:-1]))
                 prev_c = np.concatenate(([last_close], closes[:-1]))
-            counts = np.maximum((epochs - prev_e) // step - 1, 0)
+            # CEILING division: for a gap distance that is not a step
+            # multiple (mis-aligned buckets) the last filler still lands
+            # strictly before the observed bar, never on/after it
+            counts = np.maximum(-(-(epochs - prev_e) // step_ns) - 1, 0)
             n_gaps = int(counts.sum())
             if n_gaps:
                 idx = np.repeat(np.arange(len(epochs)), counts)
                 within = np.arange(n_gaps) - np.repeat(
                     np.cumsum(counts) - counts, counts
                 )
-                all_e = np.concatenate((epochs, prev_e[idx] + (within + 1) * step))
+                all_e = np.concatenate(
+                    (epochs, prev_e[idx] + (within + 1) * step_ns)
+                )
                 all_c = np.concatenate((closes, prev_c[idx]))
                 all_s = np.concatenate((np.zeros(len(epochs), dtype=bool),
                                         np.ones(n_gaps, dtype=bool)))
@@ -175,7 +192,7 @@ def streaming_gap_fill(
         s = np.concatenate(out_s) if out_s else np.empty(0, dtype=bool)
         yield pd.DataFrame({
             key: np.full(len(e), k, dtype=object),
-            bucket_col: e.astype("datetime64[s]").astype("datetime64[ns]"),
+            bucket_col: e.astype("datetime64[ns]"),
             close_col: c,
             "is_synthetic": s,
         })

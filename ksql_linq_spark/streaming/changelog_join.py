@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+_TAG_COLS = ("__side", "__ts", "__v")
+
 
 def stream_changelog_join(
     left: DataFrame,
@@ -65,21 +67,32 @@ def stream_changelog_join(
             f"type {vtype.simpleString()}; only atomic value types are "
             "supported (NULL is the tombstone marker)"
         )
+    clash = set(left.columns) & ({*_TAG_COLS} | {out_value_col})
+    if clash:
+        raise ValueError(
+            f"stream_changelog_join: left columns {sorted(clash)} collide "
+            "with the join's tag/output columns; rename them first"
+        )
 
+    # Left columns ride the union NATIVELY (the right side contributes
+    # typed NULLs) instead of packed into a struct: the kernel can then
+    # emit probe rows by pandas slicing — type-preserving and vectorized,
+    # with no per-row struct unpacking.
     tagged_left = left.select(
         F.col(key),
         F.lit(0).alias("__side"),  # 0 = left/probe
         F.col(left_ts).alias("__ts"),
-        F.struct(*[F.col(c) for c in left_cols]).alias("__l"),
+        *[F.col(c) for c in left_cols],
         F.lit(None).cast(vtype).alias("__v"),
     )
     tagged_right = changelog.select(
         F.col(key),
         F.lit(1).alias("__side"),  # 1 = table upsert
         F.col(left_ts).alias("__ts"),
-        F.lit(None)
-        .cast(tagged_left.schema["__l"].dataType)
-        .alias("__l"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
         F.col(value_col).alias("__v"),
     )
     unioned = tagged_left.unionByName(tagged_right)
@@ -95,8 +108,10 @@ def stream_changelog_join(
             T.StructField("value", vtype),
         ]
     )
+    out_cols = [key, *left_cols, out_value_col]
 
     def fn(key_tuple, pdf_iter, state):
+        import numpy as np  # executor-side
         import pandas as pd  # executor-side
 
         (k,) = key_tuple
@@ -104,7 +119,7 @@ def stream_changelog_join(
             has_value, value = state.get
         else:
             has_value, value = False, None
-        rows: list[tuple] = []
+        out = None
         # Materialize the key's WHOLE micro-batch before sorting: Arrow
         # hands the batch over as ~10k-row chunks, and sorting each
         # chunk independently would apply upserts/probes out of the
@@ -114,39 +129,61 @@ def stream_changelog_join(
         pdfs = [p for p in pdf_iter if len(p)]
         if pdfs:
             pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
-            # event-time order within the batch: upserts take effect
-            # before probes at the same timestamp (side 1 first).
-            # numpy lexsort + a zip loop over plain python values keeps
-            # the EXACT sequential upsert/probe interleaving (state
-            # mutates mid-batch, so this loop is inherently ordered)
-            # while dropping the sort_values + iterrows per-group fixed
-            # cost — the r9 gap-fill lesson (SCALING.md): at high key
-            # cardinality applyInPandasWithState cost is per-group
-            # pandas overhead, not loop arithmetic.
-            import numpy as np  # executor-side
-
+            # Event-time order within the batch: upserts take effect
+            # before probes at the same timestamp (side 1 first; stable
+            # lexsort keeps arrival order among exact ties, so the last
+            # same-ts upsert wins — byte-identical to the sequential
+            # interleave this replaces).  Each probe's effective value
+            # is the most recent upsert AT OR BEFORE it in this order:
+            # a cumulative-max of upsert positions (−1 = none yet)
+            # resolves every probe in one vectorized pass — no per-row
+            # Python (the r9 gap-fill lesson: at high key cardinality
+            # the binding cost is per-group fixed overhead, but under
+            # replay/catch-up batches are large and an O(rows)
+            # interpreted loop is the 135× hazard class).  A plain
+            # ffill-over-NaN can't express this: NULL upserts are
+            # TOMBSTONES, so "no upsert here" and "upsert to NULL" must
+            # stay distinct — positions disambiguate where a sentinel
+            # value cannot.
             sides = pdf["__side"].to_numpy()
             tss = pdf["__ts"].to_numpy()
             order = np.lexsort((-sides, tss))  # ts asc, side desc
-            sides_l = sides[order].tolist()
-            vs = pdf["__v"].to_numpy()[order]
-            ls = pdf["__l"].to_numpy()[order]
-            for side, v, l in zip(sides_l, vs, ls):
-                if side == 1:
-                    if pd.isna(v):
-                        has_value, value = False, None  # tombstone
-                    else:
-                        has_value = True
-                        value = v.item() if hasattr(v, "item") else v
+            n = len(order)
+            up = sides[order] == 1
+            # pandas .iloc slicing (NOT .to_numpy()) keeps value types:
+            # datetime64 columns yield pd.Timestamp scalars, not raw
+            # epoch ints (the numpy .item() trap).
+            vs = pdf["__v"].iloc[order].reset_index(drop=True)
+            last_up = np.maximum.accumulate(np.where(up, np.arange(n), -1))
+            probe = np.flatnonzero(~up)
+            if len(probe):
+                take = last_up[probe]
+                have = take >= 0
+                cand = vs.iloc[np.where(have, take, 0)].reset_index(drop=True)
+                dead = have & cand.isna().to_numpy()
+                out_val = cand
+                if dead.any():
+                    out_val[dead] = None
+                if not have.all():
+                    # probes before any in-batch upsert read carried state
+                    out_val[~have] = value if has_value else None
+                out = pdf.iloc[order[probe]][left_cols].reset_index(drop=True)
+                out.insert(0, key, np.full(len(probe), k, dtype=object))
+                out[out_value_col] = out_val
+            if up.any():
+                j = int(np.flatnonzero(up)[-1])
+                v = vs.iloc[j]
+                if pd.isna(v):
+                    has_value, value = False, None  # tombstone
                 else:
-                    rows.append(
-                        (k, *[l[c] for c in left_cols],
-                         value if has_value else None)
-                    )
+                    has_value = True
+                    # normalize numpy scalars for the state store;
+                    # pd.Timestamp / python scalars pass through as-is
+                    value = v.item() if isinstance(v, np.generic) else v
         state.update((has_value, value))
-        yield pd.DataFrame(
-            rows, columns=[key, *left_cols, out_value_col]
-        )
+        if out is None:
+            out = pd.DataFrame({c: [] for c in out_cols})
+        yield out
 
     return unioned.groupBy(key).applyInPandasWithState(
         fn,

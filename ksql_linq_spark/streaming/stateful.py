@@ -13,21 +13,62 @@ ENVIRONMENT GATE: the TWS Python runner needs a working
 absent.  The processor logic itself is plain pandas and identical in a
 healthy environment.
 
-Scale notes: state lives in the RocksDB state store (set
-``spark.sql.streaming.stateStore.providerClass`` to
-RocksDBStateStoreProvider — required by TWS) partitioned by the group
-key, so memory is O(active keys / executor) with TTL-driven eviction —
-the knob dropDuplicates lacks (its state only ages out with an event-
-time watermark).
+Scale notes: state lives in the RocksDB state store (required by TWS),
+partitioned by the group key, so memory is O(active keys / executor)
+with TTL-driven eviction — the knob dropDuplicates lacks (its state
+only ages out with an event-time watermark).  The provider is ALWAYS
+selected together with changelog checkpointing
+(:func:`ensure_rocksdb_provider`): the r9 ladder measured
+snapshot-default RocksDB failing at even 1k keys (SCALING.md round-9).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+ROCKSDB_CHANGELOG_CONF = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+
+
+def ensure_rocksdb_provider(spark: SparkSession) -> None:
+    """Select the RocksDB state store the PRODUCTION way: provider +
+    changelog checkpointing, always as a pair.
+
+    The r9 state-store ladder (SCALING.md round-9;
+    STREAM_THROUGHPUT_KEYS.json v3) measured snapshot-default RocksDB
+    as a trap — 41 s micro-batches at 10k keys, 10× worse than the
+    HDFS-backed store and NOT sustained even at 1k keys, because every
+    commit re-uploads a full SST snapshot.  With changelog
+    checkpointing the commit writes only the delta and RocksDB reaches
+    HDFS-store parity up to the 500k-key knee.  So the engine never
+    sets the provider alone; if the USER's session already selected
+    RocksDB without the flag, warn instead of silently overriding
+    their config.
+    """
+    provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if "rocksdb" not in provider.lower():
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        spark.conf.set(ROCKSDB_CHANGELOG_CONF, "true")
+        return
+    if spark.conf.get(ROCKSDB_CHANGELOG_CONF, "false").lower() != "true":
+        warnings.warn(
+            "RocksDB state store is selected without "
+            f"{ROCKSDB_CHANGELOG_CONF}=true: snapshot-mode commits "
+            "re-upload full SSTs and were measured NOT sustained even "
+            "at 1k keys (SCALING.md round-9 ladder). Set the flag "
+            "unless you specifically need snapshot checkpoints.",
+            stacklevel=3,
+        )
 
 
 def tws_available() -> bool:
@@ -71,13 +112,7 @@ def streaming_first_seen_dedup(
         def close(self):
             pass
 
-    spark = df.sparkSession
-    if "rocksdb" not in (
-        spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
-    ).lower():
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
-        )
+    ensure_rocksdb_provider(df.sparkSession)
     return df.groupBy(*keys).transformWithStateInPandas(
         FirstSeen(), out_schema, "append", "ProcessingTime"
     )

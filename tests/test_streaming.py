@@ -1879,3 +1879,161 @@ def test_is_in_session_composite_key_raises(spark, tmp_path):
     assert prov.is_in_session(["NYSE"], dt.datetime(2024, 1, 1, 10, 0))
     with _pytest.raises(ValueError, match="exactly one key part"):
         prov.is_in_session(["NYSE", "US"], dt.datetime(2024, 1, 1, 10, 0))
+
+
+def test_rocksdb_provider_always_pairs_changelog_checkpointing(spark):
+    """r9 ladder (SCALING.md round-9): snapshot-default RocksDB is NOT
+    sustained even at 1k keys; the engine must never select the provider
+    without changelog checkpointing, and must warn when a user session
+    already did."""
+    import warnings as _warnings
+
+    from ksql_linq_spark.streaming.stateful import (
+        ROCKSDB_CHANGELOG_CONF,
+        ROCKSDB_PROVIDER,
+        ensure_rocksdb_provider,
+    )
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    saved_prov = spark.conf.get(prov_key, None)
+    saved_flag = spark.conf.get(ROCKSDB_CHANGELOG_CONF, None)
+    try:
+        # engine-selected: provider and changelog flag set as a PAIR
+        spark.conf.unset(prov_key)
+        spark.conf.unset(ROCKSDB_CHANGELOG_CONF)
+        ensure_rocksdb_provider(spark)
+        assert spark.conf.get(prov_key) == ROCKSDB_PROVIDER
+        assert spark.conf.get(ROCKSDB_CHANGELOG_CONF) == "true"
+
+        # user-selected provider WITHOUT the flag: warn, don't override
+        spark.conf.unset(ROCKSDB_CHANGELOG_CONF)
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            ensure_rocksdb_provider(spark)
+        assert any("changelogCheckpointing" in str(x.message) for x in w)
+        # a correctly-paired user config passes silently
+        spark.conf.set(ROCKSDB_CHANGELOG_CONF, "true")
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            ensure_rocksdb_provider(spark)
+        assert not w
+    finally:
+        for k, v in ((prov_key, saved_prov), (ROCKSDB_CHANGELOG_CONF, saved_flag)):
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_stream_changelog_join_timestamp_values(spark):
+    """ADVICE r9 (medium): a TIMESTAMP changelog value must arrive as a
+    timestamp, not raw epoch nanoseconds — numpy extraction of a
+    datetime64 column + .item() yields an int that corrupts both the
+    state field and the output column.  Covers same-batch enrichment
+    AND the carried-state (cross-restart of the loop, next-batch) path."""
+    from pyspark.sql import types as T
+
+    from ksql_linq_spark.streaming.changelog_join import stream_changelog_join
+
+    lsrc = tempfile.mkdtemp(prefix="cljt_l_")
+    rsrc = tempfile.mkdtemp(prefix="cljt_r_")
+    lschema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("probe_id", T.LongType()),
+        ]
+    )
+    rschema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("expires_at", T.TimestampType()),
+        ]
+    )
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    exp = dt.datetime(2025, 6, 30, 12, 34, 56, 789000)  # sub-second too
+    try:
+        spark.createDataFrame([("A", t(1), exp)], rschema).coalesce(
+            1
+        ).write.mode("append").parquet(rsrc)
+        spark.createDataFrame([("A", t(2), 1)], lschema).coalesce(
+            1
+        ).write.mode("append").parquet(lsrc)
+        ls = spark.readStream.schema(lschema).parquet(lsrc)
+        rs = spark.readStream.schema(rschema).parquet(rsrc)
+        joined = stream_changelog_join(
+            ls, rs, key="k", left_ts="ts", value_col="expires_at"
+        )
+        assert joined.schema["latest_expires_at"].dataType == T.TimestampType()
+        q = start_memory_sink(joined, "t_cljt", "append")
+        q.processAllAvailable()
+        # next batch: probe reads the value from CARRIED STATE
+        spark.createDataFrame([("A", t(3), 2)], lschema).coalesce(
+            1
+        ).write.mode("append").parquet(lsrc)
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r["probe_id"]: r["latest_expires_at"]
+            for r in spark.sql("SELECT * FROM t_cljt").collect()
+        }
+        assert got[1] == exp, f"same-batch value corrupted: {got[1]!r}"
+        assert got[2] == exp, f"state-carried value corrupted: {got[2]!r}"
+    finally:
+        for d in (lsrc, rsrc):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_gap_fill_subsecond_and_misaligned(spark):
+    """ADVICE r9 (low ×2): real bucket values pass through BIT-EXACT
+    (no whole-second truncation of observed data) and a gap distance
+    that is not a step multiple synthesizes ceil(d/step)-1 fillers —
+    every filler strictly before the observed bar."""
+    from ksql_linq_spark.operators.gapfill import streaming_gap_fill
+
+    tmp = tempfile.mkdtemp()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 250000)  # .25 s offset
+    rows = [
+        ("A", t0, 10.0),
+        # +150 s = 2.5 steps of 1m: ceil(2.5)-1 = 2 fillers (+60, +120)
+        ("A", t0 + dt.timedelta(seconds=150), 13.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, close double")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(df.schema).parquet(f"{tmp}/in")
+    filled = streaming_gap_fill(stream, "k", "bucket", "close", "1m")
+    q = start_memory_sink(filled, "t_gap_sub", "append")
+    _drain(q)
+    got = sorted(
+        (r["bucket"], r["close"], r["is_synthetic"])
+        for r in spark.sql("SELECT * FROM t_gap_sub").collect()
+    )
+    assert got == [
+        (t0, 10.0, False),
+        (t0 + dt.timedelta(seconds=60), 10.0, True),
+        (t0 + dt.timedelta(seconds=120), 10.0, True),
+        (t0 + dt.timedelta(seconds=150), 13.0, False),
+    ]
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_gap_fill_null_bucket_raises(spark):
+    """ADVICE r9: a NaT bucket must fail loudly — int64-viewed it is
+    INT64_MIN and would synthesize an astronomical gap run."""
+    from ksql_linq_spark.operators.gapfill import streaming_gap_fill
+
+    tmp = tempfile.mkdtemp()
+    df = spark.createDataFrame(
+        [("A", None, 10.0)], "k string, bucket timestamp, close double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(df.schema).parquet(f"{tmp}/in")
+    filled = streaming_gap_fill(stream, "k", "bucket", "close", "1m")
+    q = start_memory_sink(filled, "t_gap_nat", "append")
+    try:
+        with pytest.raises(Exception, match="must be non-null"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)

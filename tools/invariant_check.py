@@ -824,8 +824,17 @@ class Harness:
             try:
                 df = self.spark.read.parquet(
                     os.path.join(self.scaled, f"{table}.parquet"))
-                aggs = [F.sum(F.when(cond, 1).otherwise(0)).alias(nm)
-                        for nm, cond in laws.items()]
+                # coalesce(cond, TRUE): a law expression that evaluates
+                # to NULL (e.g. a function regressing to all-NULL output
+                # makes `f(x) != x` NULL, not false) must count as a
+                # VIOLATION — `when(cond, 1).otherwise(0)` alone would
+                # let NULL fall through to 0 and score a false green
+                aggs = [
+                    F.sum(
+                        F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0)
+                    ).alias(nm)
+                    for nm, cond in laws.items()
+                ]
                 aggs.append(F.count(F.lit(1)).alias("_n"))
                 row = df.agg(*aggs).collect()[0]
             except Exception as e:  # noqa: BLE001
