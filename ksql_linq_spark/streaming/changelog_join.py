@@ -35,6 +35,100 @@ from pyspark.sql import types as T
 _TAG_COLS = ("__side", "__ts", "__v")
 
 
+def _resolve_batch(pdf, key, key_val, left_cols, out_value_col, has_value, value):
+    """Resolve one key's micro-batch: apply upserts/probes in event-time
+    order and return ``(out_frame_or_None, has_value, value)``.
+
+    Module-level (not a closure) so the kernel is directly unit-testable
+    and micro-benchmarkable — the us/group numbers in SCALING.md time
+    THIS function.
+
+    Event-time order within the batch: upserts take effect before probes
+    at the same timestamp (side 1 first; stable lexsort keeps arrival
+    order among exact ties, so the last same-ts upsert wins —
+    byte-identical to the sequential interleave this replaces).  Each
+    probe's effective value is the most recent upsert AT OR BEFORE it in
+    this order: a cumulative-max of upsert positions (−1 = none yet)
+    resolves every probe in one vectorized pass — no per-row Python (the
+    r9 gap-fill lesson: at high key cardinality the binding cost is
+    per-group fixed overhead, but under replay/catch-up batches are
+    large and an O(rows) interpreted loop is the 135× hazard class).  A
+    plain ffill-over-NaN can't express this: NULL upserts are
+    TOMBSTONES, so "no upsert here" and "upsert to NULL" must stay
+    distinct — positions disambiguate where a sentinel value cannot.
+    """
+    import numpy as np  # executor-side
+    import pandas as pd  # executor-side
+
+    # Plain-numpy extraction up front (the gapfill recipe — pandas
+    # .iloc/.reset_index fixed cost is ~1 ms/group, i.e. ~100 s per
+    # 100k-key flush; numpy fancy indexing + one dict-of-arrays frame
+    # build is ~30x cheaper).  COLUMN-level numpy round-trips are
+    # type-safe: a datetime64[ns] array put back into a DataFrame
+    # column stays a timestamp.  Only SCALAR extraction (the carried
+    # state value) hits the numpy .item() epoch-int trap — handled
+    # explicitly below.
+    sides = pdf["__side"].to_numpy()
+    tss = pdf["__ts"].to_numpy()
+    vs = pdf["__v"].to_numpy()
+    n = len(sides)
+    if n > 1 and not (
+        (np.diff(tss) > np.timedelta64(0) if tss.dtype.kind == "M"
+         else np.diff(tss) > 0).all()
+    ):
+        order = np.lexsort((-sides, tss))  # ts asc, side desc
+        sides, vs = sides[order], vs[order]
+    else:
+        order = None  # already strictly increasing — identity order
+    up = sides == 1
+    last_up = np.maximum.accumulate(np.where(up, np.arange(n), -1))
+    probe = np.flatnonzero(~up)
+    out = None
+    if len(probe):
+        take = last_up[probe]
+        have = take >= 0
+        cand = vs[np.where(have, take, 0)]  # fancy index → fresh array
+        # dtype-aware missing marker (numpy rejects None on numeric)
+        kind = cand.dtype.kind
+        na = (np.nan if kind == "f"
+              else np.datetime64("NaT") if kind == "M"
+              else np.timedelta64("NaT") if kind == "m"
+              else None)
+        dead = have & pd.isna(cand)
+        if dead.any():
+            cand[dead] = na  # tombstoned key reads as NULL
+        if not have.all():
+            # probes before any in-batch upsert read carried state
+            cand[~have] = (value if has_value else na)
+        src = probe if order is None else order[probe]
+        data = {key: np.full(len(probe), key_val, dtype=object)}
+        for c in left_cols:
+            data[c] = pdf[c].to_numpy()[src]
+        data[out_value_col] = cand
+        out = pd.DataFrame(data, copy=False)
+    if up.any():
+        j = int(np.flatnonzero(up)[-1])
+        v = vs[j]
+        if pd.isna(v):
+            has_value, value = False, None  # tombstone
+        else:
+            has_value = True
+            # normalize scalars for the state store TYPE-PRESERVINGLY:
+            # np.datetime64/.timedelta64 .item() returns a raw epoch
+            # int — wrap via pandas instead; other numpy scalars
+            # (float64/int64/bool_) unbox to python; everything else
+            # passes through as-is.
+            if isinstance(v, np.datetime64):
+                value = pd.Timestamp(v)
+            elif isinstance(v, np.timedelta64):
+                value = pd.Timedelta(v)
+            elif isinstance(v, np.generic):
+                value = v.item()
+            else:
+                value = v
+    return out, has_value, value
+
+
 def stream_changelog_join(
     left: DataFrame,
     changelog: DataFrame,
@@ -111,7 +205,6 @@ def stream_changelog_join(
     out_cols = [key, *left_cols, out_value_col]
 
     def fn(key_tuple, pdf_iter, state):
-        import numpy as np  # executor-side
         import pandas as pd  # executor-side
 
         (k,) = key_tuple
@@ -129,57 +222,9 @@ def stream_changelog_join(
         pdfs = [p for p in pdf_iter if len(p)]
         if pdfs:
             pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
-            # Event-time order within the batch: upserts take effect
-            # before probes at the same timestamp (side 1 first; stable
-            # lexsort keeps arrival order among exact ties, so the last
-            # same-ts upsert wins — byte-identical to the sequential
-            # interleave this replaces).  Each probe's effective value
-            # is the most recent upsert AT OR BEFORE it in this order:
-            # a cumulative-max of upsert positions (−1 = none yet)
-            # resolves every probe in one vectorized pass — no per-row
-            # Python (the r9 gap-fill lesson: at high key cardinality
-            # the binding cost is per-group fixed overhead, but under
-            # replay/catch-up batches are large and an O(rows)
-            # interpreted loop is the 135× hazard class).  A plain
-            # ffill-over-NaN can't express this: NULL upserts are
-            # TOMBSTONES, so "no upsert here" and "upsert to NULL" must
-            # stay distinct — positions disambiguate where a sentinel
-            # value cannot.
-            sides = pdf["__side"].to_numpy()
-            tss = pdf["__ts"].to_numpy()
-            order = np.lexsort((-sides, tss))  # ts asc, side desc
-            n = len(order)
-            up = sides[order] == 1
-            # pandas .iloc slicing (NOT .to_numpy()) keeps value types:
-            # datetime64 columns yield pd.Timestamp scalars, not raw
-            # epoch ints (the numpy .item() trap).
-            vs = pdf["__v"].iloc[order].reset_index(drop=True)
-            last_up = np.maximum.accumulate(np.where(up, np.arange(n), -1))
-            probe = np.flatnonzero(~up)
-            if len(probe):
-                take = last_up[probe]
-                have = take >= 0
-                cand = vs.iloc[np.where(have, take, 0)].reset_index(drop=True)
-                dead = have & cand.isna().to_numpy()
-                out_val = cand
-                if dead.any():
-                    out_val[dead] = None
-                if not have.all():
-                    # probes before any in-batch upsert read carried state
-                    out_val[~have] = value if has_value else None
-                out = pdf.iloc[order[probe]][left_cols].reset_index(drop=True)
-                out.insert(0, key, np.full(len(probe), k, dtype=object))
-                out[out_value_col] = out_val
-            if up.any():
-                j = int(np.flatnonzero(up)[-1])
-                v = vs.iloc[j]
-                if pd.isna(v):
-                    has_value, value = False, None  # tombstone
-                else:
-                    has_value = True
-                    # normalize numpy scalars for the state store;
-                    # pd.Timestamp / python scalars pass through as-is
-                    value = v.item() if isinstance(v, np.generic) else v
+            out, has_value, value = _resolve_batch(
+                pdf, key, k, left_cols, out_value_col, has_value, value
+            )
         state.update((has_value, value))
         if out is None:
             out = pd.DataFrame({c: [] for c in out_cols})
