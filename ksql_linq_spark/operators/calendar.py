@@ -39,12 +39,26 @@ def in_session_join(
     open_col: str = "open_time",
     close_col: str = "close_time",
     bounds: SessionBounds = SessionBounds(),
+    bucketed: bool = True,
 ) -> DataFrame:
     """Keep rows whose ts falls inside any session of their market.
 
     Broadcast the schedule (tiny: markets × days) and semi-join, so each
     fact row is tested against its market's intervals executor-side —
     the Spark twin of the reference's in-process interval search.
+
+    By default the broadcast side is INTERVAL-BUCKETED (the Spark twin
+    of the reference's binary-searched interval index,
+    MarketScheduleProvider.cs:40-59): a plain equality-on-market hash
+    join puts ALL of a market's sessions in one hash bucket, so every
+    fact row range-scans every session — measured ~200 ns/row at 150
+    sessions/market, which DOUBLED the composed streaming hub's CPU
+    (SCALING.md round-10).  Bucketing by a coarse time grid (width =
+    the longest session, so each interval lands in ≤ 2 buckets) makes
+    the hash probe land each row on only the 1-2 sessions that can
+    contain it.  Falls back to the plain join when the schedule is
+    itself a stream (width needs one driver-side agg over the dim) or
+    has NULL bounds.
     """
     ts = rows[ts_col]
     lo = (
@@ -57,6 +71,39 @@ def in_session_join(
         if bounds.close_inclusive
         else (ts < F.col(f"__s.{close_col}"))
     )
+    if bucketed and not schedule.isStreaming:
+        # one tiny driver-side agg over the dim (markets × days rows)
+        stats = schedule.agg(
+            F.max(
+                F.col(close_col).cast("double") - F.col(open_col).cast("double")
+            ).alias("max_len"),
+            F.sum(
+                (F.col(open_col).isNull() | F.col(close_col).isNull())
+                .cast("long")
+            ).alias("nulls"),
+        ).collect()[0]
+        if stats["max_len"] is not None and not stats["nulls"]:
+            width = max(float(stats["max_len"]), 1.0)
+            b_lo = F.floor(F.col(open_col).cast("double") / width)
+            b_hi = F.floor(F.col(close_col).cast("double") / width)
+            exploded = schedule.select(
+                schedule_key,
+                open_col,
+                close_col,
+                F.explode(F.sequence(b_lo, b_hi)).alias("__bucket"),
+            )
+            s = F.broadcast(exploded).alias("__s")
+            return rows.join(
+                s,
+                on=(rows[row_key] == F.col(f"__s.{schedule_key}"))
+                & (
+                    F.floor(ts.cast("double") / F.lit(width))
+                    == F.col("__s.__bucket")
+                )
+                & lo
+                & hi,
+                how="leftsemi",
+            )
     s = F.broadcast(schedule).alias("__s")
     return rows.join(
         s,

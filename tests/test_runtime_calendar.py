@@ -45,6 +45,42 @@ def test_in_session_join_boundaries(spark):
     ]
 
 
+def test_in_session_join_bucketed_parity(spark):
+    """The interval-bucketed gate (round 10: each fact row probes only
+    the 1-2 sessions overlapping its coarse time bucket, not its
+    market's whole schedule) must keep EXACT semantics vs the plain
+    semi-join: open inclusive, close exclusive, sub-second timestamps,
+    sessions of mixed lengths, markets with no schedule, inverted
+    bounds matching nothing."""
+    sched_rows = [
+        # mixed lengths: 10 s bursts and an 8 h session set the bucket
+        # width from the LONGEST interval
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 0), dt.datetime(2024, 1, 1, 0, 0, 10)),
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 12), dt.datetime(2024, 1, 1, 0, 0, 22)),
+        ("B", dt.datetime(2024, 1, 1, 9, 0, 0), dt.datetime(2024, 1, 1, 17, 0, 0)),
+        # inverted interval: matches nothing, must not corrupt buckets
+        ("C", dt.datetime(2024, 1, 2, 5, 0, 0), dt.datetime(2024, 1, 2, 4, 0, 0)),
+    ]
+    sched = spark.createDataFrame(
+        sched_rows, "market_key string, open_time timestamp, close_time timestamp"
+    )
+    us = dt.timedelta(microseconds=1)
+    probe_rows = []
+    pid = 0
+    for mk, o, c in sched_rows:
+        for ts in (o - us, o, o + us, c - us, c, c + us,
+                   o + (c - o) / 2):
+            probe_rows.append((mk, ts, pid))
+            pid += 1
+    probe_rows += [("Z", dt.datetime(2024, 1, 1, 0, 0, 5), pid)]  # no schedule
+    df = spark.createDataFrame(probe_rows, "market string, ts timestamp, id long")
+    plain = {r["id"] for r in in_session_join(
+        df, sched, "market", "ts", bucketed=False).collect()}
+    fast = {r["id"] for r in in_session_join(
+        df, sched, "market", "ts", bucketed=True).collect()}
+    assert plain == fast and plain  # identical, and non-trivially so
+
+
 def test_session_tag_join_carries_session(spark):
     sched = make_daily_schedule(spark, ["X"], "2024-01-01", "2024-01-02")
     df = spark.createDataFrame(

@@ -33,8 +33,15 @@ raw rows (including bars whose window spans the kill), and the replay
 restart is a no-op.  Writes RESTART_SOAK.json.
 
 Run on an idle box.  Usage:
-  python tools/restart_soak_probe.py [--store hdfs|rocksdb|both]
-      [n_keys] [n_rows]      (defaults: both, 100_000, 6_000_000)
+  python tools/restart_soak_probe.py [--composed]
+      [--store hdfs|rocksdb|both] [n_keys] [n_rows]
+      (defaults: both, 100_000, 6_000_000)
+
+``--composed`` (r10, VERDICT r9 item 6) runs the drill on the FLAGSHIP
+topology instead — session gate -> cascade -> streaming gap-fill, with
+the 1m gap spanning the kill so the gap-filler's per-key
+(last_bucket, last_close) state must recover exactly-once; writes
+RESTART_SOAK_COMPOSED.json.
 """
 
 from __future__ import annotations
@@ -71,14 +78,20 @@ PROVIDERS = {
 BASE_TS = "2024-01-01 00:00:00"
 
 
-def make_chunks(spark, src_dir: str, n_keys: int, n_rows: int) -> None:
+def make_chunks(spark, src_dir: str, n_keys: int, n_rows: int,
+                span_s: int = 180, with_market: bool = False) -> None:
     """4 time-contiguous single-file chunks; (key, second) unique by
-    construction: a key recurs every n_keys ids (~3 s of event time at
-    the 180 s span), so consecutive appearances land in distinct
-    seconds and min_by/max_by orderings are tie-free."""
+    construction: a key recurs every n_keys ids (seconds apart at these
+    spans), so consecutive appearances land in distinct seconds and
+    min_by/max_by orderings are tie-free.  ``with_market`` adds a
+    market column that is CONSTANT per key (n_keys % 4 == 0, so
+    (id % n_keys) fixes id % 4) — required for deterministic session
+    gating."""
     from pyspark.sql import functions as F
 
-    rows_per_sec = n_rows // 180
+    if with_market and n_keys % 4:
+        raise ValueError("with_market needs n_keys % 4 == 0")
+    rows_per_sec = n_rows // span_s
     os.makedirs(src_dir, exist_ok=True)
     os.makedirs(f"{src_dir}_staged", exist_ok=True)
     per = n_rows // 4
@@ -87,7 +100,7 @@ def make_chunks(spark, src_dir: str, n_keys: int, n_rows: int) -> None:
     # watched dir regardless of extension
     for i in range(4):
         tmp = f"{src_dir}_staged/c{i}"
-        chunk = spark.range(i * per, (i + 1) * per).select(
+        cols = [
             (F.to_timestamp(F.lit(BASE_TS))
              + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
                                   F.floor(F.col("id") / rows_per_sec))
@@ -95,7 +108,13 @@ def make_chunks(spark, src_dir: str, n_keys: int, n_rows: int) -> None:
             F.concat(F.lit("k"), (F.col("id") % n_keys).cast("string"))
             .alias("event_type"),
             ((F.col("id") % 10000).cast("double") / 100).alias("value"),
-        )
+        ]
+        if with_market:
+            cols.append(
+                F.concat(F.lit("m"), (F.col("id") % 4).cast("string"))
+                .alias("market")
+            )
+        chunk = spark.range(i * per, (i + 1) * per).select(*cols)
         chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
         for f in os.listdir(tmp):
             if f.endswith(".parquet"):
@@ -260,14 +279,240 @@ def run_store(spark, store: str, src_dir: str, n_keys: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_composed_store(spark, store: str, src_dir: str, n_keys: int) -> dict:
+    """Composed-flagship kill/restart drill (r10, VERDICT r9 item 6):
+    session gate -> 3-tier cascade -> streaming gap-fill, with the 1m
+    GAP SPANNING THE KILL so the gap-filler's applyInPandasWithState
+    state — (last_bucket_epoch_ns, last_close) per key — must recover
+    exactly-once and then synthesize the fillers from recovered state.
+
+    Event-time layout over a 360 s span (sessions shared by all 4
+    markets): OPEN [0,120) and [240,360), CLOSED [120,240).  Data
+    minutes per key: 0,1,4,5 -> gap minutes 2,3 are SYNTHESIZED.  The
+    kill lands after chunks 0-1 (event time <=180 s): minute 0 has
+    emitted (hub watermark reached 119 s) and the gap-filler holds
+    (minute0, close0) per key; minutes 1/4/5 land after restart, so
+    the filler rows for 2-3 are created post-restart FROM RECOVERED
+    STATE.  Oracle: the streamed gap-fill sink must equal the BATCH
+    gap_fill_bars operator over the final 1m sink, bit-exactly, plus
+    zero duplicate (key, bucket) anywhere and a no-op pure-replay
+    restart."""
+    from pyspark.sql import functions as F
+
+    from ksql_linq_spark.operators.calendar import in_session_join
+    from ksql_linq_spark.operators.cascade import (
+        CascadePlan,
+        start_streaming_cascade,
+    )
+    from ksql_linq_spark.operators.gapfill import (
+        gap_fill_bars,
+        streaming_gap_fill,
+    )
+
+    provider, extra = PROVIDERS[store]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    for _, other_extra in PROVIDERS.values():
+        for k in other_extra:
+            try:
+                spark.conf.unset(k)
+            except Exception:  # noqa: BLE001 — not set yet
+                pass
+    for k, v in extra.items():
+        spark.conf.set(k, v)
+    tmp = tempfile.mkdtemp(prefix=f"soakc_{store}_")
+    sink, ckpt = f"{tmp}/sink", f"{tmp}/ckpt"
+    plan = CascadePlan(
+        base_name="soakc", keys=["event_type"], ts_col="ts",
+        price_col="value", timeframes=["1m", "5m"],
+    )
+    sched = spark.createDataFrame(
+        [(f"m{m}", o, c) for m in range(4) for o, c in ((0, 120), (240, 360))],
+        "market_key string, o int, c int",
+    ).select(
+        "market_key",
+        (F.to_timestamp(F.lit(BASE_TS)) + F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0), F.col("o"))).alias("open_time"),
+        (F.to_timestamp(F.lit(BASE_TS)) + F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0), F.col("c"))).alias("close_time"),
+    )
+    rec: dict = {"store": store, "n_keys": n_keys, "topology":
+                 "session-gate -> 1s hub -> 1m/5m -> streaming gap-fill"}
+
+    def start():
+        stream = (
+            spark.readStream
+            .schema("ts timestamp, event_type string, value double, "
+                    "market string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        gated = in_session_join(
+            stream, sched, row_key="market", ts_col="ts"
+        ).drop("market")
+        queries = start_streaming_cascade(
+            plan, gated, sink_dir=sink, checkpoint_dir=ckpt,
+            trigger_seconds=2,
+        )
+        bars_1m = (
+            spark.readStream
+            .schema("bucket_start timestamp, event_type string, "
+                    "open double, high double, low double, close double, "
+                    "sum_v double, cnt long")
+            .parquet(f"{sink}/{plan.tier_name('1m')}")
+            .select("event_type", "bucket_start", "close")
+        )
+        gf = streaming_gap_fill(
+            bars_1m, key="event_type", bucket_col="bucket_start",
+            close_col="close", timeframe="1m",
+        )
+        queries.append(
+            gf.writeStream.format("parquet").queryName("soakc_gapfill")
+            .option("path", f"{sink}/gapfill")
+            .option("checkpointLocation", f"{ckpt}/gapfill")
+            .outputMode("append")
+            .trigger(processingTime="2 seconds")
+            .start()
+        )
+        return queries
+
+    def drain(queries):
+        # pipeline order: hub -> tiers -> gap-fill (each feeds the next
+        # through its parquet sink)
+        for q in queries:
+            q.processAllAvailable()
+        for q in queries:
+            q.stop()
+
+    try:
+        # phase 1: first half (event time 0-180 s), then kill all four
+        publish_chunk(src_dir, 0)
+        publish_chunk(src_dir, 1)
+        t0 = time.time()
+        qs = start()
+        drain(qs)
+        rec["phase1_secs"] = round(time.time() - t0, 1)
+        gf_at_kill = spark.read.parquet(f"{sink}/gapfill")
+        rec["gapfill_rows_at_kill"] = gf_at_kill.count()
+        rec["gapfill_synthetic_at_kill"] = (
+            gf_at_kill.where("is_synthetic").count()
+        )
+        assert rec["gapfill_rows_at_kill"] > 0, \
+            "gap-filler saw no bars before the kill"
+
+        # phase 2: second half; all four queries restart from ckpt
+        publish_chunk(src_dir, 2)
+        publish_chunk(src_dir, 3)
+        t0 = time.time()
+        qs = start()
+        hub = qs[0]
+        while True:
+            p = hub.lastProgress
+            if p and p["numInputRows"] > 0:
+                break
+            if time.time() - t0 > 300:
+                raise TimeoutError("hub never committed after restart")
+            time.sleep(0.5)
+        rec["recovery_to_first_batch_secs"] = round(time.time() - t0, 1)
+        drain(qs)
+        rec["phase2_secs"] = round(time.time() - t0, 1)
+        n_after = {
+            t: spark.read.parquet(f"{sink}/{t}").count()
+            for t in os.listdir(sink)
+        }
+
+        # phase 3: pure-replay restart — must append nothing anywhere
+        t0 = time.time()
+        qs = start()
+        drain(qs)
+        rec["replay_restart_secs"] = round(time.time() - t0, 1)
+        n_replay = {
+            t: spark.read.parquet(f"{sink}/{t}").count()
+            for t in os.listdir(sink)
+        }
+        rec["replay_noop"] = n_replay == n_after
+        rec["rows_by_sink"] = n_after
+
+        gf = spark.read.parquet(f"{sink}/gapfill")
+        rec["gapfill_rows_final"] = gf.count()
+        rec["gapfill_synthetic_final"] = gf.where("is_synthetic").count()
+        # exactly-once: zero duplicate (key, bucket) in every sink
+        dup = {}
+        for t in n_after:
+            dup[t] = (
+                spark.read.parquet(f"{sink}/{t}")
+                .groupBy("event_type", "bucket_start").count()
+                .where("count > 1").count()
+            )
+        rec["dup_bars_by_sink"] = dup
+
+        # oracle: streamed gap-fill == batch gap_fill_bars over the SAME
+        # final 1m sink (kill-spanning synthesis included) — zero rows
+        # missing, zero extra, closes bit-equal
+        bars = spark.read.parquet(f"{sink}/{plan.tier_name('1m')}")
+        expect = gap_fill_bars(
+            bars.select("event_type", "bucket_start", "close"),
+            keys=["event_type"], bucket_col="bucket_start",
+            timeframe="1m", ohlc=("close",) * 4,
+        ).select("event_type", "bucket_start", "close", "is_synthetic")
+        got = gf.select("event_type", "bucket_start", "close",
+                        "is_synthetic")
+        rec["gapfill_missing_vs_batch"] = expect.exceptAll(got).count()
+        rec["gapfill_extra_vs_batch"] = got.exceptAll(expect).count()
+        rec["ok"] = bool(
+            rec["replay_noop"]
+            and all(v == 0 for v in dup.values())
+            and rec["gapfill_missing_vs_batch"] == 0
+            and rec["gapfill_extra_vs_batch"] == 0
+            # the kill must land MID-GAP: synthetic rows exist at the
+            # end but none had been emitted before the kill
+            and rec["gapfill_synthetic_at_kill"] == 0
+            and rec["gapfill_synthetic_final"] > 0
+            and rec["gapfill_rows_at_kill"] < rec["gapfill_rows_final"]
+        )
+        return rec
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     argv = sys.argv[1:]
+    composed = False
+    if argv[:1] == ["--composed"]:
+        composed = True
+        argv = argv[1:]
     stores = ["hdfs", "rocksdb"]
     if argv[:1] == ["--store"]:
         stores = [argv[1]] if argv[1] != "both" else stores
         argv = argv[2:]
     n_keys = int(argv[0]) if argv else 100_000
     n_rows = int(argv[1]) if len(argv) > 1 else 6_000_000
+
+    if composed:
+        spark = build_session("restart-soak-composed")
+        spark.sparkContext.setLogLevel("ERROR")
+        out = {"mode": "composed", "n_keys": n_keys, "n_rows": n_rows,
+               "stores": []}
+        for store in stores:
+            src = tempfile.mkdtemp(prefix=f"soakc_src_{store}_")
+            try:
+                make_chunks(spark, src, n_keys, n_rows,
+                            span_s=360, with_market=True)
+                rec = run_composed_store(spark, store, src, n_keys)
+            except Exception as e:  # noqa: BLE001 — record, don't crash
+                rec = {"store": store, "ok": False,
+                       "error": f"{type(e).__name__}: {e}"[:400]}
+            finally:
+                shutil.rmtree(src, ignore_errors=True)
+                shutil.rmtree(f"{src}_staged", ignore_errors=True)
+            out["stores"].append(rec)
+            print(json.dumps(rec))
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "RESTART_SOAK_COMPOSED.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        ok = all(r.get("ok") for r in out["stores"])
+        print(f"{'ALL OK' if ok else 'FAILURES'} -> {path}")
+        return 0 if ok else 1
 
     spark = build_session("restart-soak")
     spark.sparkContext.setLogLevel("ERROR")

@@ -439,20 +439,24 @@ def main() -> int:
             store = argv[1]
             argv = argv[2:]
         n_keys = int(argv[0]) if argv else 100_000
-        rate = int(argv[1]) if len(argv) > 1 else 100_000
+        # explicit comma-separated rate ladder, else double from argv[1]
+        if len(argv) > 1 and "," in argv[1]:
+            rates = [int(r) for r in argv[1].split(",")]
+        else:
+            start = int(argv[1]) if len(argv) > 1 else 100_000
+            rates = [start * (2 ** i) for i in range(MAX_LEGS)]
         legs = []
         ceiling = None
-        for _ in range(MAX_LEGS):
+        for rate in rates:
             res = run_composed_leg(spark, rate, n_keys, store)
             legs.append(res)
             print(json.dumps(res))
             if not res["sustained"]:
                 break
             ceiling = rate
-            rate *= 2
-        out = {"mode": "composed_ceiling", "version": 3, "store": store,
+        out = {"mode": "composed_ceiling", "version": 4, "store": store,
                "n_keys": n_keys, "trigger_seconds": TRIGGER_SECONDS,
-               "leg_seconds": LEG_SECONDS,
+               "leg_seconds": COMPOSED_LEG_SECONDS,
                "pipeline": "session-gate -> 1s hub -> 1m/5m tiers "
                            "-> streaming gap-fill",
                "ceiling_rows_per_sec": ceiling, "legs": legs}
