@@ -149,9 +149,14 @@ def bpe_apply(
 
         memo: dict[str, list[str]] = {}
         for pdf in batches:
+            # zip over plain numpy columns, not iterrows — iterrows
+            # materializes a pandas Series per row (~100 us each);
+            # per-document cost here should be _encode_word, not pandas
             ids, toks, ns = [], [], []
-            for _, row in pdf.iterrows():
-                text = row[text_col] or ""
+            for rid, text in zip(
+                pdf[id_col].to_numpy(), pdf[text_col].to_numpy()
+            ):
+                text = text or ""
                 if lowercase:
                     text = text.lower()
                 doc_tokens: list[str] = []
@@ -161,7 +166,7 @@ def bpe_apply(
                         enc = _encode_word(w, ranks)
                         memo[w] = enc
                     doc_tokens.extend(enc)
-                ids.append(row[id_col])
+                ids.append(rid)
                 toks.append(doc_tokens)
                 ns.append(len(doc_tokens))
             yield pd.DataFrame({id_col: ids, out_col: toks, "n_bpe": ns})
