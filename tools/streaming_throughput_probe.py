@@ -416,7 +416,10 @@ def main() -> int:
             "stores": by_store,
         }
         # merge with a prior v3 record so per-store runs compose into
-        # one side-by-side artifact instead of clobbering each other
+        # one side-by-side artifact instead of clobbering each other —
+        # at LEG level (keyed by n_keys, newest wins), so a later
+        # knee-tightening run of a single key count extends a store's
+        # ladder rather than replacing it
         path = "STREAM_THROUGHPUT_KEYS.json"
         if os.path.exists(path):
             try:
@@ -424,7 +427,28 @@ def main() -> int:
                     prior = json.load(f)
                 if (prior.get("version") == 3
                         and prior.get("rate_rows_per_sec") == rate):
-                    out["stores"] = {**prior["stores"], **by_store}
+                    merged = dict(prior["stores"])
+                    for store, rec in by_store.items():
+                        if store in merged:
+                            legs_by_nk = {
+                                leg["n_keys"]: leg
+                                for leg in merged[store]["legs"]
+                            }
+                            legs_by_nk.update(
+                                {leg["n_keys"]: leg for leg in rec["legs"]}
+                            )
+                            legs = [legs_by_nk[nk]
+                                    for nk in sorted(legs_by_nk)]
+                            knees = [leg["n_keys"] for leg in legs
+                                     if not leg["sustained"]]
+                            merged[store] = {
+                                "first_unsustained_n_keys":
+                                    min(knees) if knees else None,
+                                "legs": legs,
+                            }
+                        else:
+                            merged[store] = rec
+                    out["stores"] = merged
             except (OSError, ValueError):
                 pass
         with open(path, "w") as f:
@@ -454,13 +478,38 @@ def main() -> int:
             if not res["sustained"]:
                 break
             ceiling = rate
-        out = {"mode": "composed_ceiling", "version": 4, "store": store,
-               "n_keys": n_keys, "trigger_seconds": TRIGGER_SECONDS,
+        run = {"store": store, "n_keys": n_keys,
+               "ceiling_rows_per_sec": ceiling, "legs": legs}
+        out = {"mode": "composed_ceiling", "version": 5,
+               "trigger_seconds": TRIGGER_SECONDS,
                "leg_seconds": COMPOSED_LEG_SECONDS,
                "pipeline": "session-gate -> 1s hub -> 1m/5m tiers "
                            "-> streaming gap-fill",
-               "ceiling_rows_per_sec": ceiling, "legs": legs}
-        with open("STREAM_THROUGHPUT.json", "w") as f:
+               "runs": {f"{store}@{n_keys}": run}}
+        # merge with a prior record (keyed store@n_keys, newest wins)
+        # so key-cardinality sweeps of the composed path compose into
+        # one artifact; a v4 single-run file migrates to one runs entry
+        path = "STREAM_THROUGHPUT.json"
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    prior = json.load(f)
+                if prior.get("mode") == "composed_ceiling":
+                    if prior.get("version") == 4:
+                        pk = f"{prior['store']}@{prior['n_keys']}"
+                        out["runs"] = {
+                            pk: {"store": prior["store"],
+                                 "n_keys": prior["n_keys"],
+                                 "ceiling_rows_per_sec":
+                                     prior["ceiling_rows_per_sec"],
+                                 "legs": prior["legs"]},
+                            **out["runs"],
+                        }
+                    elif prior.get("version") == 5:
+                        out["runs"] = {**prior["runs"], **out["runs"]}
+            except (OSError, ValueError):
+                pass
+        with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"composed ceiling: {ceiling} rows/s -> STREAM_THROUGHPUT.json")
         return 0
