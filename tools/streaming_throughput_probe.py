@@ -59,8 +59,9 @@ Usage: python tools/streaming_throughput_probe.py [start_rate]
            [--store hdfs|rocksdb|rocksdb_cl|all] [rate] [n_keys ...]
        (default store all, rate 400_000; keys 1k 10k 100k 500k 1M)
        python tools/streaming_throughput_probe.py --composed \
-           [--store ...] [n_keys] [start_rate]
-       (defaults rocksdb_cl, 100_000 keys, 100_000 rows/s doubling)
+           [--store ...] [--shards N] [n_keys] [start_rate|r1,r2,...]
+       (defaults rocksdb_cl, 100_000 keys, 100_000 rows/s doubling;
+       --shards overrides shuffle partitions = state shards per query)
 """
 
 from __future__ import annotations
@@ -459,9 +460,21 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--composed":
         argv = sys.argv[2:]
         store = "rocksdb_cl"
+        shards = None
         if argv[:1] == ["--store"]:
             store = argv[1]
             argv = argv[2:]
+        if argv[:1] == ["--shards"]:
+            # state-shard count = shuffle partitions captured at each
+            # query's FIRST start (fresh checkpoints per leg, so this
+            # takes effect).  The 250k-key cliff is commit-bound at 32
+            # shards x 4 queries per trigger on one disk — this knob
+            # measures whether fewer, fatter shards amortize the
+            # per-shard commit fixed cost (files+fsync) or per-key
+            # work dominates regardless of sharding.
+            shards = int(argv[1])
+            argv = argv[2:]
+            spark.conf.set("spark.sql.shuffle.partitions", str(shards))
         n_keys = int(argv[0]) if argv else 100_000
         # explicit comma-separated rate ladder, else double from argv[1]
         if len(argv) > 1 and "," in argv[1]:
@@ -480,12 +493,16 @@ def main() -> int:
             ceiling = rate
         run = {"store": store, "n_keys": n_keys,
                "ceiling_rows_per_sec": ceiling, "legs": legs}
+        run_key = f"{store}@{n_keys}"
+        if shards is not None:
+            run["state_shards"] = shards
+            run_key += f"@sh{shards}"
         out = {"mode": "composed_ceiling", "version": 5,
                "trigger_seconds": TRIGGER_SECONDS,
                "leg_seconds": COMPOSED_LEG_SECONDS,
                "pipeline": "session-gate -> 1s hub -> 1m/5m tiers "
                            "-> streaming gap-fill",
-               "runs": {f"{store}@{n_keys}": run}}
+               "runs": {run_key: run}}
         # merge with a prior record (keyed store@n_keys, newest wins)
         # so key-cardinality sweeps of the composed path compose into
         # one artifact; a v4 single-run file migrates to one runs entry
@@ -506,7 +523,34 @@ def main() -> int:
                             **out["runs"],
                         }
                     elif prior.get("version") == 5:
-                        out["runs"] = {**prior["runs"], **out["runs"]}
+                        merged_runs = dict(prior["runs"])
+                        for rk, new_run in out["runs"].items():
+                            if rk in merged_runs:
+                                # leg-level merge within a run (keyed
+                                # by rate, newest wins) so successive
+                                # rate probes of the same topology
+                                # extend the ladder, not replace it
+                                by_rate = {
+                                    leg["rate"]: leg
+                                    for leg in merged_runs[rk]["legs"]
+                                }
+                                by_rate.update(
+                                    {leg["rate"]: leg
+                                     for leg in new_run["legs"]}
+                                )
+                                legs_m = [by_rate[r]
+                                          for r in sorted(by_rate)]
+                                ok = [leg["rate"] for leg in legs_m
+                                      if leg["sustained"]]
+                                merged_runs[rk] = {
+                                    **new_run,
+                                    "legs": legs_m,
+                                    "ceiling_rows_per_sec":
+                                        max(ok) if ok else None,
+                                }
+                            else:
+                                merged_runs[rk] = new_run
+                        out["runs"] = merged_runs
             except (OSError, ValueError):
                 pass
         with open(path, "w") as f:
