@@ -390,15 +390,26 @@ def main() -> int:
             stores = ([argv[1]] if argv[1] not in ("both", "all")
                       else ["hdfs", "rocksdb", "rocksdb_cl"])
             argv = argv[2:]
+        kl_shards = None
+        if argv[:1] == ["--shards"]:
+            # see --composed --shards: state shards = shuffle
+            # partitions at each query's first start.  Shard-tuned
+            # runs are suffixed into the store key so they never
+            # overwrite the default-shard ladder.
+            kl_shards = int(argv[1])
+            argv = argv[2:]
+            spark.conf.set("spark.sql.shuffle.partitions", str(kl_shards))
+            stores = [f"{s}@sh{kl_shards}" for s in stores]
         rate = int(argv[0]) if argv else 400_000
         key_steps = ([int(x) for x in argv[1:]]
                      or [1_000, 10_000, 100_000, 500_000, 1_000_000])
         by_store = {}
         for store in stores:
+            base_store = store.split("@")[0]
             legs = []
             knee = None
             for nk in key_steps:
-                res = run_leg(spark, rate, n_keys=nk, store=store)
+                res = run_leg(spark, rate, n_keys=nk, store=base_store)
                 legs.append(res)
                 print(json.dumps(res))
                 if not res["sustained"] and knee is None:
