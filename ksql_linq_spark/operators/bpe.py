@@ -150,7 +150,8 @@ def bpe_apply(
         memo: dict[str, list[str]] = {}
         for pdf in batches:
             # zip over plain numpy columns, not iterrows — iterrows
-            # materializes a pandas Series per row (~100 us each);
+            # materializes a pandas Series per row (measured 54.3
+            # -> 2.6 us/doc overhead for this loop, SCALING.md r10);
             # per-document cost here should be _encode_word, not pandas
             ids, toks, ns = [], [], []
             for rid, text in zip(

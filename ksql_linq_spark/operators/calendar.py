@@ -86,7 +86,19 @@ def in_session_join(
             width = max(float(stats["max_len"]), 1.0)
             b_lo = F.floor(F.col(open_col).cast("double") / width)
             b_hi = F.floor(F.col(close_col).cast("double") / width)
-            exploded = schedule.select(
+            # Inverted intervals (close < open) can never satisfy the
+            # lo & hi predicate, so dropping them here is semantically
+            # free — and REQUIRED: `max_len` is the max over sessions,
+            # so one garbage row with close far before open passes the
+            # guard with b_hi << b_lo, and sequence(b_lo, b_hi) would
+            # explode an unbounded DESCENDING sequence into the
+            # broadcast side (a decades-scale sentinel date is millions
+            # of buckets).  With inversions removed, every remaining
+            # interval spans <= 2 buckets by construction (width is the
+            # max non-inverted length).
+            exploded = schedule.filter(
+                F.col(close_col) >= F.col(open_col)
+            ).select(
                 schedule_key,
                 open_col,
                 close_col,

@@ -1,0 +1,86 @@
+"""Pure-python tests for the streaming-throughput probe's CLI parsing
+and artifact-merge logic (all four r10 ADVICE findings).  No Spark
+session needed — the probe's measurement legs are exercised by the
+round artifacts, not here."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+_spec = importlib.util.spec_from_file_location(
+    "streaming_throughput_probe",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools", "streaming_throughput_probe.py"),
+)
+probe = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("streaming_throughput_probe", probe)
+_spec.loader.exec_module(probe)
+
+
+def test_parse_flags_any_order():
+    # the r10 bug: `--shards 8 --store hdfs` raised ValueError
+    assert probe._parse_flags(
+        ["--shards", "8", "--store", "hdfs", "400000"]
+    ) == ("hdfs", 8, ["400000"])
+    assert probe._parse_flags(
+        ["--store", "all", "100000", "1000", "10000"]
+    ) == ("all", None, ["100000", "1000", "10000"])
+    assert probe._parse_flags(["250000", "--shards", "16"]) == (
+        None, 16, ["250000"])
+    assert probe._parse_flags([]) == (None, None, [])
+
+
+def _leg(n_keys, sustained, rate=400_000):
+    return {"rate": rate, "n_keys": n_keys, "store": "hdfs",
+            "leg_seconds": probe.LEG_SECONDS, "sustained": sustained}
+
+
+def test_merge_migrates_v3_and_fixes_leg_seconds_label():
+    prior = {
+        "version": 3, "rate_rows_per_sec": 400_000,
+        "leg_seconds": 330,  # the v3 mislabel (composed duration)
+        "stores": {"hdfs": {"first_unsustained_n_keys": None,
+                            "legs": [_leg(1000, True)]}},
+    }
+    new = {"800000": {"rate_rows_per_sec": 800_000, "leg_seconds": 75,
+                      "stores": {"hdfs": {
+                          "first_unsustained_n_keys": 10_000,
+                          "legs": [_leg(1000, True, 800_000),
+                                   _leg(10_000, False, 800_000)]}}}}
+    merged = probe._merge_key_ladder_runs(new, prior)
+    # a NEW rate extends the artifact; the prior rate's ladder survives
+    assert set(merged) == {"400000", "800000"}
+    # the migrated v3 run records the TRUE key-ladder leg duration
+    assert merged["400000"]["leg_seconds"] == 75
+    assert "mislabel" in merged["400000"]["leg_seconds_note"]
+    assert merged["400000"]["stores"]["hdfs"]["legs"][0]["n_keys"] == 1000
+
+
+def test_merge_same_rate_leg_level_newest_wins():
+    prior = {"version": 4, "runs": {"400000": {
+        "rate_rows_per_sec": 400_000, "leg_seconds": 75,
+        "stores": {"hdfs": {
+            "first_unsustained_n_keys": 10_000,
+            "legs": [_leg(1000, True), _leg(10_000, False)]}},
+    }}}
+    # rerun of the 10k leg now sustains, and a 100k leg extends
+    new = {"400000": {"rate_rows_per_sec": 400_000, "leg_seconds": 75,
+                      "stores": {"hdfs": {
+                          "first_unsustained_n_keys": 100_000,
+                          "legs": [_leg(10_000, True),
+                                   _leg(100_000, False)]}}}}
+    merged = probe._merge_key_ladder_runs(new, prior)
+    hdfs = merged["400000"]["stores"]["hdfs"]
+    assert [(leg["n_keys"], leg["sustained"]) for leg in hdfs["legs"]] == [
+        (1000, True), (10_000, True), (100_000, False)]
+    assert hdfs["first_unsustained_n_keys"] == 100_000
+    # a second store merging in must not clobber hdfs
+    new2 = {"400000": {"rate_rows_per_sec": 400_000, "leg_seconds": 75,
+                       "stores": {"rocksdb_cl": {
+                           "first_unsustained_n_keys": None,
+                           "legs": [_leg(1000, True)]}}}}
+    merged2 = probe._merge_key_ladder_runs(
+        new2, {"version": 4, "runs": merged})
+    assert set(merged2["400000"]["stores"]) == {"hdfs", "rocksdb_cl"}

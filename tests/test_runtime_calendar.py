@@ -60,6 +60,12 @@ def test_in_session_join_bucketed_parity(spark):
         ("B", dt.datetime(2024, 1, 1, 9, 0, 0), dt.datetime(2024, 1, 1, 17, 0, 0)),
         # inverted interval: matches nothing, must not corrupt buckets
         ("C", dt.datetime(2024, 1, 2, 5, 0, 0), dt.datetime(2024, 1, 2, 4, 0, 0)),
+        # DECADES-scale inverted sentinel (close = epoch 0, ~54 years
+        # before open): before the round-11 clamp this single garbage
+        # row passed the NULL-only guard and exploded an unbounded
+        # descending sequence (~59k buckets at 8 h width) into the
+        # broadcast side; it must be filtered, not exploded
+        ("D", dt.datetime(2024, 1, 1, 12, 0, 0), dt.datetime(1970, 1, 1, 0, 0, 0)),
     ]
     sched = spark.createDataFrame(
         sched_rows, "market_key string, open_time timestamp, close_time timestamp"
@@ -76,8 +82,11 @@ def test_in_session_join_bucketed_parity(spark):
     df = spark.createDataFrame(probe_rows, "market string, ts timestamp, id long")
     plain = {r["id"] for r in in_session_join(
         df, sched, "market", "ts", bucketed=False).collect()}
-    fast = {r["id"] for r in in_session_join(
-        df, sched, "market", "ts", bucketed=True).collect()}
+    fast_df = in_session_join(df, sched, "market", "ts", bucketed=True)
+    # the bucketed BRANCH must be taken (not the plain fallback), so
+    # the inverted sentinels exercise the explode-side clamp for real
+    assert "__bucket" in fast_df._jdf.queryExecution().analyzed().toString()
+    fast = {r["id"] for r in fast_df.collect()}
     assert plain == fast and plain  # identical, and non-trivially so
 
 
@@ -158,7 +167,7 @@ def test_hopping_reader_range(spark, sf_dir, bar_tables):
     assert all(lo <= r["window_start"] < hi for r in rows)
 
 
-def test_streaming_cascade_end_to_end(spark, sf_dir):
+def test_streaming_cascade_end_to_end(spark, sf_dir, state_store):
     from ksql_linq_spark.operators.cascade import start_streaming_cascade
     from ksql_linq_spark.sources import read_stream_from_table, read_table
 

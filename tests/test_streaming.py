@@ -77,7 +77,7 @@ def test_update_mode_emits_changes(spark, event_stream):
     assert spark.sql("SELECT count(*) FROM t_changes").first()[0] > 0
 
 
-def test_dedup_within_watermark(spark):
+def test_dedup_within_watermark(spark, state_store):
     rows = [
         (1, "a", dt.datetime(2024, 1, 1, 0, 0, 1)),
         (1, "a", dt.datetime(2024, 1, 1, 0, 0, 2)),  # dup key
@@ -214,7 +214,7 @@ def test_consumer_retry_and_dlq(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def test_streaming_gap_fill(spark):
+def test_streaming_gap_fill(spark, state_store):
     from ksql_linq_spark.operators.gapfill import streaming_gap_fill
 
     tmp = tempfile.mkdtemp()
@@ -674,7 +674,7 @@ def test_streaming_quality_gate_quarantine(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
-def test_stream_changelog_join_latest_value_and_tombstone(spark):
+def test_stream_changelog_join_latest_value_and_tombstone(spark, state_store):
     """True stream-TABLE join: probes see the newest upsert for their
     key at their event time, a later upsert changes subsequent probes
     (cross-batch state), and a null upsert tombstones the key."""

@@ -113,6 +113,81 @@ PROVIDERS = {
 }
 
 
+def _parse_flags(argv: list[str]) -> tuple[str | None, int | None, list[str]]:
+    """Order-insensitive extraction of --store/--shards (r10 ADVICE:
+    the old positional `argv[:1] == ["--store"]` parse raised
+    ValueError on `--shards 8 --store hdfs`).  Returns
+    (store, shards, positional_rest)."""
+    store: str | None = None
+    shards: int | None = None
+    rest: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--store":
+            store = argv[i + 1]
+            i += 2
+        elif argv[i] == "--shards":
+            shards = int(argv[i + 1])
+            i += 2
+        else:
+            rest.append(argv[i])
+            i += 1
+    return store, shards, rest
+
+
+def _merge_key_ladder_runs(new_runs: dict, prior: dict) -> dict:
+    """Merge a fresh key-ladder result into a prior
+    STREAM_THROUGHPUT_KEYS.json (v4 runs keyed by rate; a v3
+    single-rate file migrates to one runs entry).  Merging is
+    rate-level, then store-level, then leg-level (keyed by n_keys,
+    newest wins), so a ladder at a NEW rate extends the file instead
+    of silently clobbering every prior store's ladder (r10 ADVICE),
+    and a knee-tightening rerun of one key count extends a store's
+    ladder rather than replacing it."""
+    prior_runs: dict = {}
+    if prior.get("version") == 3:
+        # migrate: v3's top-level leg_seconds recorded the composed
+        # duration, but the key-ladder legs actually ran 75 s
+        prior_runs = {str(prior["rate_rows_per_sec"]): {
+            "rate_rows_per_sec": prior["rate_rows_per_sec"],
+            "leg_seconds": 75,
+            "leg_seconds_note": (
+                "migrated from v3, whose recorded value "
+                f"({prior.get('leg_seconds')}) mislabeled the composed "
+                "duration; legs ran 75 s"),
+            "stores": prior["stores"],
+        }}
+    elif prior.get("version") == 4:
+        prior_runs = dict(prior["runs"])
+    merged_runs = prior_runs
+    for rk, new_run in new_runs.items():
+        if rk not in merged_runs:
+            merged_runs[rk] = new_run
+            continue
+        merged_stores = dict(merged_runs[rk]["stores"])
+        for store, rec in new_run["stores"].items():
+            if store in merged_stores:
+                legs_by_nk = {
+                    leg["n_keys"]: leg
+                    for leg in merged_stores[store]["legs"]
+                }
+                legs_by_nk.update(
+                    {leg["n_keys"]: leg for leg in rec["legs"]}
+                )
+                legs = [legs_by_nk[nk] for nk in sorted(legs_by_nk)]
+                knees = [leg["n_keys"] for leg in legs
+                         if not leg["sustained"]]
+                merged_stores[store] = {
+                    "first_unsustained_n_keys":
+                        min(knees) if knees else None,
+                    "legs": legs,
+                }
+            else:
+                merged_stores[store] = rec
+        merged_runs[rk] = {**new_run, "stores": merged_stores}
+    return merged_runs
+
+
 def _set_store(spark, store: str) -> None:
     """Session conf is captured per-query at start; clears other
     stores' extra confs so back-to-back legs don't leak settings."""
@@ -199,6 +274,7 @@ def run_leg(spark, rate: int, n_keys: int = 5, store: str = "hdfs") -> dict:
     half = [s for s in samples if s[0] > LEG_SECONDS / 2]
     if not half:
         return {"rate": rate, "n_keys": n_keys, "store": store,
+                "leg_seconds": LEG_SECONDS,
                 "sustained": False, "reason": "no steady samples"}
     mean_proc = sum(s[2] for s in half) / len(half)
     max_batch_ms = max(s[3] for s in half)
@@ -228,6 +304,9 @@ def run_leg(spark, rate: int, n_keys: int = 5, store: str = "hdfs") -> dict:
         "rate": rate,
         "n_keys": n_keys,
         "store": store,
+        # stamped at measurement time so merged artifacts stay honest
+        # about each leg's true duration (r10 ADVICE)
+        "leg_seconds": LEG_SECONDS,
         "sustained": bool(sustained),
         "steady_processed_rps": round(mean_proc),
         "max_batch_ms": max_batch_ms,
@@ -349,6 +428,7 @@ def run_composed_leg(spark, rate: int, n_keys: int, store: str) -> dict:
     half = [s for s in samples if s[0] > COMPOSED_LEG_SECONDS / 2]
     if not half:
         return {"rate": rate, "n_keys": n_keys, "store": store,
+                "leg_seconds": COMPOSED_LEG_SECONDS,
                 "sustained": False, "reason": "no steady samples"}
     mean_proc = sum(s[2] for s in half) / len(half)
     max_batch_ms = max(s[3] for s in half)
@@ -369,6 +449,11 @@ def run_composed_leg(spark, rate: int, n_keys: int, store: str) -> dict:
         "rate": rate,
         "n_keys": n_keys,
         "store": store,
+        # per-leg stamp: composed legs have run at 150/330/400 s across
+        # rounds (env-overridable), and the merged artifact previously
+        # kept only the newest run's top-level value (r10 ADVICE) —
+        # whether a leg was flush-inclusive is now recoverable per leg
+        "leg_seconds": COMPOSED_LEG_SECONDS,
         "sustained": bool(sustained),
         "sustained_strict_max_batch": bool(strict),
         "steady_processed_rps": round(mean_proc),
@@ -390,20 +475,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     if len(sys.argv) > 1 and sys.argv[1] == "--key-ladder":
-        argv = sys.argv[2:]
-        stores = ["hdfs", "rocksdb", "rocksdb_cl"]
-        if argv[:1] == ["--store"]:
-            stores = ([argv[1]] if argv[1] not in ("both", "all")
-                      else ["hdfs", "rocksdb", "rocksdb_cl"])
-            argv = argv[2:]
-        kl_shards = None
-        if argv[:1] == ["--shards"]:
+        store_flag, kl_shards, argv = _parse_flags(sys.argv[2:])
+        stores = (["hdfs", "rocksdb", "rocksdb_cl"]
+                  if store_flag in (None, "both", "all") else [store_flag])
+        if kl_shards is not None:
             # see --composed --shards: state shards = shuffle
             # partitions at each query's first start.  Shard-tuned
             # runs are suffixed into the store key so they never
             # overwrite the default-shard ladder.
-            kl_shards = int(argv[1])
-            argv = argv[2:]
             spark.conf.set("spark.sql.shuffle.partitions", str(kl_shards))
             stores = [f"{s}@sh{kl_shards}" for s in stores]
         rate = int(argv[0]) if argv else 400_000
@@ -425,48 +504,28 @@ def main() -> int:
                 "legs": legs,
             }
             print(f"{store} knee: {knee}")
+        # v4 (r11, two r10 ADVICE items): the artifact is keyed by RATE
+        # (like the composed v5 runs map) so a ladder at a new rate
+        # extends the file instead of silently clobbering every prior
+        # store's ladder; and leg_seconds is the key-ladder legs' TRUE
+        # duration (LEG_SECONDS — v3 mislabeled it with the composed
+        # value), now also stamped per leg at measurement time.
         out = {
             "mode": "key_ladder",
-            "version": 3,
+            "version": 4,
             "trigger_seconds": TRIGGER_SECONDS,
-            "leg_seconds": COMPOSED_LEG_SECONDS,
-            "rate_rows_per_sec": rate,
-            "stores": by_store,
+            "runs": {str(rate): {
+                "rate_rows_per_sec": rate,
+                "leg_seconds": LEG_SECONDS,
+                "stores": by_store,
+            }},
         }
-        # merge with a prior v3 record so per-store runs compose into
-        # one side-by-side artifact instead of clobbering each other —
-        # at LEG level (keyed by n_keys, newest wins), so a later
-        # knee-tightening run of a single key count extends a store's
-        # ladder rather than replacing it
         path = "STREAM_THROUGHPUT_KEYS.json"
         if os.path.exists(path):
             try:
                 with open(path) as f:
                     prior = json.load(f)
-                if (prior.get("version") == 3
-                        and prior.get("rate_rows_per_sec") == rate):
-                    merged = dict(prior["stores"])
-                    for store, rec in by_store.items():
-                        if store in merged:
-                            legs_by_nk = {
-                                leg["n_keys"]: leg
-                                for leg in merged[store]["legs"]
-                            }
-                            legs_by_nk.update(
-                                {leg["n_keys"]: leg for leg in rec["legs"]}
-                            )
-                            legs = [legs_by_nk[nk]
-                                    for nk in sorted(legs_by_nk)]
-                            knees = [leg["n_keys"] for leg in legs
-                                     if not leg["sustained"]]
-                            merged[store] = {
-                                "first_unsustained_n_keys":
-                                    min(knees) if knees else None,
-                                "legs": legs,
-                            }
-                        else:
-                            merged[store] = rec
-                    out["stores"] = merged
+                out["runs"] = _merge_key_ladder_runs(out["runs"], prior)
             except (OSError, ValueError):
                 pass
         with open(path, "w") as f:
@@ -475,13 +534,9 @@ def main() -> int:
         return 0
 
     if len(sys.argv) > 1 and sys.argv[1] == "--composed":
-        argv = sys.argv[2:]
-        store = "rocksdb_cl"
-        shards = None
-        if argv[:1] == ["--store"]:
-            store = argv[1]
-            argv = argv[2:]
-        if argv[:1] == ["--shards"]:
+        store_flag, shards, argv = _parse_flags(sys.argv[2:])
+        store = store_flag or "rocksdb_cl"
+        if shards is not None:
             # state-shard count = shuffle partitions captured at each
             # query's FIRST start (fresh checkpoints per leg, so this
             # takes effect).  The 250k-key cliff is commit-bound at 32
@@ -489,8 +544,6 @@ def main() -> int:
             # measures whether fewer, fatter shards amortize the
             # per-shard commit fixed cost (files+fsync) or per-key
             # work dominates regardless of sharding.
-            shards = int(argv[1])
-            argv = argv[2:]
             spark.conf.set("spark.sql.shuffle.partitions", str(shards))
         n_keys = int(argv[0]) if argv else 100_000
         # explicit comma-separated rate ladder, else double from argv[1]
