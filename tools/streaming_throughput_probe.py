@@ -567,7 +567,20 @@ def main() -> int:
         if shards is not None:
             run["state_shards"] = shards
             run_key += f"@sh{shards}"
-        out = {"mode": "composed_ceiling", "version": 5,
+        # scale-out proxy (r11): SPARK_GRAFT_CPUS shrinks local[N] — the
+        # single-box analog of removing executors.  Record cores always;
+        # key non-default allocations separately so a local[8] ladder
+        # never merges into (or clobbers) the local[32] envelope.
+        cores_m = spark.sparkContext.master  # e.g. "local[8]"
+        cores = (int(cores_m[cores_m.index("[") + 1:-1])
+                 if "[" in cores_m and cores_m[-2] != "*"
+                 else os.cpu_count())
+        run["cores"] = cores
+        if cores != 32:
+            run_key += f"@c{cores}"
+        # v6 (r11): legs stamp leg_seconds at measurement time, runs
+        # record the core allocation (and key non-32-core runs apart)
+        out = {"mode": "composed_ceiling", "version": 6,
                "trigger_seconds": TRIGGER_SECONDS,
                "leg_seconds": COMPOSED_LEG_SECONDS,
                "pipeline": "session-gate -> 1s hub -> 1m/5m tiers "
@@ -592,7 +605,7 @@ def main() -> int:
                                  "legs": prior["legs"]},
                             **out["runs"],
                         }
-                    elif prior.get("version") == 5:
+                    elif prior.get("version") in (5, 6):
                         merged_runs = dict(prior["runs"])
                         for rk, new_run in out["runs"].items():
                             if rk in merged_runs:
