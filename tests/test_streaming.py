@@ -1442,7 +1442,7 @@ def test_cascade_soak_restart_midstream_exactly_once(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def test_changelog_join_tombstone_restart_soak(spark):
+def test_changelog_join_tombstone_restart_soak(spark, state_store):
     """r5 soak (cascade-soak template, commit 7f43a91 lineage): a key
     tombstoned mid-stream must STAY tombstoned across a kill/restart
     (the delete lives in the checkpointed state store, reference
@@ -1526,7 +1526,7 @@ def test_changelog_join_tombstone_restart_soak(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
-def test_streaming_gap_fill_restart_across_gap_soak(spark):
+def test_streaming_gap_fill_restart_across_gap_soak(spark, state_store):
     """r5 soak: the gap-fill continuation state (last bucket + close)
     must survive a kill/restart so a gap that SPANS the restart is
     synthesized from the pre-restart close — and a pure replay emits no
