@@ -207,6 +207,16 @@ def start_streaming_cascade(
     ``spark.streams.removeListener(shim)`` using the returned shim
     (queries, shim) when a bus is wired, else just the query list.
     """
+    from ..streaming.stateful import warn_if_shards_exceed_cores
+
+    # Deployment-rule guard (SCALING.md round-11): every tier below is a
+    # stateful streaming agg, so commits/trigger = shards x (1 hub +
+    # sub-calendar tiers); a node with shards > cores collapses.
+    n_stateful = 1 + sum(
+        1 for tf in plan.timeframes if timeframe_seconds(tf) is not None
+    )
+    warn_if_shards_exceed_cores(tick_stream.sparkSession, n_stateful)
+
     shim = None
     if incident_bus is not None:
         from ..streaming.incidents import attach_incident_listener

@@ -35,6 +35,89 @@ ROCKSDB_CHANGELOG_CONF = (
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 )
 
+# The r11 strong-scaling probe (SCALING.md round-11; STREAM_THROUGHPUT.json
+# v6 runs rocksdb_cl@100000@c8) measured a node whose state-shard count
+# reaches 2x its cores sustaining NOTHING at ANY input rate: 16 shards on
+# 8 cores fail at both 45k and 180k rows/s with the SAME ~12.5 s mean
+# batch, a rate-independent per-trigger commit fixed-cost floor
+# (shards x stateful queries = commits that must all finish inside the
+# trigger).  Shards <= cores legs sustained at every probed scale.
+SHARD_COLLAPSE_RATIO = 2.0
+
+
+def shard_allocation_verdict(
+    shards: int, cores: int, n_stateful_queries: int = 1
+) -> str | None:
+    """Apply the measured shards-per-node <= cores deployment rule.
+
+    Returns a warning message when ``shards`` exceeds ``cores`` (the
+    rule the r11 proportional-scaling legs validated), escalating to
+    the measured-collapse wording at >= SHARD_COLLAPSE_RATIO x; None
+    when the allocation is safe.  Pure function so the heuristic is
+    unit-testable without a session.
+    """
+    if cores <= 0 or shards <= cores:
+        return None
+    commits = shards * max(1, n_stateful_queries)
+    head = (
+        f"state-shard allocation exceeds commit parallelism: "
+        f"{shards} shuffle partitions (state shards) on {cores} cores "
+        f"with {max(1, n_stateful_queries)} stateful quer"
+        f"{'y' if max(1, n_stateful_queries) == 1 else 'ies'} = "
+        f"{commits} state-store commits per trigger. "
+    )
+    if shards >= SHARD_COLLAPSE_RATIO * cores:
+        return head + (
+            "At this ratio (>= 2x cores) the r11 strong-scaling probe "
+            "measured the composed topology sustaining NOTHING at any "
+            "input rate — commit fixed cost alone exceeds the trigger "
+            "(STREAM_THROUGHPUT.json v6, 8-core legs; SCALING.md "
+            "round-11).  Set spark.sql.shuffle.partitions <= cores per "
+            "node, partitioning the key space with the nodes."
+        )
+    return head + (
+        "The measured deployment rule is shards-per-node <= cores "
+        "(SCALING.md round-11): every sustained leg kept shards <= "
+        "cores; oversubscribed allocations pay commit fixed cost "
+        "before any data is processed.  Reduce "
+        "spark.sql.shuffle.partitions or add cores."
+    )
+
+
+def _session_cores(spark: SparkSession) -> int:
+    """Commit parallelism of this session: local[N] thread count when
+    parseable, else the scheduler's defaultParallelism (= total
+    executor cores on a real cluster)."""
+    import re
+
+    master = spark.conf.get("spark.master", "")
+    m = re.search(r"local\[(\d+)", master)
+    if m:
+        return int(m.group(1))
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        return 0
+
+
+def warn_if_shards_exceed_cores(
+    spark: SparkSession, n_stateful_queries: int = 1
+) -> str | None:
+    """Session-level wrapper over :func:`shard_allocation_verdict`:
+    reads shuffle partitions + cores from the session and emits the
+    warning at topology start.  Returns the message (or None) so
+    callers can also route it to an incident bus."""
+    try:
+        shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        shards = 200
+    msg = shard_allocation_verdict(
+        shards, _session_cores(spark), n_stateful_queries
+    )
+    if msg is not None:
+        warnings.warn(msg, stacklevel=3)
+    return msg
+
 
 def ensure_rocksdb_provider(spark: SparkSession) -> None:
     """Select the RocksDB state store the PRODUCTION way: provider +

@@ -9,6 +9,8 @@ import importlib.util
 import os
 import sys
 
+import pytest
+
 _spec = importlib.util.spec_from_file_location(
     "streaming_throughput_probe",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -84,3 +86,60 @@ def test_merge_same_rate_leg_level_newest_wins():
     merged2 = probe._merge_key_ladder_runs(
         new2, {"version": 4, "runs": merged})
     assert set(merged2["400000"]["stores"]) == {"hdfs", "rocksdb_cl"}
+
+
+def test_parse_flags_trailing_valueless_flag_is_usage_error():
+    # r11 ADVICE: `--shards` as the last arg raised IndexError before
+    # any measurement ran
+    with pytest.raises(probe.FlagError, match="requires a value"):
+        probe._parse_flags(["100000", "--shards"])
+    with pytest.raises(probe.FlagError, match="requires a value"):
+        probe._parse_flags(["--store"])
+
+
+def test_parse_flags_validates_store_name():
+    # r11 residual nit: a typo'd store burned the full 25+ min ladder
+    # before dying on the PROVIDERS KeyError
+    with pytest.raises(probe.FlagError, match="unknown store"):
+        probe._parse_flags(["--store", "rocskdb"])
+    with pytest.raises(probe.FlagError, match="integer"):
+        probe._parse_flags(["--shards", "sixteen"])
+    # every provider plus the ladder-only all/both aliases stay valid
+    for s in list(probe.PROVIDERS) + ["all", "both"]:
+        assert probe._parse_flags(["--store", s])[0] == s
+
+
+def test_merge_rejects_unrecognized_prior_version():
+    # r11 ADVICE: a v2/v5 prior was silently dropped AND overwritten
+    with pytest.raises(ValueError, match="unrecognized key-ladder"):
+        probe._merge_key_ladder_runs({}, {"version": 2, "stores": {}})
+
+
+def test_merge_malformed_prior_raises_keyerror_not_crash_path():
+    # v3 missing rate_rows_per_sec / v4 missing runs raise KeyError —
+    # the caller now catches it and preserves the file (see below)
+    with pytest.raises(KeyError):
+        probe._merge_key_ladder_runs({}, {"version": 3,
+                                          "leg_seconds": 75})
+    with pytest.raises(KeyError):
+        probe._merge_key_ladder_runs({}, {"version": 4})
+
+
+def test_preserve_unmerged_moves_prior_aside(tmp_path):
+    path = tmp_path / "STREAM_THROUGHPUT_KEYS.json"
+    path.write_text("{malformed")
+    probe._preserve_unmerged(str(path), ValueError("boom"))
+    assert not path.exists()
+    assert (tmp_path / "STREAM_THROUGHPUT_KEYS.json.unmerged"
+            ).read_text() == "{malformed"
+
+
+def test_master_cores_parses_maxfailures_and_star_forms():
+    # r11 ADVICE: the slice parse raised ValueError on local[2,4]
+    assert probe._master_cores("local[8]") == 8
+    assert probe._master_cores("local[2,4]") == 2
+    assert probe._master_cores("local[32]") == 32
+    assert probe._master_cores("local[*]") == (os.cpu_count() or 1)
+    assert probe._master_cores("spark://host:7077") == (
+        os.cpu_count() or 1)
+    assert probe.BASELINE_CORES == 32

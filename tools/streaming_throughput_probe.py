@@ -87,6 +87,23 @@ COMPOSED_LEG_SECONDS = int(
     os.environ.get("SPARK_GRAFT_COMPOSED_LEG_SECONDS", "150"))
 TRIGGER_SECONDS = 5
 MAX_LEGS = 6
+# Core allocation of every composed run recorded before v6 grew the
+# per-run "cores" field: the probe host's local[32].  Runs at this
+# count keep the unsuffixed run_key so they merge with (rather than
+# fork from) that pre-v6 history; any other allocation is suffixed
+# @cN (r11 ADVICE: this was a bare magic 32).
+BASELINE_CORES = 32
+
+
+def _master_cores(master: str) -> int:
+    """Thread count of a local master ("local[8]", "local[2,4]" with
+    maxFailures, "local[*]"), falling back to os.cpu_count() — the
+    old slice parse raised ValueError on the maxFailures form (r11
+    ADVICE)."""
+    import re
+
+    m = re.search(r"local\[(\d+)", master)
+    return int(m.group(1)) if m else (os.cpu_count() or 1)
 
 _ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state."
@@ -113,21 +130,48 @@ PROVIDERS = {
 }
 
 
+class FlagError(ValueError):
+    """Bad --store/--shards usage; message is the usage line."""
+
+
 def _parse_flags(argv: list[str]) -> tuple[str | None, int | None, list[str]]:
     """Order-insensitive extraction of --store/--shards (r10 ADVICE:
     the old positional `argv[:1] == ["--store"]` parse raised
     ValueError on `--shards 8 --store hdfs`).  Returns
-    (store, shards, positional_rest)."""
+    (store, shards, positional_rest).
+
+    r12 (r11 ADVICE): a trailing valueless flag raises FlagError with
+    a usage message instead of IndexError, and the store name is
+    validated HERE — a typo'd ``--store rocskdb`` used to burn the
+    full ladder (25+ min) before dying on the PROVIDERS KeyError."""
+    valid_stores = sorted(PROVIDERS) + ["all", "both"]
     store: str | None = None
     shards: int | None = None
     rest: list[str] = []
     i = 0
     while i < len(argv):
-        if argv[i] == "--store":
-            store = argv[i + 1]
-            i += 2
-        elif argv[i] == "--shards":
-            shards = int(argv[i + 1])
+        if argv[i] in ("--store", "--shards"):
+            if i + 1 >= len(argv):
+                raise FlagError(
+                    f"{argv[i]} requires a value "
+                    f"(usage: --store {'|'.join(valid_stores)} "
+                    f"--shards N)"
+                )
+            if argv[i] == "--store":
+                store = argv[i + 1]
+                if store not in valid_stores:
+                    raise FlagError(
+                        f"unknown store {store!r} "
+                        f"(valid: {', '.join(valid_stores)})"
+                    )
+            else:
+                try:
+                    shards = int(argv[i + 1])
+                except ValueError:
+                    raise FlagError(
+                        f"--shards requires an integer, got "
+                        f"{argv[i + 1]!r}"
+                    ) from None
             i += 2
         else:
             rest.append(argv[i])
@@ -159,6 +203,12 @@ def _merge_key_ladder_runs(new_runs: dict, prior: dict) -> dict:
         }}
     elif prior.get("version") == 4:
         prior_runs = dict(prior["runs"])
+    else:
+        # r12 (r11 ADVICE): an unrecognized prior used to be silently
+        # dropped AND overwritten; raise so the caller preserves it.
+        raise ValueError(
+            f"unrecognized key-ladder version {prior.get('version')!r}"
+        )
     merged_runs = prior_runs
     for rk, new_run in new_runs.items():
         if rk not in merged_runs:
@@ -186,6 +236,21 @@ def _merge_key_ladder_runs(new_runs: dict, prior: dict) -> dict:
                 merged_stores[store] = rec
         merged_runs[rk] = {**new_run, "stores": merged_stores}
     return merged_runs
+
+
+def _preserve_unmerged(path: str, exc: Exception) -> None:
+    """r12 (r11 ADVICE): a prior artifact that cannot be merged — a
+    malformed file (KeyError used to escape the caller's catch and
+    crash AFTER the legs ran, losing the fresh results) or an
+    unrecognized version — is moved aside to <path>.unmerged instead
+    of being silently overwritten; the fresh run is still written."""
+    backup = path + ".unmerged"
+    print(f"WARNING: prior {path} not merged ({exc!r}); "
+          f"preserving it at {backup}", file=sys.stderr)
+    try:
+        os.replace(path, backup)
+    except OSError:
+        pass
 
 
 def _set_store(spark, store: str) -> None:
@@ -475,7 +540,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     if len(sys.argv) > 1 and sys.argv[1] == "--key-ladder":
-        store_flag, kl_shards, argv = _parse_flags(sys.argv[2:])
+        try:
+            store_flag, kl_shards, argv = _parse_flags(sys.argv[2:])
+        except FlagError as exc:
+            print(f"usage error: {exc}", file=sys.stderr)
+            return 2
         stores = (["hdfs", "rocksdb", "rocksdb_cl"]
                   if store_flag in (None, "both", "all") else [store_flag])
         if kl_shards is not None:
@@ -526,15 +595,24 @@ def main() -> int:
                 with open(path) as f:
                     prior = json.load(f)
                 out["runs"] = _merge_key_ladder_runs(out["runs"], prior)
-            except (OSError, ValueError):
-                pass
+            except (OSError, ValueError, KeyError) as exc:
+                _preserve_unmerged(path, exc)
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"-> {path}")
         return 0
 
     if len(sys.argv) > 1 and sys.argv[1] == "--composed":
-        store_flag, shards, argv = _parse_flags(sys.argv[2:])
+        try:
+            store_flag, shards, argv = _parse_flags(sys.argv[2:])
+        except FlagError as exc:
+            print(f"usage error: {exc}", file=sys.stderr)
+            return 2
+        if store_flag in ("all", "both"):
+            print("usage error: --composed runs ONE store "
+                  f"(valid: {', '.join(sorted(PROVIDERS))})",
+                  file=sys.stderr)
+            return 2
         store = store_flag or "rocksdb_cl"
         if shards is not None:
             # state-shard count = shuffle partitions captured at each
@@ -571,12 +649,8 @@ def main() -> int:
         # single-box analog of removing executors.  Record cores always;
         # key non-default allocations separately so a local[8] ladder
         # never merges into (or clobbers) the local[32] envelope.
-        cores_m = spark.sparkContext.master  # e.g. "local[8]"
-        cores = (int(cores_m[cores_m.index("[") + 1:-1])
-                 if "[" in cores_m and cores_m[-2] != "*"
-                 else os.cpu_count())
-        run["cores"] = cores
-        if cores != 32:
+        run["cores"] = cores = _master_cores(spark.sparkContext.master)
+        if cores != BASELINE_CORES:
             run_key += f"@c{cores}"
         # v6 (r11): legs stamp leg_seconds at measurement time, runs
         # record the core allocation (and key non-32-core runs apart)
@@ -634,8 +708,18 @@ def main() -> int:
                             else:
                                 merged_runs[rk] = new_run
                         out["runs"] = merged_runs
-            except (OSError, ValueError):
-                pass
+                    else:
+                        raise ValueError(
+                            "unrecognized composed_ceiling version "
+                            f"{prior.get('version')!r}"
+                        )
+                else:
+                    raise ValueError(
+                        f"prior mode {prior.get('mode')!r} is not "
+                        "composed_ceiling"
+                    )
+            except (OSError, ValueError, KeyError) as exc:
+                _preserve_unmerged(path, exc)
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"composed ceiling: {ceiling} rows/s -> STREAM_THROUGHPUT.json")
