@@ -134,6 +134,12 @@ def ensure_rocksdb_provider(spark: SparkSession) -> None:
     RocksDB without the flag, warn instead of silently overriding
     their config.
     """
+    # Provider selection is the one hook every production stateful
+    # topology passes through, so apply the shards <= cores deployment
+    # rule here too (conservative n_stateful_queries=1; topology
+    # deployers like start_streaming_cascade re-check with their real
+    # query count).
+    warn_if_shards_exceed_cores(spark, 1)
     provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", ""
     )

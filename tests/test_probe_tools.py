@@ -143,3 +143,22 @@ def test_master_cores_parses_maxfailures_and_star_forms():
     assert probe._master_cores("spark://host:7077") == (
         os.cpu_count() or 1)
     assert probe.BASELINE_CORES == 32
+
+
+def test_sweep_to_json_parses_check_log(tmp_path):
+    _sp = importlib.util.spec_from_file_location(
+        "sweep_to_json",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "sweep_to_json.py"),
+    )
+    stj = importlib.util.module_from_spec(_sp)
+    _sp.loader.exec_module(stj)
+    log = ("[Stage 1:> (0+1)/1]PASS  foo_bar: 500 rows (0.5s)\n"
+           "PASS  baz_q: 3385 rows (12.3s)\n"
+           "FAIL  broken_one: hash mismatch over 42 rows\n"
+           "179/179 pass\n")
+    q = stj.parse(log)
+    assert q["foo_bar"] == {"status": "PASS", "rows": 500, "sec": 0.5}
+    assert q["baz_q"]["sec"] == 12.3
+    assert q["broken_one"]["status"] == "FAIL"
+    assert "hash mismatch" in q["broken_one"]["detail"]

@@ -96,6 +96,29 @@ def test_ratio_constant_matches_artifact():
     )
 
 
+def test_ensure_rocksdb_provider_applies_the_rule(spark):
+    # Provider selection is the hook every stateful topology passes
+    # through; an oversubscribed session warns there too.
+    from ksql_linq_spark.streaming.stateful import ensure_rocksdb_provider
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_shards = spark.conf.get("spark.sql.shuffle.partitions")
+    old_prov = spark.conf.get(prov_key, None)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        with pytest.warns(UserWarning, match="state-shard allocation"):
+            ensure_rocksdb_provider(spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shards)
+        if old_prov is None:
+            try:
+                spark.conf.unset(prov_key)
+            except Exception:  # noqa: BLE001 — not set before
+                pass
+        else:
+            spark.conf.set(prov_key, old_prov)
+
+
 def test_session_wrapper_reads_conf_and_warns(spark):
     # conftest session is local[4] with 4 shuffle partitions: silent.
     assert warn_if_shards_exceed_cores(spark, 4) is None
