@@ -162,3 +162,55 @@ def test_sweep_to_json_parses_check_log(tmp_path):
     assert q["baz_q"]["sec"] == 12.3
     assert q["broken_one"]["status"] == "FAIL"
     assert "hash mismatch" in q["broken_one"]["detail"]
+
+
+def _cleg(rate, sustained):
+    return {"rate": rate, "sustained": sustained, "leg_seconds": 150}
+
+
+def test_composed_merge_extends_ladder_and_recomputes_ceiling():
+    prior = {"mode": "composed_ceiling", "version": 6, "runs": {
+        "rocksdb_cl@100000@sh16": {
+            "store": "rocksdb_cl", "n_keys": 100_000,
+            "ceiling_rows_per_sec": 2_160_000,
+            "legs": [_cleg(2_160_000, True), _cleg(4_320_000, False)]},
+    }}
+    new = {"rocksdb_cl@100000@sh16": {
+        "store": "rocksdb_cl", "n_keys": 100_000,
+        "ceiling_rows_per_sec": 400_000,
+        "legs": [_cleg(400_000, True)]}}
+    merged = probe._merge_composed_runs(new, prior)
+    run = merged["rocksdb_cl@100000@sh16"]
+    # the new low-rate leg extends the ladder; prior legs survive; the
+    # ceiling is recomputed over the MERGED legs (stays at the record)
+    assert [(l["rate"], l["sustained"]) for l in run["legs"]] == [
+        (400_000, True), (2_160_000, True), (4_320_000, False)]
+    assert run["ceiling_rows_per_sec"] == 2_160_000
+    # a different topology keys its own run
+    new2 = {"rocksdb_cl@25000@sh4@c8": {
+        "store": "rocksdb_cl", "n_keys": 25_000,
+        "ceiling_rows_per_sec": 1_080_000,
+        "legs": [_cleg(1_080_000, True)]}}
+    merged2 = probe._merge_composed_runs(
+        new2, {"mode": "composed_ceiling", "version": 6, "runs": merged})
+    assert set(merged2) == {"rocksdb_cl@100000@sh16",
+                            "rocksdb_cl@25000@sh4@c8"}
+
+
+def test_composed_merge_migrates_v4_and_rejects_unknown():
+    prior_v4 = {"mode": "composed_ceiling", "version": 4,
+                "store": "rocksdb_cl", "n_keys": 100_000,
+                "ceiling_rows_per_sec": 1_440_000,
+                "legs": [_cleg(1_440_000, True)]}
+    merged = probe._merge_composed_runs({"x@1": {"legs": []}}, prior_v4)
+    assert merged["rocksdb_cl@100000"]["ceiling_rows_per_sec"] == 1_440_000
+    with pytest.raises(ValueError, match="not composed_ceiling"):
+        probe._merge_composed_runs({}, {"mode": "key_ladder"})
+    with pytest.raises(ValueError, match="unrecognized composed"):
+        probe._merge_composed_runs(
+            {}, {"mode": "composed_ceiling", "version": 7})
+    # malformed v6 (missing runs) raises KeyError for the caller's
+    # preserve path, same contract as the key-ladder merge
+    with pytest.raises(KeyError):
+        probe._merge_composed_runs(
+            {}, {"mode": "composed_ceiling", "version": 6})

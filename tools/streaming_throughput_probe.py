@@ -238,6 +238,53 @@ def _merge_key_ladder_runs(new_runs: dict, prior: dict) -> dict:
     return merged_runs
 
 
+def _merge_composed_runs(new_runs: dict, prior: dict) -> dict:
+    """Merge fresh composed-ceiling runs into a prior
+    STREAM_THROUGHPUT.json (runs keyed store@n_keys[@shN][@cN]; a v4
+    single-run file migrates to one runs entry).  Within a run, legs
+    merge keyed by RATE (newest wins) and the ceiling is recomputed as
+    the max sustained rate over the MERGED legs, so successive rate
+    probes of the same topology extend its ladder instead of replacing
+    it.  Raises ValueError on an unrecognized prior (r12: used to be
+    silently dropped and overwritten) for the caller to preserve via
+    _preserve_unmerged.  Factored out of main (r12) so the logic is
+    unit-testable; exercised on the live artifact in SCALING.md
+    round-12 addenda."""
+    if prior.get("mode") != "composed_ceiling":
+        raise ValueError(
+            f"prior mode {prior.get('mode')!r} is not composed_ceiling"
+        )
+    if prior.get("version") == 4:
+        pk = f"{prior['store']}@{prior['n_keys']}"
+        return {
+            pk: {"store": prior["store"],
+                 "n_keys": prior["n_keys"],
+                 "ceiling_rows_per_sec": prior["ceiling_rows_per_sec"],
+                 "legs": prior["legs"]},
+            **new_runs,
+        }
+    if prior.get("version") not in (5, 6):
+        raise ValueError(
+            "unrecognized composed_ceiling version "
+            f"{prior.get('version')!r}"
+        )
+    merged_runs = dict(prior["runs"])
+    for rk, new_run in new_runs.items():
+        if rk in merged_runs:
+            by_rate = {leg["rate"]: leg for leg in merged_runs[rk]["legs"]}
+            by_rate.update({leg["rate"]: leg for leg in new_run["legs"]})
+            legs_m = [by_rate[r] for r in sorted(by_rate)]
+            ok = [leg["rate"] for leg in legs_m if leg["sustained"]]
+            merged_runs[rk] = {
+                **new_run,
+                "legs": legs_m,
+                "ceiling_rows_per_sec": max(ok) if ok else None,
+            }
+        else:
+            merged_runs[rk] = new_run
+    return merged_runs
+
+
 def _preserve_unmerged(path: str, exc: Exception) -> None:
     """r12 (r11 ADVICE): a prior artifact that cannot be merged — a
     malformed file (KeyError used to escape the caller's catch and
@@ -536,15 +583,27 @@ def run_composed_leg(spark, rate: int, n_keys: int, store: str) -> dict:
 
 
 def main() -> int:
-    spark = build_session("stream-throughput")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    if len(sys.argv) > 1 and sys.argv[1] == "--key-ladder":
+    # Parse flags BEFORE building the session so a typo'd invocation
+    # fails in milliseconds, not after ~10 s of JVM startup (r12).
+    mode = sys.argv[1] if len(sys.argv) > 1 else None
+    flags = None
+    if mode in ("--key-ladder", "--composed"):
         try:
-            store_flag, kl_shards, argv = _parse_flags(sys.argv[2:])
+            flags = _parse_flags(sys.argv[2:])
         except FlagError as exc:
             print(f"usage error: {exc}", file=sys.stderr)
             return 2
+        if mode == "--composed" and flags[0] in ("all", "both"):
+            print("usage error: --composed runs ONE store "
+                  f"(valid: {', '.join(sorted(PROVIDERS))})",
+                  file=sys.stderr)
+            return 2
+
+    spark = build_session("stream-throughput")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if mode == "--key-ladder":
+        store_flag, kl_shards, argv = flags
         stores = (["hdfs", "rocksdb", "rocksdb_cl"]
                   if store_flag in (None, "both", "all") else [store_flag])
         if kl_shards is not None:
@@ -602,17 +661,8 @@ def main() -> int:
         print(f"-> {path}")
         return 0
 
-    if len(sys.argv) > 1 and sys.argv[1] == "--composed":
-        try:
-            store_flag, shards, argv = _parse_flags(sys.argv[2:])
-        except FlagError as exc:
-            print(f"usage error: {exc}", file=sys.stderr)
-            return 2
-        if store_flag in ("all", "both"):
-            print("usage error: --composed runs ONE store "
-                  f"(valid: {', '.join(sorted(PROVIDERS))})",
-                  file=sys.stderr)
-            return 2
+    if mode == "--composed":
+        store_flag, shards, argv = flags
         store = store_flag or "rocksdb_cl"
         if shards is not None:
             # state-shard count = shuffle partitions captured at each
@@ -668,56 +718,7 @@ def main() -> int:
             try:
                 with open(path) as f:
                     prior = json.load(f)
-                if prior.get("mode") == "composed_ceiling":
-                    if prior.get("version") == 4:
-                        pk = f"{prior['store']}@{prior['n_keys']}"
-                        out["runs"] = {
-                            pk: {"store": prior["store"],
-                                 "n_keys": prior["n_keys"],
-                                 "ceiling_rows_per_sec":
-                                     prior["ceiling_rows_per_sec"],
-                                 "legs": prior["legs"]},
-                            **out["runs"],
-                        }
-                    elif prior.get("version") in (5, 6):
-                        merged_runs = dict(prior["runs"])
-                        for rk, new_run in out["runs"].items():
-                            if rk in merged_runs:
-                                # leg-level merge within a run (keyed
-                                # by rate, newest wins) so successive
-                                # rate probes of the same topology
-                                # extend the ladder, not replace it
-                                by_rate = {
-                                    leg["rate"]: leg
-                                    for leg in merged_runs[rk]["legs"]
-                                }
-                                by_rate.update(
-                                    {leg["rate"]: leg
-                                     for leg in new_run["legs"]}
-                                )
-                                legs_m = [by_rate[r]
-                                          for r in sorted(by_rate)]
-                                ok = [leg["rate"] for leg in legs_m
-                                      if leg["sustained"]]
-                                merged_runs[rk] = {
-                                    **new_run,
-                                    "legs": legs_m,
-                                    "ceiling_rows_per_sec":
-                                        max(ok) if ok else None,
-                                }
-                            else:
-                                merged_runs[rk] = new_run
-                        out["runs"] = merged_runs
-                    else:
-                        raise ValueError(
-                            "unrecognized composed_ceiling version "
-                            f"{prior.get('version')!r}"
-                        )
-                else:
-                    raise ValueError(
-                        f"prior mode {prior.get('mode')!r} is not "
-                        "composed_ceiling"
-                    )
+                out["runs"] = _merge_composed_runs(out["runs"], prior)
             except (OSError, ValueError, KeyError) as exc:
                 _preserve_unmerged(path, exc)
         with open(path, "w") as f:
