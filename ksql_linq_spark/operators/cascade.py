@@ -215,7 +215,21 @@ def start_streaming_cascade(
     n_stateful = 1 + sum(
         1 for tf in plan.timeframes if timeframe_seconds(tf) is not None
     )
-    warn_if_shards_exceed_cores(tick_stream.sparkSession, n_stateful)
+    shard_msg = warn_if_shards_exceed_cores(
+        tick_stream.sparkSession, n_stateful
+    )
+    if shard_msg is not None and incident_bus is not None:
+        from ..streaming.incidents import Incident
+
+        incident_bus.publish(
+            Incident(
+                kind="misconfiguration",
+                query_id=None,
+                query_name=plan.hub_name,
+                details={"rule": "shards_per_node_lte_cores",
+                         "message": shard_msg},
+            )
+        )
 
     shim = None
     if incident_bus is not None:

@@ -130,3 +130,49 @@ def test_session_wrapper_reads_conf_and_warns(spark):
         assert msg is not None and "32 state-store commits" in msg
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_cascade_publishes_misconfiguration_incident(spark, tmp_path):
+    """An oversubscribed session starting the cascade publishes the
+    shard-rule violation to a wired incident bus (operational surface
+    of the warning, so a deployed monitor sees it too)."""
+    import datetime as dt
+    import warnings as _warnings
+
+    from ksql_linq_spark.operators.cascade import (
+        CascadePlan,
+        start_streaming_cascade,
+    )
+    from ksql_linq_spark.streaming.incidents import IncidentBus
+
+    schema = "event_type string, ts timestamp, value double"
+    spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/src")
+    stream = spark.readStream.schema(schema).parquet(f"{tmp_path}/src")
+    plan = CascadePlan(
+        base_name="sg", keys=["event_type"], ts_col="ts",
+        price_col="value", timeframes=["5m"],
+    )
+    bus = IncidentBus()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    queries, shim = [], None
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")  # 4x cores
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")  # asserted via the bus
+            queries, shim = start_streaming_cascade(
+                plan, stream, sink_dir=f"{tmp_path}/sink",
+                checkpoint_dir=f"{tmp_path}/ckpt", incident_bus=bus,
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        for q in queries:
+            q.stop()
+        if shim is not None:
+            spark.streams.removeListener(shim)
+    inc = bus.recent("misconfiguration")
+    assert inc, "no misconfiguration incident published"
+    assert inc[0].details["rule"] == "shards_per_node_lte_cores"
+    assert "NOTHING" in inc[0].details["message"]
+    assert inc[0].query_name == plan.hub_name
