@@ -48,7 +48,7 @@ class Incident:
     """One runtime incident (IncidentBus.cs envelope: kind + source +
     details; wall-clock stamped at publish)."""
 
-    kind: str            # late_drop | gap | restart | terminated | failed
+    kind: str  # late_drop | gap | restart | terminated | failed | misconfiguration
     query_id: str | None
     query_name: str | None = None
     batch_id: int | None = None

@@ -84,16 +84,27 @@ def shard_allocation_verdict(
     )
 
 
+def parse_local_master_threads(master: str) -> int | None:
+    """Thread count of a local master string — "local[8]" -> 8,
+    "local[2,4]" (maxFailures form) -> 2 — or None when not a
+    fixed-thread local master ("local[*]", "spark://...").  Shared by
+    the shard guard and tools/streaming_throughput_probe.py so the two
+    never disagree about the same session (r12 review)."""
+    import re
+
+    m = re.search(r"local\[(\d+)", master)
+    return int(m.group(1)) if m else None
+
+
 def _session_cores(spark: SparkSession) -> int:
     """Commit parallelism of this session: local[N] thread count when
     parseable, else the scheduler's defaultParallelism (= total
     executor cores on a real cluster)."""
-    import re
-
-    master = spark.conf.get("spark.master", "")
-    m = re.search(r"local\[(\d+)", master)
-    if m:
-        return int(m.group(1))
+    threads = parse_local_master_threads(
+        spark.conf.get("spark.master", "")
+    )
+    if threads is not None:
+        return threads
     try:
         return spark.sparkContext.defaultParallelism
     except Exception:

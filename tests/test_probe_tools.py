@@ -214,3 +214,87 @@ def test_composed_merge_migrates_v4_and_rejects_unknown():
     with pytest.raises(KeyError):
         probe._merge_composed_runs(
             {}, {"mode": "composed_ceiling", "version": 6})
+
+
+def test_composed_merge_v4_collision_merges_legs():
+    # r12 review: the v4 migration used to give new_runs blanket
+    # precedence, dropping a colliding prior run's legs entirely
+    prior_v4 = {"mode": "composed_ceiling", "version": 4,
+                "store": "rocksdb_cl", "n_keys": 100_000,
+                "ceiling_rows_per_sec": 1_440_000,
+                "legs": [_cleg(1_440_000, True)]}
+    new = {"rocksdb_cl@100000": {
+        "store": "rocksdb_cl", "n_keys": 100_000,
+        "ceiling_rows_per_sec": 400_000,
+        "legs": [_cleg(400_000, True)]}}
+    merged = probe._merge_composed_runs(new, prior_v4)
+    run = merged["rocksdb_cl@100000"]
+    assert [(l["rate"], l["sustained"]) for l in run["legs"]] == [
+        (400_000, True), (1_440_000, True)]
+    assert run["ceiling_rows_per_sec"] == 1_440_000
+
+
+def test_preserve_unmerged_falls_back_and_never_overwrites(tmp_path,
+                                                           monkeypatch):
+    # normal path returns the original path for the caller to write to
+    path = tmp_path / "ART.json"
+    path.write_text("{prior}")
+    assert probe._preserve_unmerged(str(path), ValueError("x")) == str(path)
+    # os.replace failing falls back to copyfile (prior preserved both
+    # places; caller still writes fresh over the original)
+    path.write_text("{prior2}")
+
+    def _raise(*_a):
+        raise OSError("locked")
+
+    monkeypatch.setattr(probe.os, "replace", _raise)
+    target = probe._preserve_unmerged(str(path), ValueError("x"))
+    assert target == str(path)
+    assert (tmp_path / "ART.json.unmerged").read_text() == "{prior2}"
+    # both replace AND copy failing: fresh results go to .fresh so the
+    # prior is NOT overwritten (r12 review: the swallowed OSError used
+    # to let the caller clobber it anyway)
+    def _raise_ro(*_a):
+        raise OSError("ro")
+
+    monkeypatch.setattr(probe.shutil, "copyfile", _raise_ro)
+    target = probe._preserve_unmerged(str(path), ValueError("x"))
+    assert target == str(path) + ".fresh"
+    assert path.read_text() == "{prior2}"
+
+
+def test_main_usage_errors_fail_before_jvm(monkeypatch):
+    # r12 review: a misspelled mode or non-integer positional used to
+    # burn ~10s of JVM startup before dying with a raw traceback
+    def boom(*a, **k):
+        raise AssertionError("build_session must not run on usage error")
+
+    monkeypatch.setattr(probe, "build_session", boom)
+    for argv in (["p", "--composd", "100000"],
+                 ["p", "100k"],
+                 ["p", "--key-ladder", "--store", "hdfs", "100k"],
+                 ["p", "--composed", "100000", "400000,"],
+                 ["p", "--composed", "--store", "all"],
+                 ["p", "--key-ladder", "--shards"]):
+        monkeypatch.setattr(probe.sys, "argv", argv)
+        assert probe.main() == 2, argv
+
+
+def test_sweep_parser_mangled_line_and_summary_check():
+    _sp = importlib.util.spec_from_file_location(
+        "sweep_to_json2",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "sweep_to_json.py"),
+    )
+    stj = importlib.util.module_from_spec(_sp)
+    _sp.loader.exec_module(stj)
+    # a PASS line whose rows/sec were mangled by a progress-bar write
+    # records MANGLED instead of crashing int(None)
+    log = ("PASS  ok_q: 10 rows (0.1s)\n"
+           "PASS  mangled_q: 50[Stage 3:>] rows (0.5s)\n"
+           "2/2 pass\n")
+    q = stj.parse(log)
+    assert q["ok_q"]["status"] == "PASS"
+    assert q["mangled_q"]["status"] == "MANGLED"
+    assert stj.summary_counts(log) == (2, 2)
+    assert stj.summary_counts("no summary here") is None

@@ -99,11 +99,14 @@ def _master_cores(master: str) -> int:
     """Thread count of a local master ("local[8]", "local[2,4]" with
     maxFailures, "local[*]"), falling back to os.cpu_count() — the
     old slice parse raised ValueError on the maxFailures form (r11
-    ADVICE)."""
-    import re
+    ADVICE).  Delegates to the engine's shared parser so the probe's
+    recorded cores and the shard guard can never disagree (r12)."""
+    from ksql_linq_spark.streaming.stateful import (
+        parse_local_master_threads,
+    )
 
-    m = re.search(r"local\[(\d+)", master)
-    return int(m.group(1)) if m else (os.cpu_count() or 1)
+    threads = parse_local_master_threads(master)
+    return threads if threads is not None else (os.cpu_count() or 1)
 
 _ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state."
@@ -241,34 +244,37 @@ def _merge_key_ladder_runs(new_runs: dict, prior: dict) -> dict:
 def _merge_composed_runs(new_runs: dict, prior: dict) -> dict:
     """Merge fresh composed-ceiling runs into a prior
     STREAM_THROUGHPUT.json (runs keyed store@n_keys[@shN][@cN]; a v4
-    single-run file migrates to one runs entry).  Within a run, legs
-    merge keyed by RATE (newest wins) and the ceiling is recomputed as
-    the max sustained rate over the MERGED legs, so successive rate
-    probes of the same topology extend its ladder instead of replacing
-    it.  Raises ValueError on an unrecognized prior (r12: used to be
-    silently dropped and overwritten) for the caller to preserve via
-    _preserve_unmerged.  Factored out of main (r12) so the logic is
-    unit-testable; exercised on the live artifact in SCALING.md
-    round-12 addenda."""
+    single-run file migrates to one runs entry and then merges like
+    any other prior — r12 review: the original migration gave new_runs
+    blanket precedence, dropping a colliding prior run's legs).
+    Within a run, legs merge keyed by RATE (newest wins) and the
+    ceiling is recomputed as the max sustained rate over the MERGED
+    legs, so successive rate probes of the same topology extend its
+    ladder instead of replacing it.  Raises ValueError on an
+    unrecognized prior (r12: used to be silently dropped and
+    overwritten) for the caller to preserve via _preserve_unmerged.
+    Factored out of main (r12) so the logic is unit-testable;
+    exercised on the live artifact in SCALING.md round-12 addenda."""
     if prior.get("mode") != "composed_ceiling":
         raise ValueError(
             f"prior mode {prior.get('mode')!r} is not composed_ceiling"
         )
     if prior.get("version") == 4:
         pk = f"{prior['store']}@{prior['n_keys']}"
-        return {
+        prior_runs = {
             pk: {"store": prior["store"],
                  "n_keys": prior["n_keys"],
                  "ceiling_rows_per_sec": prior["ceiling_rows_per_sec"],
                  "legs": prior["legs"]},
-            **new_runs,
         }
-    if prior.get("version") not in (5, 6):
+    elif prior.get("version") in (5, 6):
+        prior_runs = dict(prior["runs"])
+    else:
         raise ValueError(
             "unrecognized composed_ceiling version "
             f"{prior.get('version')!r}"
         )
-    merged_runs = dict(prior["runs"])
+    merged_runs = prior_runs
     for rk, new_run in new_runs.items():
         if rk in merged_runs:
             by_rate = {leg["rate"]: leg for leg in merged_runs[rk]["legs"]}
@@ -285,19 +291,33 @@ def _merge_composed_runs(new_runs: dict, prior: dict) -> dict:
     return merged_runs
 
 
-def _preserve_unmerged(path: str, exc: Exception) -> None:
+def _preserve_unmerged(path: str, exc: Exception) -> str:
     """r12 (r11 ADVICE): a prior artifact that cannot be merged — a
     malformed file (KeyError used to escape the caller's catch and
     crash AFTER the legs ran, losing the fresh results) or an
     unrecognized version — is moved aside to <path>.unmerged instead
-    of being silently overwritten; the fresh run is still written."""
+    of being silently overwritten; the fresh run is still written.
+
+    Returns the path the caller should write the FRESH results to:
+    normally ``path``, but if the prior genuinely cannot be moved OR
+    copied aside (r12 review: a swallowed os.replace failure used to
+    let the caller overwrite the prior anyway), ``path + ".fresh"`` so
+    neither artifact is lost."""
     backup = path + ".unmerged"
-    print(f"WARNING: prior {path} not merged ({exc!r}); "
-          f"preserving it at {backup}", file=sys.stderr)
     try:
         os.replace(path, backup)
     except OSError:
-        pass
+        try:
+            shutil.copyfile(path, backup)
+        except OSError as copy_exc:
+            print(f"ERROR: prior {path} not merged ({exc!r}) and could "
+                  f"not be preserved at {backup} ({copy_exc!r}); writing "
+                  f"fresh results to {path}.fresh instead",
+                  file=sys.stderr)
+            return path + ".fresh"
+    print(f"WARNING: prior {path} not merged ({exc!r}); "
+          f"preserving it at {backup}", file=sys.stderr)
+    return path
 
 
 def _set_store(spark, store: str) -> None:
@@ -598,6 +618,27 @@ def main() -> int:
                   f"(valid: {', '.join(sorted(PROVIDERS))})",
                   file=sys.stderr)
             return 2
+        bad = [a for a in flags[2]
+               if not a or not all(p.isdigit() for p in a.split(","))]
+        if bad:
+            print(f"usage error: positional args must be integers "
+                  f"(or a comma-separated rate list), got {bad!r}",
+                  file=sys.stderr)
+            return 2
+    elif mode is not None:
+        # legacy bare mode takes one integer start rate; a misspelled
+        # --mode or a bad rate must also fail before JVM startup
+        if mode.startswith("-"):
+            print(f"usage error: unknown mode {mode!r} "
+                  "(valid: --key-ladder, --composed, or a bare "
+                  "start rate)", file=sys.stderr)
+            return 2
+        try:
+            int(mode)
+        except ValueError:
+            print(f"usage error: start rate must be an integer, got "
+                  f"{mode!r}", file=sys.stderr)
+            return 2
 
     spark = build_session("stream-throughput")
     spark.sparkContext.setLogLevel("ERROR")
@@ -655,7 +696,7 @@ def main() -> int:
                     prior = json.load(f)
                 out["runs"] = _merge_key_ladder_runs(out["runs"], prior)
             except (OSError, ValueError, KeyError) as exc:
-                _preserve_unmerged(path, exc)
+                path = _preserve_unmerged(path, exc)
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"-> {path}")
@@ -720,10 +761,10 @@ def main() -> int:
                     prior = json.load(f)
                 out["runs"] = _merge_composed_runs(out["runs"], prior)
             except (OSError, ValueError, KeyError) as exc:
-                _preserve_unmerged(path, exc)
+                path = _preserve_unmerged(path, exc)
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
-        print(f"composed ceiling: {ceiling} rows/s -> STREAM_THROUGHPUT.json")
+        print(f"composed ceiling: {ceiling} rows/s -> {path}")
         return 0
 
     rate = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
@@ -739,9 +780,26 @@ def main() -> int:
         rate *= 2
     out = {"trigger_seconds": TRIGGER_SECONDS, "leg_seconds": LEG_SECONDS,
            "ceiling_rows_per_sec": ceiling, "legs": legs}
-    with open("STREAM_THROUGHPUT.json", "w") as f:
+    # The legacy bare ladder writes a mode-less dict; a prior composed
+    # v5/v6 artifact on the same filename must never be clobbered by it
+    # (r12 review: the preserve contract covered the other two modes
+    # but left this one overwriting the 2.16M-record runs map).
+    path = "STREAM_THROUGHPUT.json"
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            prior = None
+        if isinstance(prior, dict) and "mode" in prior:
+            path = _preserve_unmerged(
+                path,
+                ValueError(f"prior mode {prior['mode']!r} is not the "
+                           "legacy bare ladder"),
+            )
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print(f"ceiling: {ceiling} rows/s -> STREAM_THROUGHPUT.json")
+    print(f"ceiling: {ceiling} rows/s -> {path}")
     return 0
 
 

@@ -20,19 +20,38 @@ LINE = re.compile(
 )
 
 
+SUMMARY = re.compile(r"^(\d+)/(\d+) pass", re.MULTILINE)
+
+
 def parse(log_text: str) -> dict[str, dict]:
     queries: dict[str, dict] = {}
     for m in LINE.finditer(log_text):
         status, name, rows, sec, detail = m.groups()
-        if status == "PASS":
+        if status == "PASS" and rows is not None:
             queries[name] = {
                 "status": "PASS",
                 "rows": int(rows),
                 "sec": float(sec),
             }
+        elif status == "PASS":
+            # a progress-bar write interleaved mid-line can leave a
+            # PASS line whose rows/sec didn't parse — record it as
+            # mangled rather than crash (int(None)) or silently claim
+            # a clean PASS
+            queries[name] = {"status": "MANGLED",
+                             "detail": (detail or "")[:200]}
         else:
             queries[name] = {"status": "FAIL", "detail": (detail or "")[:200]}
     return queries
+
+
+def summary_counts(log_text: str) -> tuple[int, int] | None:
+    """check.py's trailing 'N/M pass' line, or None if absent."""
+    matches = SUMMARY.findall(log_text)
+    if not matches:
+        return None
+    n, m = matches[-1]
+    return int(n), int(m)
 
 
 def main() -> int:
@@ -42,8 +61,28 @@ def main() -> int:
     log_path, sf_dir, k, out_path = sys.argv[1:5]
     note = sys.argv[5] if len(sys.argv) > 5 else ""
     with open(log_path) as fh:
-        queries = parse(fh.read())
+        log_text = fh.read()
+    queries = parse(log_text)
     failures = sum(1 for v in queries.values() if v["status"] != "PASS")
+    # cross-check against check.py's own trailing summary so a line
+    # the regex missed can never silently understate coverage
+    summary = summary_counts(log_text)
+    consistent = True
+    if summary is None:
+        print("WARNING: no 'N/M pass' summary line in the log — "
+              "the sweep may have died mid-run", file=sys.stderr)
+        consistent = False
+    else:
+        n_pass, n_total = summary
+        parsed_pass = sum(
+            1 for v in queries.values() if v["status"] == "PASS"
+        )
+        if (n_total, n_pass) != (len(queries), parsed_pass):
+            print(f"WARNING: parsed {parsed_pass}/{len(queries)} but the "
+                  f"log's own summary says {n_pass}/{n_total} — some "
+                  "result lines were mangled or dropped",
+                  file=sys.stderr)
+            consistent = False
     out = {
         "sf_dir": sf_dir,
         "k": int(k),
@@ -52,10 +91,12 @@ def main() -> int:
         "note": note,
         "queries": queries,
     }
+    if summary is not None:
+        out["log_summary"] = {"pass": summary[0], "total": summary[1]}
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"{len(queries)} queries, {failures} failures -> {out_path}")
-    return 0 if failures == 0 else 1
+    return 0 if failures == 0 and consistent else 1
 
 
 if __name__ == "__main__":
