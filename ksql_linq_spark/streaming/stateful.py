@@ -24,6 +24,7 @@ snapshot-default RocksDB failing at even 1k keys (SCALING.md round-9).
 
 from __future__ import annotations
 
+import re
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,8 +91,6 @@ def parse_local_master_threads(master: str) -> int | None:
     fixed-thread local master ("local[*]", "spark://...").  Shared by
     the shard guard and tools/streaming_throughput_probe.py so the two
     never disagree about the same session (r12 review)."""
-    import re
-
     m = re.search(r"local\[(\d+)", master)
     return int(m.group(1)) if m else None
 

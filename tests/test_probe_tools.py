@@ -20,6 +20,15 @@ probe = importlib.util.module_from_spec(_spec)
 sys.modules.setdefault("streaming_throughput_probe", probe)
 _spec.loader.exec_module(probe)
 
+_stj_spec = importlib.util.spec_from_file_location(
+    "sweep_to_json",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools", "sweep_to_json.py"),
+)
+stj = importlib.util.module_from_spec(_stj_spec)
+sys.modules.setdefault("sweep_to_json", stj)
+_stj_spec.loader.exec_module(stj)
+
 
 def test_parse_flags_any_order():
     # the r10 bug: `--shards 8 --store hdfs` raised ValueError
@@ -145,14 +154,7 @@ def test_master_cores_parses_maxfailures_and_star_forms():
     assert probe.BASELINE_CORES == 32
 
 
-def test_sweep_to_json_parses_check_log(tmp_path):
-    _sp = importlib.util.spec_from_file_location(
-        "sweep_to_json",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "tools", "sweep_to_json.py"),
-    )
-    stj = importlib.util.module_from_spec(_sp)
-    _sp.loader.exec_module(stj)
+def test_sweep_to_json_parses_check_log():
     log = ("[Stage 1:> (0+1)/1]PASS  foo_bar: 500 rows (0.5s)\n"
            "PASS  baz_q: 3385 rows (12.3s)\n"
            "FAIL  broken_one: hash mismatch over 42 rows\n"
@@ -250,7 +252,9 @@ def test_preserve_unmerged_falls_back_and_never_overwrites(tmp_path,
     monkeypatch.setattr(probe.os, "replace", _raise)
     target = probe._preserve_unmerged(str(path), ValueError("x"))
     assert target == str(path)
-    assert (tmp_path / "ART.json.unmerged").read_text() == "{prior2}"
+    # the first preserve already owns .unmerged; the copy fallback
+    # lands on the next non-clobbering name
+    assert (tmp_path / "ART.json.unmerged2").read_text() == "{prior2}"
     # both replace AND copy failing: fresh results go to .fresh so the
     # prior is NOT overwritten (r12 review: the swallowed OSError used
     # to let the caller clobber it anyway)
@@ -281,13 +285,6 @@ def test_main_usage_errors_fail_before_jvm(monkeypatch):
 
 
 def test_sweep_parser_mangled_line_and_summary_check():
-    _sp = importlib.util.spec_from_file_location(
-        "sweep_to_json2",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "tools", "sweep_to_json.py"),
-    )
-    stj = importlib.util.module_from_spec(_sp)
-    _sp.loader.exec_module(stj)
     # a PASS line whose rows/sec were mangled by a progress-bar write
     # records MANGLED instead of crashing int(None)
     log = ("PASS  ok_q: 10 rows (0.1s)\n"
@@ -298,3 +295,36 @@ def test_sweep_parser_mangled_line_and_summary_check():
     assert q["mangled_q"]["status"] == "MANGLED"
     assert stj.summary_counts(log) == (2, 2)
     assert stj.summary_counts("no summary here") is None
+
+
+def test_preserve_unmerged_backup_names_never_clobber(tmp_path):
+    # r12 review: legacy-then-composed used to overwrite the first
+    # preserved artifact with the second preserve's os.replace
+    path = tmp_path / "ART.json"
+    path.write_text("{v6}")
+    probe._preserve_unmerged(str(path), ValueError("first"))
+    path.write_text("{bare}")
+    probe._preserve_unmerged(str(path), ValueError("second"))
+    assert (tmp_path / "ART.json.unmerged").read_text() == "{v6}"
+    assert (tmp_path / "ART.json.unmerged2").read_text() == "{bare}"
+
+
+def test_positional_validation_is_slot_aware(monkeypatch):
+    def boom(*a, **k):
+        raise AssertionError("reached build_session")
+
+    monkeypatch.setattr(probe, "build_session", boom)
+    # comma lists are only legal in --composed's RATE slot (argv[1]);
+    # anywhere else they used to pass validation then crash post-JVM
+    for argv in (["p", "--key-ladder", "400000", "1000,10000"],
+                 ["p", "--composed", "100000,200000"]):
+        monkeypatch.setattr(probe.sys, "argv", argv)
+        assert probe.main() == 2, argv
+    # accepted forms reach build_session (validation passed): plain
+    # ints, int()-legal underscore forms, and the composed rate list
+    for argv in (["p", "--composed", "100000", "400000,800000"],
+                 ["p", "--key-ladder", "400000", "1_000", "10000"],
+                 ["p", "--composed", "1_000_000"]):
+        monkeypatch.setattr(probe.sys, "argv", argv)
+        with pytest.raises(AssertionError, match="reached build_session"):
+            probe.main()

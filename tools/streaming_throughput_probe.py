@@ -302,8 +302,15 @@ def _preserve_unmerged(path: str, exc: Exception) -> str:
     normally ``path``, but if the prior genuinely cannot be moved OR
     copied aside (r12 review: a swallowed os.replace failure used to
     let the caller overwrite the prior anyway), ``path + ".fresh"`` so
-    neither artifact is lost."""
+    neither artifact is lost.  The backup name is non-clobbering
+    (.unmerged, .unmerged2, ...) — a second preserve must never
+    destroy what the first one saved (r12 review: legacy-then-composed
+    used to overwrite the preserved v6 artifact with the bare dict)."""
     backup = path + ".unmerged"
+    n = 2
+    while os.path.exists(backup):
+        backup = f"{path}.unmerged{n}"
+        n += 1
     try:
         os.replace(path, backup)
     except OSError:
@@ -618,12 +625,29 @@ def main() -> int:
                   f"(valid: {', '.join(sorted(PROVIDERS))})",
                   file=sys.stderr)
             return 2
-        bad = [a for a in flags[2]
-               if not a or not all(p.isdigit() for p in a.split(","))]
+        # validate each positional against what its slot's int() call
+        # will actually accept (r12 review: a comma list in a non-rate
+        # slot passed validation then crashed after JVM startup, and
+        # isdigit rejected forms int() accepts like 1_000)
+        def _int_ok(s: str) -> bool:
+            try:
+                int(s)
+            except ValueError:
+                return False
+            return True
+
+        bad = []
+        for i, a in enumerate(flags[2]):
+            if mode == "--composed" and i == 1:
+                ok = bool(a) and all(_int_ok(p) for p in a.split(","))
+            else:
+                ok = _int_ok(a)
+            if not ok:
+                bad.append(a)
         if bad:
-            print(f"usage error: positional args must be integers "
-                  f"(or a comma-separated rate list), got {bad!r}",
-                  file=sys.stderr)
+            print("usage error: positional args must be integers (the "
+                  "--composed rate slot may be a comma-separated "
+                  f"list), got {bad!r}", file=sys.stderr)
             return 2
     elif mode is not None:
         # legacy bare mode takes one integer start rate; a misspelled
@@ -786,17 +810,19 @@ def main() -> int:
     # but left this one overwriting the 2.16M-record runs map).
     path = "STREAM_THROUGHPUT.json"
     if os.path.exists(path):
+        preserve_exc = None
         try:
             with open(path) as f:
                 prior = json.load(f)
-        except (OSError, ValueError):
-            prior = None
-        if isinstance(prior, dict) and "mode" in prior:
-            path = _preserve_unmerged(
-                path,
-                ValueError(f"prior mode {prior['mode']!r} is not the "
-                           "legacy bare ladder"),
-            )
+            if isinstance(prior, dict) and "mode" in prior:
+                preserve_exc = ValueError(
+                    f"prior mode {prior['mode']!r} is not the legacy "
+                    "bare ladder")
+        except (OSError, ValueError) as exc:
+            # unreadable/corrupt prior: preserve it too, don't clobber
+            preserve_exc = exc
+        if preserve_exc is not None:
+            path = _preserve_unmerged(path, preserve_exc)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"ceiling: {ceiling} rows/s -> {path}")
