@@ -120,7 +120,11 @@ def warn_if_shards_exceed_cores(
     try:
         shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     except ValueError:
-        shards = 200
+        # Non-integer value (e.g. "auto" on AQE-managed platforms):
+        # the real shard allocation is decided at runtime and unknown
+        # here, so skip the check — same no-evidence rule as cores <= 0
+        # — rather than warn on a fabricated count (r12 ADVICE).
+        return None
     msg = shard_allocation_verdict(
         shards, _session_cores(spark), n_stateful_queries
     )
@@ -129,9 +133,18 @@ def warn_if_shards_exceed_cores(
     return msg
 
 
-def ensure_rocksdb_provider(spark: SparkSession) -> None:
+def ensure_rocksdb_provider(
+    spark: SparkSession, check_shards: bool = True
+) -> None:
     """Select the RocksDB state store the PRODUCTION way: provider +
     changelog checkpointing, always as a pair.
+
+    ``check_shards=False`` skips the shards <= cores warning for
+    deployers that re-check with their real stateful-query count
+    immediately after (e.g. ensure_rocksdb_provider then
+    start_streaming_cascade), so the session warns once with the
+    accurate commit arithmetic instead of twice with conflicting
+    counts (r12 ADVICE).
 
     The r9 state-store ladder (SCALING.md round-9;
     STREAM_THROUGHPUT_KEYS.json v3) measured snapshot-default RocksDB
@@ -148,8 +161,9 @@ def ensure_rocksdb_provider(spark: SparkSession) -> None:
     # topology passes through, so apply the shards <= cores deployment
     # rule here too (conservative n_stateful_queries=1; topology
     # deployers like start_streaming_cascade re-check with their real
-    # query count).
-    warn_if_shards_exceed_cores(spark, 1)
+    # query count and should pass check_shards=False here).
+    if check_shards:
+        warn_if_shards_exceed_cores(spark, 1)
     provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", ""
     )

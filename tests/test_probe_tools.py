@@ -328,3 +328,35 @@ def test_positional_validation_is_slot_aware(monkeypatch):
         monkeypatch.setattr(probe.sys, "argv", argv)
         with pytest.raises(AssertionError, match="reached build_session"):
             probe.main()
+
+
+def test_parse_flags_rejects_nonpositive_shards():
+    # r12 ADVICE: --shards 0 passed the pre-JVM validation, set an
+    # invalid spark.sql.shuffle.partitions, and died only after
+    # session startup — defeating the fail-fast contract
+    with pytest.raises(probe.FlagError, match=">= 1"):
+        probe._parse_flags(["--shards", "0"])
+    with pytest.raises(probe.FlagError, match=">= 1"):
+        probe._parse_flags(["100000", "--shards", "-4"])
+    assert probe._parse_flags(["--shards", "1"])[1] == 1
+
+
+def test_legacy_preserve_reason_classifies_all_priors(tmp_path):
+    # r12 ADVICE: the legacy bare-ladder writer now preserves EVERY
+    # prior (it has no merge key); this helper labels the backup
+    path = tmp_path / "STREAM_THROUGHPUT.json"
+    path.write_text('{"mode": "composed_ceiling", "version": 6}')
+    assert "not the legacy bare ladder" in str(
+        probe._legacy_preserve_reason(str(path)))
+    # an earlier legacy (mode-less) ladder: previously clobbered
+    path.write_text('{"ceiling_rows_per_sec": 800000, "legs": []}')
+    assert "preserved, not merged" in str(
+        probe._legacy_preserve_reason(str(path)))
+    # corrupt bytes: the json error itself is the reason
+    path.write_text("{corrupt")
+    assert isinstance(probe._legacy_preserve_reason(str(path)),
+                      ValueError)
+    # a non-dict prior is also just preserved
+    path.write_text("[1, 2]")
+    assert "preserved, not merged" in str(
+        probe._legacy_preserve_reason(str(path)))

