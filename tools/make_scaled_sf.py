@@ -69,6 +69,14 @@ def main() -> int:
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # At K>=1000 an order-preserving parallel COPY of the replica
+    # cross-product buffers the whole intermediate (measured ~80 GB RSS
+    # with zero bytes flushed on 600M lineitem rows before this was
+    # set).  Replica order is meaningless to every consumer — the
+    # invariant harness and oracle both canon-sort — so let the writer
+    # stream, and bound the buffer pool explicitly.
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET memory_limit='32GB'")
 
     offsets: dict[str, int] = {}
     for dom, (table, col) in DOMAINS.items():
@@ -85,6 +93,19 @@ def main() -> int:
         print(f"{t}: copied (fixed dim)")
 
     for t, remap in REMAP.items():
+        # resume support: a killed large-K run leaves complete tables
+        # behind; skip any dst table that already has exactly K x base
+        # rows (a partial COPY leaves 0 rows or errors on read)
+        dst_file = f"{dst}/{t}.parquet"
+        if os.path.exists(dst_file) and os.path.getsize(dst_file) > 0:
+            try:
+                have = pq.read_metadata(dst_file).num_rows
+                want = k * pq.read_metadata(f"{src}/{t}.parquet").num_rows
+                if have == want:
+                    print(f"{t}: {have} rows already present, skipped")
+                    continue
+            except Exception:
+                pass
         cols = [f.name for f in pq.read_schema(f"{src}/{t}.parquet")]
         exprs = ", ".join(
             f"{c} + r * {offsets[remap[c]]} AS {c}" if c in remap else c
