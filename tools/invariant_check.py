@@ -318,6 +318,12 @@ def make_slices(scaled_dir: str, n: int = N_SLICES) -> list[str]:
     tables = [f[:-8] for f in os.listdir(scaled_dir) if f.endswith(".parquet")]
     slice_key = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
     con = duckdb.connect()
+    # same streaming discipline as make_scaled_sf.py: at 1000x an
+    # order-preserving COPY of the 600M-row lineitem slice buffers
+    # tens of GB; slice row order is irrelevant (family M compares
+    # groupwise sums)
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET memory_limit='32GB'")
     for i, d in enumerate(dirs):
         os.makedirs(d, exist_ok=True)
         for t in tables:
