@@ -360,3 +360,51 @@ def test_legacy_preserve_reason_classifies_all_priors(tmp_path):
     path.write_text("[1, 2]")
     assert "preserved, not merged" in str(
         probe._legacy_preserve_reason(str(path)))
+
+
+_rsp_spec = importlib.util.spec_from_file_location(
+    "restart_soak_probe",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools", "restart_soak_probe.py"),
+)
+soak = importlib.util.module_from_spec(_rsp_spec)
+sys.modules.setdefault("restart_soak_probe", soak)
+_rsp_spec.loader.exec_module(soak)
+
+
+def test_recovery_slope_fit_exact_line():
+    # rungs lying on recovery = 3 + 2e-5 * rows must be recovered
+    # exactly: slope 2 s per 100k rows, fixed cost 3 s, r2 = 1
+    pts = [(100_000, 5.0), (250_000, 8.0), (500_000, 13.0)]
+    fit = soak.fit_recovery_slope(pts)
+    assert fit["slope_secs_per_100k_state_rows"] == 2.0
+    assert fit["fixed_cost_secs"] == 3.0
+    assert fit["r2"] == 1.0
+    assert fit["projected_secs_at_1M_state_rows"] == 23.0
+    assert fit["projected_secs_at_10M_state_rows"] == 203.0
+
+
+def test_recovery_slope_fit_flat_and_degenerate():
+    # O(1) recovery: slope 0, projections equal the constant
+    fit = soak.fit_recovery_slope([(10_000, 4.0), (500_000, 4.0)])
+    assert fit["slope_secs_per_100k_state_rows"] == 0.0
+    assert fit["projected_secs_at_10M_state_rows"] == 4.0
+    with pytest.raises(ValueError, match=">= 2 rungs"):
+        soak.fit_recovery_slope([(100_000, 5.0)])
+    with pytest.raises(ValueError, match="identical state rows"):
+        soak.fit_recovery_slope([(100_000, 5.0), (100_000, 6.0)])
+
+
+def test_ladder_flags_validate_before_jvm():
+    stores, rungs, rpk = soak.parse_ladder_flags([])
+    assert stores == ["hdfs", "rocksdb"]
+    assert rungs == soak.DEFAULT_LADDER_KEYS and rpk == 60
+    stores, rungs, rpk = soak.parse_ladder_flags(
+        ["--store", "rocksdb", "--keys", "1000,5000", "--rows-per-key", "20"])
+    assert (stores, rungs, rpk) == (["rocksdb"], [1000, 5000], 20)
+    for bad in (["--store", "mystore"], ["--keys", "1000"],
+                ["--keys", "1000,0"], ["--keys", "1000,1000"],
+                ["--keys", "a,b"], ["--rows-per-key", "4"],
+                ["--frobnicate", "1"], ["--keys"]):
+        with pytest.raises(ValueError):
+            soak.parse_ladder_flags(bad)

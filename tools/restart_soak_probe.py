@@ -42,6 +42,20 @@ topology instead — session gate -> cascade -> streaming gap-fill, with
 the 1m gap spanning the kill so the gap-filler's per-key
 (last_bucket, last_close) state must recover exactly-once; writes
 RESTART_SOAK_COMPOSED.json.
+
+``--recovery-ladder`` (r13) turns the single-point recovery number into
+a CURVE: the same kill/restart drill at a fan of key cardinalities with
+rows-per-key held constant (so per-key state is constant and any growth
+in recovery wall is attributable to state size), per provider.  Records
+recovery-to-first-batch and pure-replay restart wall per rung plus the
+state rows/bytes the restart had to reload, then least-squares fits
+recovery vs reloaded state rows.  The question it answers for the
+100 TB grade: is checkpoint recovery O(state) or O(1)+epsilon, and what
+is the projected RTO per executor at production state sizes?  Writes
+RECOVERY_LADDER.json.  Usage:
+  python tools/restart_soak_probe.py --recovery-ladder
+      [--store hdfs|rocksdb|both] [--keys 10000,50000,...]
+      [--rows-per-key 60]
 """
 
 from __future__ import annotations
@@ -169,15 +183,20 @@ def run_store(spark, store: str, src_dir: str, n_keys: int) -> dict:
         # hub first (tiers stream FROM the hub sink), then each tier
         for q in queries:
             q.processAllAvailable()
-        state = {}
+        state, state_bytes = {}, {}
         for q in queries:
             lp = q.lastProgress
             if lp:
                 state[q.name] = sum(
                     so["numRowsTotal"] for so in lp.get("stateOperators", [])
                 )
+                state_bytes[q.name] = sum(
+                    so.get("memoryUsedBytes", 0)
+                    for so in lp.get("stateOperators", [])
+                )
         for q in queries:
             q.stop()
+        rec.setdefault("state_bytes_by_phase", []).append(state_bytes)
         return state
 
     try:
@@ -474,8 +493,147 @@ def run_composed_store(spark, store: str, src_dir: str, n_keys: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def fit_recovery_slope(points: list[tuple[float, float]]) -> dict:
+    """Least-squares fit of recovery wall (secs) vs reloaded state rows.
+
+    ``points`` is [(state_rows, secs), ...].  Returns the slope in
+    seconds per 100k state rows, the intercept (the fixed restart cost:
+    JVM query planning + checkpoint metadata + first-batch setup), R^2,
+    and projected recovery walls at 1M / 10M state rows per executor —
+    the per-node state a 100 TB deployment actually sees after keys are
+    sharded across the fleet (total state / n_executors, NOT total
+    state).  Pure function so the fit arithmetic is unit-testable
+    without a ladder run."""
+    n = len(points)
+    if n < 2:
+        raise ValueError("need >= 2 rungs to fit a slope")
+    xs = [float(p[0]) for p in points]
+    ys = [float(p[1]) for p in points]
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    if sxx == 0:
+        raise ValueError("all rungs have identical state rows")
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    slope = sxy / sxx          # secs per state row
+    intercept = my - slope * mx
+    syy = sum((y - my) ** 2 for y in ys)
+    r2 = 1.0 if syy == 0 else (sxy * sxy) / (sxx * syy)
+    proj = {
+        f"projected_secs_at_{label}_state_rows": round(
+            intercept + slope * rows, 2)
+        for label, rows in (("1M", 1e6), ("10M", 1e7))
+    }
+    return {
+        "points": [[int(x), round(y, 2)] for x, y in points],
+        "slope_secs_per_100k_state_rows": round(slope * 1e5, 3),
+        "fixed_cost_secs": round(intercept, 2),
+        "r2": round(r2, 4),
+        **proj,
+    }
+
+
+def run_recovery_ladder(stores: list[str], key_rungs: list[int],
+                        rows_per_key: int) -> dict:
+    """The kill/restart drill at each key cardinality, per store, with
+    rows-per-key constant.  Each rung reuses :func:`run_store` whole —
+    including its exactly-once / value-identity / replay-no-op oracle —
+    so every point on the curve is a VERIFIED recovery, not just a
+    timing."""
+    spark = build_session("recovery-ladder")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"mode": "recovery_ladder", "rows_per_key": rows_per_key,
+                 "key_rungs": key_rungs, "stores": {}}
+    for store in stores:
+        rungs = []
+        for n_keys in key_rungs:
+            n_rows = n_keys * rows_per_key
+            src = tempfile.mkdtemp(prefix=f"rladder_{store}_{n_keys}_")
+            try:
+                make_chunks(spark, src, n_keys, n_rows)
+                rec = run_store(spark, store, src, n_keys)
+                rec["n_rows"] = n_rows
+            except Exception as e:  # noqa: BLE001 — record, don't crash
+                rec = {"store": store, "n_keys": n_keys, "ok": False,
+                       "error": f"{type(e).__name__}: {e}"[:400]}
+            finally:
+                shutil.rmtree(src, ignore_errors=True)
+                shutil.rmtree(f"{src}_staged", ignore_errors=True)
+            rungs.append(rec)
+            print(json.dumps({k: rec.get(k) for k in (
+                "store", "n_keys", "ok", "recovery_to_first_batch_secs",
+                "replay_restart_secs")}))
+        entry: dict = {"rungs": rungs}
+        good = [r for r in rungs if r.get("ok")]
+        # recovery loads the PHASE-1 checkpoint; replay loads phase 2's
+        if len(good) >= 2:
+            entry["recovery_fit"] = fit_recovery_slope([
+                (sum(r["phase1_state_rows"].values()),
+                 r["recovery_to_first_batch_secs"]) for r in good])
+            entry["replay_fit"] = fit_recovery_slope([
+                (sum(r["phase2_state_rows"].values()),
+                 r["replay_restart_secs"]) for r in good])
+        out["stores"][store] = entry
+    return out
+
+
+DEFAULT_LADDER_KEYS = [10_000, 50_000, 100_000, 250_000, 500_000]
+
+
+def parse_ladder_flags(argv: list[str]) -> tuple[list[str], list[int], int]:
+    """Parse the --recovery-ladder flag tail.  All validation happens
+    HERE, before any SparkSession exists — same fail-before-JVM
+    contract as streaming_throughput_probe._parse_flags."""
+    stores = ["hdfs", "rocksdb"]
+    key_rungs = list(DEFAULT_LADDER_KEYS)
+    rows_per_key = 60
+    i = 0
+    while i < len(argv):
+        flag = argv[i]
+        if i + 1 >= len(argv):
+            raise ValueError(f"flag {flag} needs a value")
+        val = argv[i + 1]
+        if flag == "--store":
+            if val not in ("hdfs", "rocksdb", "both"):
+                raise ValueError(f"unknown store {val!r}")
+            stores = [val] if val != "both" else stores
+        elif flag == "--keys":
+            try:
+                key_rungs = [int(k) for k in val.split(",") if k]
+            except ValueError:
+                raise ValueError(f"--keys wants a csv of ints, got {val!r}")
+            if len(key_rungs) < 2 or any(k < 1 for k in key_rungs):
+                raise ValueError("--keys needs >= 2 positive rungs")
+            if len(set(key_rungs)) != len(key_rungs):
+                raise ValueError("--keys rungs must be distinct")
+        elif flag == "--rows-per-key":
+            rows_per_key = int(val)
+            if rows_per_key < 8:
+                # 4 chunks x >=2 rows so every phase has data, and the
+                # 180 s span needs >= 1 row/sec overall at minimum rung
+                raise ValueError("--rows-per-key must be >= 8")
+        else:
+            raise ValueError(f"unknown flag {flag}")
+        i += 2
+    return stores, key_rungs, rows_per_key
+
+
 def main() -> int:
     argv = sys.argv[1:]
+    if argv[:1] == ["--recovery-ladder"]:
+        try:
+            stores, key_rungs, rows_per_key = parse_ladder_flags(argv[1:])
+        except ValueError as e:
+            print(f"usage error: {e}", file=sys.stderr)
+            return 2
+        out = run_recovery_ladder(stores, key_rungs, rows_per_key)
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "RECOVERY_LADDER.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        ok = all(r.get("ok") for e in out["stores"].values()
+                 for r in e["rungs"])
+        print(f"{'ALL OK' if ok else 'FAILURES'} -> {path}")
+        return 0 if ok else 1
     composed = False
     if argv[:1] == ["--composed"]:
         composed = True
