@@ -47,9 +47,11 @@ RESTART_SOAK_COMPOSED.json.
 a CURVE: the same kill/restart drill at a fan of key cardinalities with
 rows-per-key held constant (so per-key state is constant and any growth
 in recovery wall is attributable to state size), per provider.  Records
-recovery-to-first-batch and pure-replay restart wall per rung plus the
-state rows/bytes the restart had to reload, then least-squares fits
-recovery vs reloaded state rows.  The question it answers for the
+three walls per rung — PURE STATE RELOAD (a single-row probe file makes
+the first committed batch reload + epsilon), CATCH-UP (processing the
+backlog at full state), and pure-replay restart (the no-data fixed cost
+floor) — plus the state rows/bytes reloaded, then least-squares fits
+each wall vs reloaded state rows.  The question it answers for the
 100 TB grade: is checkpoint recovery O(state) or O(1)+epsilon, and what
 is the projected RTO per executor at production state sizes?  Writes
 RECOVERY_LADDER.json.  Usage:
@@ -141,7 +143,8 @@ def publish_chunk(src_dir: str, i: int) -> None:
                f"{src_dir}/chunk_{i}.parquet")
 
 
-def run_store(spark, store: str, src_dir: str, n_keys: int) -> dict:
+def run_store(spark, store: str, src_dir: str, n_keys: int,
+              reload_probe: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from ksql_linq_spark.operators.cascade import (
@@ -213,9 +216,36 @@ def run_store(spark, store: str, src_dir: str, n_keys: int) -> dict:
 
         # phase 2: rest of the data arrives; restart from checkpoints.
         # recovery wall = start() -> first committed hub batch (state
-        # reload happens inside that first batch's task setup)
-        publish_chunk(src_dir, 2)
-        publish_chunk(src_dir, 3)
+        # reload happens inside that first batch's task setup).
+        #
+        # With ``reload_probe``, a SINGLE-ROW file (a distinct key, at
+        # the resume point's event time) is published BEFORE the
+        # catch-up chunks, so the first committed batch is checkpoint
+        # state reload plus an epsilon batch — separating pure reload
+        # cost from catch-up processing (a restarted node must do both,
+        # but only reload scales with state; the pure-replay phase
+        # can't measure reload because a batch with no data never
+        # loads the stores).  The probe row's window end (second 91)
+        # is ahead of the watermark it induces (90 - 1 s grace), and
+        # the catch-up chunks start at second 90, so nothing is
+        # late-dropped; the value-identity check below reads
+        # chunk_*.parquet, which includes the probe file.
+        if reload_probe:
+            ptmp = f"{src_dir}_staged/probe"
+            (spark.range(1).select(
+                (F.to_timestamp(F.lit(BASE_TS)) + F.make_dt_interval(
+                    F.lit(0), F.lit(0), F.lit(0), F.lit(90))).alias("ts"),
+                F.lit("probe0").alias("event_type"),
+                F.lit(0.0).alias("value"),
+            ).coalesce(1).write.mode("overwrite").parquet(ptmp))
+            for f in os.listdir(ptmp):
+                if f.endswith(".parquet"):
+                    os.replace(f"{ptmp}/{f}",
+                               f"{src_dir}/chunk_probe.parquet")
+            shutil.rmtree(ptmp, ignore_errors=True)
+        else:
+            publish_chunk(src_dir, 2)
+            publish_chunk(src_dir, 3)
         t0 = time.time()
         qs = start()
         hub = qs[0]
@@ -227,8 +257,15 @@ def run_store(spark, store: str, src_dir: str, n_keys: int) -> dict:
                 raise TimeoutError("hub never committed after restart")
             time.sleep(0.5)
         rec["recovery_to_first_batch_secs"] = round(time.time() - t0, 1)
+        if reload_probe:
+            rec["state_reload_secs"] = rec["recovery_to_first_batch_secs"]
+            publish_chunk(src_dir, 2)
+            publish_chunk(src_dir, 3)
         rec["phase2_state_rows"] = drain(qs)
         rec["phase2_secs"] = round(time.time() - t0, 1)
+        if reload_probe:
+            rec["catch_up_secs"] = round(
+                rec["phase2_secs"] - rec["state_reload_secs"], 1)
         n_after = {
             t: spark.read.parquet(f"{sink}/{t}").count()
             for t in os.listdir(sink)
@@ -550,7 +587,8 @@ def run_recovery_ladder(stores: list[str], key_rungs: list[int],
             src = tempfile.mkdtemp(prefix=f"rladder_{store}_{n_keys}_")
             try:
                 make_chunks(spark, src, n_keys, n_rows)
-                rec = run_store(spark, store, src, n_keys)
+                rec = run_store(spark, store, src, n_keys,
+                                reload_probe=True)
                 rec["n_rows"] = n_rows
             except Exception as e:  # noqa: BLE001 — record, don't crash
                 rec = {"store": store, "n_keys": n_keys, "ok": False,
@@ -560,18 +598,23 @@ def run_recovery_ladder(stores: list[str], key_rungs: list[int],
                 shutil.rmtree(f"{src}_staged", ignore_errors=True)
             rungs.append(rec)
             print(json.dumps({k: rec.get(k) for k in (
-                "store", "n_keys", "ok", "recovery_to_first_batch_secs",
-                "replay_restart_secs")}))
+                "store", "n_keys", "ok", "state_reload_secs",
+                "catch_up_secs", "replay_restart_secs")}))
         entry: dict = {"rungs": rungs}
         good = [r for r in rungs if r.get("ok")]
-        # recovery loads the PHASE-1 checkpoint; replay loads phase 2's
         if len(good) >= 2:
-            entry["recovery_fit"] = fit_recovery_slope([
+            # reload loads the PHASE-1 checkpoint (the probe batch);
+            # replay restarts at phase-2 state but runs NO batch, so it
+            # is the fixed restart cost floor, not a reload measure
+            entry["reload_fit"] = fit_recovery_slope([
                 (sum(r["phase1_state_rows"].values()),
-                 r["recovery_to_first_batch_secs"]) for r in good])
+                 r["state_reload_secs"]) for r in good])
             entry["replay_fit"] = fit_recovery_slope([
                 (sum(r["phase2_state_rows"].values()),
                  r["replay_restart_secs"]) for r in good])
+            entry["catch_up_fit"] = fit_recovery_slope([
+                (sum(r["phase1_state_rows"].values()),
+                 r["catch_up_secs"]) for r in good])
         out["stores"][store] = entry
     return out
 
