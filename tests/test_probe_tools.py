@@ -11,23 +11,21 @@ import sys
 
 import pytest
 
-_spec = importlib.util.spec_from_file_location(
-    "streaming_throughput_probe",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 "tools", "streaming_throughput_probe.py"),
-)
-probe = importlib.util.module_from_spec(_spec)
-sys.modules.setdefault("streaming_throughput_probe", probe)
-_spec.loader.exec_module(probe)
+def _load_tool(name):
+    spec = importlib.util.spec_from_file_location(
+        name,
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", f"{name}.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault(name, mod)
+    spec.loader.exec_module(mod)
+    return mod
 
-_stj_spec = importlib.util.spec_from_file_location(
-    "sweep_to_json",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 "tools", "sweep_to_json.py"),
-)
-stj = importlib.util.module_from_spec(_stj_spec)
-sys.modules.setdefault("sweep_to_json", stj)
-_stj_spec.loader.exec_module(stj)
+
+probe = _load_tool("streaming_throughput_probe")
+stj = _load_tool("sweep_to_json")
+soak = _load_tool("restart_soak_probe")
 
 
 def test_parse_flags_any_order():
@@ -362,16 +360,6 @@ def test_legacy_preserve_reason_classifies_all_priors(tmp_path):
         probe._legacy_preserve_reason(str(path)))
 
 
-_rsp_spec = importlib.util.spec_from_file_location(
-    "restart_soak_probe",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 "tools", "restart_soak_probe.py"),
-)
-soak = importlib.util.module_from_spec(_rsp_spec)
-sys.modules.setdefault("restart_soak_probe", soak)
-_rsp_spec.loader.exec_module(soak)
-
-
 def test_recovery_slope_fit_exact_line():
     # rungs lying on recovery = 3 + 2e-5 * rows must be recovered
     # exactly: slope 2 s per 100k rows, fixed cost 3 s, r2 = 1
@@ -408,3 +396,29 @@ def test_ladder_flags_validate_before_jvm():
                 ["--frobnicate", "1"], ["--keys"]):
         with pytest.raises(ValueError):
             soak.parse_ladder_flags(bad)
+
+
+def test_ladder_flags_bound_generator_invariants():
+    # > 180 rows/key makes a key recur twice in one second, breaking
+    # the (key, second) uniqueness the min_by/max_by oracle needs —
+    # must fail before JVM startup, not as a value mismatch after
+    with pytest.raises(ValueError, match=r"\[8, 180\]"):
+        soak.parse_ladder_flags(["--rows-per-key", "200"])
+    assert soak.parse_ladder_flags(["--rows-per-key", "180"])[2] == 180
+    # below one row per second make_chunks divides by zero
+    with pytest.raises(ValueError, match="must be >= 180"):
+        soak.parse_ladder_flags(["--keys", "10,20", "--rows-per-key", "8"])
+    # --store both after a narrowing flag restores both (last wins)
+    assert soak.parse_ladder_flags(
+        ["--store", "hdfs", "--store", "both"])[0] == ["hdfs", "rocksdb"]
+
+
+def test_recovery_slope_projection_clamped_at_observed_floor():
+    # a noise-dominated negative slope must not extrapolate below the
+    # smallest observed wall (never below zero): the committed hdfs
+    # reload fit is exactly this shape
+    fit = soak.fit_recovery_slope(
+        [(3_000, 3.7), (16_000, 1.8), (33_000, 1.8),
+         (83_000, 1.8), (166_000, 2.2)])
+    assert fit["slope_secs_per_100k_state_rows"] < 0
+    assert fit["projected_secs_at_10M_state_rows"] >= 1.8

@@ -555,9 +555,12 @@ def fit_recovery_slope(points: list[tuple[float, float]]) -> dict:
     intercept = my - slope * mx
     syy = sum((y - my) ** 2 for y in ys)
     r2 = 1.0 if syy == 0 else (sxy * sxy) / (sxx * syy)
+    # clamp at the fitted fixed cost: a noise-dominated negative slope
+    # (low r2) must not extrapolate to a physically impossible RTO
+    # below the restart's own fixed cost
     proj = {
         f"projected_secs_at_{label}_state_rows": round(
-            intercept + slope * rows, 2)
+            max(intercept + slope * rows, min(intercept, min(ys)), 0.0), 2)
         for label, rows in (("1M", 1e6), ("10M", 1e7))
     }
     return {
@@ -603,12 +606,19 @@ def run_recovery_ladder(stores: list[str], key_rungs: list[int],
         entry: dict = {"rungs": rungs}
         good = [r for r in rungs if r.get("ok")]
         if len(good) >= 2:
-            # reload loads the PHASE-1 checkpoint (the probe batch);
-            # replay restarts at phase-2 state but runs NO batch, so it
-            # is the fixed restart cost floor, not a reload measure
+            # The probe batch opens ONLY the hub query's store (the
+            # tier queries see no new hub files until catch-up), so
+            # the reload fit's x-axis is HUB state rows — tier reload
+            # is paid inside catch_up, whose fit uses total rows.
+            # Replay restarts at phase-2 state but runs NO batch, so
+            # it is the fixed restart cost floor, not a reload measure.
+            def hub_rows(r):
+                return sum(v for k, v in r["phase1_state_rows"].items()
+                           if k.endswith("_1s_rows"))
+
             entry["reload_fit"] = fit_recovery_slope([
-                (sum(r["phase1_state_rows"].values()),
-                 r["state_reload_secs"]) for r in good])
+                (hub_rows(r), r["state_reload_secs"]) for r in good])
+            entry["reload_fit"]["x_axis"] = "hub_state_rows"
             entry["replay_fit"] = fit_recovery_slope([
                 (sum(r["phase2_state_rows"].values()),
                  r["replay_restart_secs"]) for r in good])
@@ -638,7 +648,7 @@ def parse_ladder_flags(argv: list[str]) -> tuple[list[str], list[int], int]:
         if flag == "--store":
             if val not in ("hdfs", "rocksdb", "both"):
                 raise ValueError(f"unknown store {val!r}")
-            stores = [val] if val != "both" else stores
+            stores = ["hdfs", "rocksdb"] if val == "both" else [val]
         elif flag == "--keys":
             try:
                 key_rungs = [int(k) for k in val.split(",") if k]
@@ -650,13 +660,22 @@ def parse_ladder_flags(argv: list[str]) -> tuple[list[str], list[int], int]:
                 raise ValueError("--keys rungs must be distinct")
         elif flag == "--rows-per-key":
             rows_per_key = int(val)
-            if rows_per_key < 8:
-                # 4 chunks x >=2 rows so every phase has data, and the
-                # 180 s span needs >= 1 row/sec overall at minimum rung
-                raise ValueError("--rows-per-key must be >= 8")
+            if not 8 <= rows_per_key <= 180:
+                # >= 8: 4 chunks x >= 2 rows so every phase has data.
+                # <= 180: a key recurs every 180/rows_per_key seconds
+                # over the 180 s span, so above 180 the same key lands
+                # twice in one second and min_by/max_by ties break the
+                # value-identity oracle AFTER the multi-minute run
+                raise ValueError("--rows-per-key must be in [8, 180]")
         else:
             raise ValueError(f"unknown flag {flag}")
         i += 2
+    if min(key_rungs) * rows_per_key < 180:
+        # make_chunks computes rows_per_sec = n_rows // 180; below one
+        # row/sec it divides by zero — fail here, not after JVM startup
+        raise ValueError(
+            f"min keys ({min(key_rungs)}) x rows-per-key ({rows_per_key}) "
+            "must be >= 180 (one row per second of the 180 s span)")
     return stores, key_rungs, rows_per_key
 
 
