@@ -384,10 +384,11 @@ def test_recovery_slope_fit_flat_and_degenerate():
 
 
 def test_ladder_flags_validate_before_jvm():
-    stores, rungs, rpk = soak.parse_ladder_flags([])
+    stores, rungs, rpk, composed = soak.parse_ladder_flags([])
     assert stores == ["hdfs", "rocksdb"]
     assert rungs == soak.DEFAULT_LADDER_KEYS and rpk == 60
-    stores, rungs, rpk = soak.parse_ladder_flags(
+    assert composed is False
+    stores, rungs, rpk, composed = soak.parse_ladder_flags(
         ["--store", "rocksdb", "--keys", "1000,5000", "--rows-per-key", "20"])
     assert (stores, rungs, rpk) == (["rocksdb"], [1000, 5000], 20)
     for bad in (["--store", "mystore"], ["--keys", "1000"],
@@ -405,6 +406,14 @@ def test_ladder_flags_bound_generator_invariants():
     with pytest.raises(ValueError, match=r"\[8, 180\]"):
         soak.parse_ladder_flags(["--rows-per-key", "200"])
     assert soak.parse_ladder_flags(["--rows-per-key", "180"])[2] == 180
+    # composed: valueless flag, 360 s span floor, rungs must be % 4
+    assert soak.parse_ladder_flags(
+        ["--composed", "--keys", "1000,4000", "--rows-per-key", "20"])[3]
+    with pytest.raises(ValueError, match="% 4"):
+        soak.parse_ladder_flags(["--composed", "--keys", "1001,4000"])
+    with pytest.raises(ValueError, match=">= 360"):
+        soak.parse_ladder_flags(
+            ["--composed", "--keys", "4,8", "--rows-per-key", "80"])
     # below one row per second make_chunks divides by zero
     with pytest.raises(ValueError, match="must be >= 180"):
         soak.parse_ladder_flags(["--keys", "10,20", "--rows-per-key", "8"])

@@ -335,7 +335,8 @@ def run_store(spark, store: str, src_dir: str, n_keys: int,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def run_composed_store(spark, store: str, src_dir: str, n_keys: int) -> dict:
+def run_composed_store(spark, store: str, src_dir: str, n_keys: int,
+                       reload_probe: bool = False) -> dict:
     """Composed-flagship kill/restart drill (r10, VERDICT r9 item 6):
     session gate -> 3-tier cascade -> streaming gap-fill, with the 1m
     GAP SPANNING THE KILL so the gap-filler's applyInPandasWithState
@@ -436,8 +437,22 @@ def run_composed_store(spark, store: str, src_dir: str, n_keys: int) -> dict:
         # through its parquet sink)
         for q in queries:
             q.processAllAvailable()
+        state, state_bytes = {}, {}
+        for q in queries:
+            lp = q.lastProgress
+            if lp:
+                state[q.name] = sum(
+                    so["numRowsTotal"] for so in lp.get("stateOperators", [])
+                )
+                state_bytes[q.name] = sum(
+                    so.get("memoryUsedBytes", 0)
+                    for so in lp.get("stateOperators", [])
+                )
         for q in queries:
             q.stop()
+        rec.setdefault("state_rows_by_phase", []).append(state)
+        rec.setdefault("state_bytes_by_phase", []).append(state_bytes)
+        return state
 
     try:
         # phase 1: first half (event time 0-180 s), then kill all four
@@ -455,9 +470,32 @@ def run_composed_store(spark, store: str, src_dir: str, n_keys: int) -> dict:
         assert rec["gapfill_rows_at_kill"] > 0, \
             "gap-filler saw no bars before the kill"
 
-        # phase 2: second half; all four queries restart from ckpt
-        publish_chunk(src_dir, 2)
-        publish_chunk(src_dir, 3)
+        # phase 2: second half; all four queries restart from ckpt.
+        # With ``reload_probe``: a single-row probe at second 180 (the
+        # resume point) lands INSIDE the closed session [120, 240), so
+        # the gate drops it — the hub's probe batch reloads its store
+        # and commits with ZERO sink/watermark effect.  Downstream
+        # stages (1m/5m tiers, gap-fill) tick only when the hub writes
+        # new files, so their restart-to-first-data-commit walls —
+        # recorded per stage below — are PIPELINE recovery latencies
+        # (own store reload + upstream propagation), not pure reloads.
+        if reload_probe:
+            ptmp = f"{src_dir}_staged/probe"
+            (spark.range(1).select(
+                (F.to_timestamp(F.lit(BASE_TS)) + F.make_dt_interval(
+                    F.lit(0), F.lit(0), F.lit(0), F.lit(180))).alias("ts"),
+                F.lit("probe0").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("m0").alias("market"),
+            ).coalesce(1).write.mode("overwrite").parquet(ptmp))
+            for f in os.listdir(ptmp):
+                if f.endswith(".parquet"):
+                    os.replace(f"{ptmp}/{f}",
+                               f"{src_dir}/chunk_probe.parquet")
+            shutil.rmtree(ptmp, ignore_errors=True)
+        else:
+            publish_chunk(src_dir, 2)
+            publish_chunk(src_dir, 3)
         t0 = time.time()
         qs = start()
         hub = qs[0]
@@ -469,8 +507,31 @@ def run_composed_store(spark, store: str, src_dir: str, n_keys: int) -> dict:
                 raise TimeoutError("hub never committed after restart")
             time.sleep(0.5)
         rec["recovery_to_first_batch_secs"] = round(time.time() - t0, 1)
+        if reload_probe:
+            rec["state_reload_secs"] = rec["recovery_to_first_batch_secs"]
+            publish_chunk(src_dir, 2)
+            publish_chunk(src_dir, 3)
+            first_commit: dict = {}
+            while len(first_commit) < len(qs):
+                for q in qs:
+                    p = q.lastProgress
+                    if p is None or q.name in first_commit:
+                        continue
+                    # the hub's 1-row probe batch doesn't count as its
+                    # first DATA commit; catch-up chunks are n_rows/4
+                    # rows, so > 1 distinguishes them unambiguously
+                    if p["numInputRows"] > (1 if q is hub else 0):
+                        first_commit[q.name] = round(time.time() - t0, 1)
+                if time.time() - t0 > 600:
+                    raise TimeoutError(
+                        f"stages never committed: have {first_commit}")
+                time.sleep(0.5)
+            rec["first_data_commit_secs_by_stage"] = first_commit
         drain(qs)
         rec["phase2_secs"] = round(time.time() - t0, 1)
+        if reload_probe:
+            rec["catch_up_secs"] = round(
+                rec["phase2_secs"] - rec["state_reload_secs"], 1)
         n_after = {
             t: spark.read.parquet(f"{sink}/{t}").count()
             for t in os.listdir(sink)
@@ -572,16 +633,29 @@ def fit_recovery_slope(points: list[tuple[float, float]]) -> dict:
     }
 
 
+def _phase_state_rows(rec: dict, phase: int) -> dict:
+    """Per-query state rows for a phase, across both drill shapes:
+    run_store records phase{1,2}_state_rows; run_composed_store appends
+    to state_rows_by_phase (phase 1 -> index 0, phase 2 -> index 1)."""
+    if f"phase{phase}_state_rows" in rec:
+        return rec[f"phase{phase}_state_rows"]
+    return rec["state_rows_by_phase"][phase - 1]
+
+
 def run_recovery_ladder(stores: list[str], key_rungs: list[int],
-                        rows_per_key: int) -> dict:
+                        rows_per_key: int, composed: bool = False) -> dict:
     """The kill/restart drill at each key cardinality, per store, with
-    rows-per-key constant.  Each rung reuses :func:`run_store` whole —
+    rows-per-key constant.  Each rung reuses :func:`run_store` (or
+    :func:`run_composed_store` for the flagship topology, whose
+    gap-fill stage carries custom applyInPandasWithState state) whole —
     including its exactly-once / value-identity / replay-no-op oracle —
     so every point on the curve is a VERIFIED recovery, not just a
     timing."""
     spark = build_session("recovery-ladder")
     spark.sparkContext.setLogLevel("ERROR")
-    out: dict = {"mode": "recovery_ladder", "rows_per_key": rows_per_key,
+    out: dict = {"mode": "recovery_ladder_composed" if composed
+                 else "recovery_ladder",
+                 "rows_per_key": rows_per_key,
                  "key_rungs": key_rungs, "stores": {}}
     for store in stores:
         rungs = []
@@ -589,9 +663,15 @@ def run_recovery_ladder(stores: list[str], key_rungs: list[int],
             n_rows = n_keys * rows_per_key
             src = tempfile.mkdtemp(prefix=f"rladder_{store}_{n_keys}_")
             try:
-                make_chunks(spark, src, n_keys, n_rows)
-                rec = run_store(spark, store, src, n_keys,
-                                reload_probe=True)
+                if composed:
+                    make_chunks(spark, src, n_keys, n_rows,
+                                span_s=360, with_market=True)
+                    rec = run_composed_store(spark, store, src, n_keys,
+                                             reload_probe=True)
+                else:
+                    make_chunks(spark, src, n_keys, n_rows)
+                    rec = run_store(spark, store, src, n_keys,
+                                    reload_probe=True)
                 rec["n_rows"] = n_rows
             except Exception as e:  # noqa: BLE001 — record, don't crash
                 rec = {"store": store, "n_keys": n_keys, "ok": False,
@@ -602,28 +682,30 @@ def run_recovery_ladder(stores: list[str], key_rungs: list[int],
             rungs.append(rec)
             print(json.dumps({k: rec.get(k) for k in (
                 "store", "n_keys", "ok", "state_reload_secs",
-                "catch_up_secs", "replay_restart_secs")}))
+                "catch_up_secs", "replay_restart_secs",
+                "first_data_commit_secs_by_stage")}))
         entry: dict = {"rungs": rungs}
         good = [r for r in rungs if r.get("ok")]
         if len(good) >= 2:
             # The probe batch opens ONLY the hub query's store (the
-            # tier queries see no new hub files until catch-up), so
-            # the reload fit's x-axis is HUB state rows — tier reload
-            # is paid inside catch_up, whose fit uses total rows.
-            # Replay restarts at phase-2 state but runs NO batch, so
-            # it is the fixed restart cost floor, not a reload measure.
+            # downstream stages see no new hub files until catch-up),
+            # so the reload fit's x-axis is HUB state rows — tier and
+            # gap-fill reload is paid inside catch_up, whose fit uses
+            # total rows.  Replay restarts at phase-2 state but runs
+            # NO batch, so it is the fixed restart cost floor, not a
+            # reload measure.
             def hub_rows(r):
-                return sum(v for k, v in r["phase1_state_rows"].items()
+                return sum(v for k, v in _phase_state_rows(r, 1).items()
                            if k.endswith("_1s_rows"))
 
             entry["reload_fit"] = fit_recovery_slope([
                 (hub_rows(r), r["state_reload_secs"]) for r in good])
             entry["reload_fit"]["x_axis"] = "hub_state_rows"
             entry["replay_fit"] = fit_recovery_slope([
-                (sum(r["phase2_state_rows"].values()),
+                (sum(_phase_state_rows(r, 2).values()),
                  r["replay_restart_secs"]) for r in good])
             entry["catch_up_fit"] = fit_recovery_slope([
-                (sum(r["phase1_state_rows"].values()),
+                (sum(_phase_state_rows(r, 1).values()),
                  r["catch_up_secs"]) for r in good])
         out["stores"][store] = entry
     return out
@@ -632,16 +714,23 @@ def run_recovery_ladder(stores: list[str], key_rungs: list[int],
 DEFAULT_LADDER_KEYS = [10_000, 50_000, 100_000, 250_000, 500_000]
 
 
-def parse_ladder_flags(argv: list[str]) -> tuple[list[str], list[int], int]:
+def parse_ladder_flags(
+    argv: list[str],
+) -> tuple[list[str], list[int], int, bool]:
     """Parse the --recovery-ladder flag tail.  All validation happens
     HERE, before any SparkSession exists — same fail-before-JVM
     contract as streaming_throughput_probe._parse_flags."""
     stores = ["hdfs", "rocksdb"]
     key_rungs = list(DEFAULT_LADDER_KEYS)
     rows_per_key = 60
+    composed = False
     i = 0
     while i < len(argv):
         flag = argv[i]
+        if flag == "--composed":
+            composed = True
+            i += 1
+            continue
         if i + 1 >= len(argv):
             raise ValueError(f"flag {flag} needs a value")
         val = argv[i + 1]
@@ -670,26 +759,33 @@ def parse_ladder_flags(argv: list[str]) -> tuple[list[str], list[int], int]:
         else:
             raise ValueError(f"unknown flag {flag}")
         i += 2
-    if min(key_rungs) * rows_per_key < 180:
-        # make_chunks computes rows_per_sec = n_rows // 180; below one
+    span = 360 if composed else 180
+    if min(key_rungs) * rows_per_key < span:
+        # make_chunks computes rows_per_sec = n_rows // span; below one
         # row/sec it divides by zero — fail here, not after JVM startup
         raise ValueError(
             f"min keys ({min(key_rungs)}) x rows-per-key ({rows_per_key}) "
-            "must be >= 180 (one row per second of the 180 s span)")
-    return stores, key_rungs, rows_per_key
+            f"must be >= {span} (one row per second of the span)")
+    if composed and any(k % 4 for k in key_rungs):
+        # deterministic session gating needs market constant per key
+        raise ValueError("--composed needs every key rung % 4 == 0")
+    return stores, key_rungs, rows_per_key, composed
 
 
 def main() -> int:
     argv = sys.argv[1:]
     if argv[:1] == ["--recovery-ladder"]:
         try:
-            stores, key_rungs, rows_per_key = parse_ladder_flags(argv[1:])
+            stores, key_rungs, rows_per_key, composed = parse_ladder_flags(
+                argv[1:])
         except ValueError as e:
             print(f"usage error: {e}", file=sys.stderr)
             return 2
-        out = run_recovery_ladder(stores, key_rungs, rows_per_key)
+        out = run_recovery_ladder(stores, key_rungs, rows_per_key, composed)
         path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "RECOVERY_LADDER.json")
+            os.path.abspath(__file__))),
+            "RECOVERY_LADDER_COMPOSED.json" if composed
+            else "RECOVERY_LADDER.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         ok = all(r.get("ok") for e in out["stores"].values()
