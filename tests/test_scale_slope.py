@@ -85,12 +85,14 @@ def test_latest_resolves_highest_round(tmp_path, monkeypatch):
               "SCALE_SWEEP_sf1_r13.json", "BENCH_full_r12_dev.json",
               "BENCH_full_r13_dev.json", "BENCH_full_last.json"):
         (tmp_path / n).write_text("{}")
-    monkeypatch.chdir(tmp_path)
+    # _latest anchors to the repo root via __file__ (not cwd), so the
+    # tool works and writes its artifact correctly from any directory
+    monkeypatch.setattr(slope, "REPO_ROOT", str(tmp_path))
     assert slope._latest("SCALE_SWEEP_sf1_r", ".json") == \
-        "SCALE_SWEEP_sf1_r13.json"
+        str(tmp_path / "SCALE_SWEEP_sf1_r13.json")
     # BENCH_full_last.json must not shadow the round-numbered records
     assert slope._latest("BENCH_full_r", "_dev.json") == \
-        "BENCH_full_r13_dev.json"
+        str(tmp_path / "BENCH_full_r13_dev.json")
 
 
 def test_optin_allowlist_matches_committed_artifact():
@@ -106,3 +108,31 @@ def test_optin_allowlist_matches_committed_artifact():
             assert name in slope.QUADRATIC_OPT_INS, name
         if entry.get("class") == "retimed-linear":
             assert entry["spark_only_ratio"] <= art["threshold_ratio"]
+
+
+def test_audit_failed_sweep_query_fails_the_gate(tmp_path):
+    # a query that FAILED (or never produced a wall) at 10x is the
+    # worst scale regression there is — it must land in unexplained,
+    # not silently vanish from the comparison
+    sweep = tmp_path / "sweep.json"
+    bench = tmp_path / "bench.json"
+    sweep.write_text(json.dumps({
+        "sf_dir": "/tmp/sfX", "k": 10, "total": 2, "failures": 1,
+        "queries": {
+            "fine_agg": {"status": "PASS", "rows": 1, "sec": 4.0},
+            "oom_op": {"status": "FAIL", "err": "OutOfMemoryError"},
+            "timed_but_failed": {"status": "FAIL", "sec": 3.0},
+        },
+    }))
+    bench.write_text(json.dumps({"queries": {"fine_agg": 1.0,
+                                             "oom_op": 1.0,
+                                             "timed_but_failed": 1.0}}))
+    out = slope.audit(str(sweep), str(bench))
+    assert out["queries"]["fine_agg"]["class"] == "linear-band"
+    assert out["queries"]["oom_op"]["class"] == "INCOMPLETE-AT-SCALE"
+    # a FAIL status discards the timing too: the wall of a failed run
+    # is not evidence of a completed query
+    assert out["queries"]["timed_but_failed"]["class"] == \
+        "INCOMPLETE-AT-SCALE"
+    assert sorted(out["unexplained"]) == ["oom_op", "timed_but_failed"]
+    assert out["n_incomplete_at_scale"] == 2

@@ -96,6 +96,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import pandas as pd
 import pyarrow.parquet as pq
@@ -103,6 +104,7 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 from ksql_linq_spark.session import build_session, release_lineage_cuts
+from make_scaled_sf import _duckdb_mem_gb
 
 # domain -> (owning table, key column); must mirror tools/make_scaled_sf.py
 DOMAINS = {
@@ -323,7 +325,7 @@ def make_slices(scaled_dir: str, n: int = N_SLICES) -> list[str]:
     # tens of GB; slice row order is irrelevant (family M compares
     # groupwise sums)
     con.execute("SET preserve_insertion_order=false")
-    con.execute("SET memory_limit='32GB'")
+    con.execute(f"SET memory_limit='{_duckdb_mem_gb()}GB'")
     for i, d in enumerate(dirs):
         os.makedirs(d, exist_ok=True)
         for t in tables:

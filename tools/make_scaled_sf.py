@@ -36,6 +36,18 @@ import sys
 import duckdb
 import pyarrow.parquet as pq
 
+
+def _duckdb_mem_gb(cap_gb: int = 32) -> int:
+    """Buffer-pool bound for the scale-up COPYs: min(cap, ~60% of
+    physical RAM).  A flat 32 GB told DuckDB it could use 2x physical
+    memory on a 16 GB host — the explicit bound must never RAISE the
+    limit above what the adaptive default would have picked."""
+    try:
+        phys = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES"))
+        return max(1, min(cap_gb, int(phys * 0.6 / 1e9)))
+    except (ValueError, OSError):
+        return min(cap_gb, 4)
+
 # key domain -> (owning table, key column); offsets derive from these
 DOMAINS = {
     "C": ("customer", "c_custkey"),
@@ -76,7 +88,7 @@ def main() -> int:
     # invariant harness and oracle both canon-sort — so let the writer
     # stream, and bound the buffer pool explicitly.
     con.execute("SET preserve_insertion_order=false")
-    con.execute("SET memory_limit='32GB'")
+    con.execute(f"SET memory_limit='{_duckdb_mem_gb()}GB'")
 
     offsets: dict[str, int] = {}
     for dom, (table, col) in DOMAINS.items():

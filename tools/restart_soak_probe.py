@@ -143,6 +143,49 @@ def publish_chunk(src_dir: str, i: int) -> None:
                f"{src_dir}/chunk_{i}.parquet")
 
 
+def publish_probe(spark, src_dir: str, second: int,
+                  with_market: bool = False) -> None:
+    """Single-row probe file at ``second`` (the resume point): makes
+    the restart's first committed batch = state reload + epsilon.  The
+    probe key is distinct from every generated key, so (key, second)
+    uniqueness holds; in the composed drill the probe second lands in
+    the closed session so the gate drops the row entirely."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        (F.to_timestamp(F.lit(BASE_TS)) + F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0), F.lit(second))).alias("ts"),
+        F.lit("probe0").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    ]
+    if with_market:
+        cols.append(F.lit("m0").alias("market"))
+    ptmp = f"{src_dir}_staged/probe"
+    spark.range(1).select(*cols).coalesce(1).write.mode(
+        "overwrite").parquet(ptmp)
+    for f in os.listdir(ptmp):
+        if f.endswith(".parquet"):
+            os.replace(f"{ptmp}/{f}", f"{src_dir}/chunk_probe.parquet")
+    shutil.rmtree(ptmp, ignore_errors=True)
+
+
+def collect_state(queries) -> tuple[dict, dict]:
+    """Per-query (state rows, state bytes) from lastProgress
+    stateOperators."""
+    state, state_bytes = {}, {}
+    for q in queries:
+        lp = q.lastProgress
+        if lp:
+            state[q.name] = sum(
+                so["numRowsTotal"] for so in lp.get("stateOperators", [])
+            )
+            state_bytes[q.name] = sum(
+                so.get("memoryUsedBytes", 0)
+                for so in lp.get("stateOperators", [])
+            )
+    return state, state_bytes
+
+
 def run_store(spark, store: str, src_dir: str, n_keys: int,
               reload_probe: bool = False) -> dict:
     from pyspark.sql import functions as F
@@ -186,17 +229,7 @@ def run_store(spark, store: str, src_dir: str, n_keys: int,
         # hub first (tiers stream FROM the hub sink), then each tier
         for q in queries:
             q.processAllAvailable()
-        state, state_bytes = {}, {}
-        for q in queries:
-            lp = q.lastProgress
-            if lp:
-                state[q.name] = sum(
-                    so["numRowsTotal"] for so in lp.get("stateOperators", [])
-                )
-                state_bytes[q.name] = sum(
-                    so.get("memoryUsedBytes", 0)
-                    for so in lp.get("stateOperators", [])
-                )
+        state, state_bytes = collect_state(queries)
         for q in queries:
             q.stop()
         rec.setdefault("state_bytes_by_phase", []).append(state_bytes)
@@ -231,18 +264,7 @@ def run_store(spark, store: str, src_dir: str, n_keys: int,
         # late-dropped; the value-identity check below reads
         # chunk_*.parquet, which includes the probe file.
         if reload_probe:
-            ptmp = f"{src_dir}_staged/probe"
-            (spark.range(1).select(
-                (F.to_timestamp(F.lit(BASE_TS)) + F.make_dt_interval(
-                    F.lit(0), F.lit(0), F.lit(0), F.lit(90))).alias("ts"),
-                F.lit("probe0").alias("event_type"),
-                F.lit(0.0).alias("value"),
-            ).coalesce(1).write.mode("overwrite").parquet(ptmp))
-            for f in os.listdir(ptmp):
-                if f.endswith(".parquet"):
-                    os.replace(f"{ptmp}/{f}",
-                               f"{src_dir}/chunk_probe.parquet")
-            shutil.rmtree(ptmp, ignore_errors=True)
+            publish_probe(spark, src_dir, second=90)
         else:
             publish_chunk(src_dir, 2)
             publish_chunk(src_dir, 3)
@@ -437,17 +459,7 @@ def run_composed_store(spark, store: str, src_dir: str, n_keys: int,
         # through its parquet sink)
         for q in queries:
             q.processAllAvailable()
-        state, state_bytes = {}, {}
-        for q in queries:
-            lp = q.lastProgress
-            if lp:
-                state[q.name] = sum(
-                    so["numRowsTotal"] for so in lp.get("stateOperators", [])
-                )
-                state_bytes[q.name] = sum(
-                    so.get("memoryUsedBytes", 0)
-                    for so in lp.get("stateOperators", [])
-                )
+        state, state_bytes = collect_state(queries)
         for q in queries:
             q.stop()
         rec.setdefault("state_rows_by_phase", []).append(state)
@@ -480,19 +492,7 @@ def run_composed_store(spark, store: str, src_dir: str, n_keys: int,
         # recorded per stage below — are PIPELINE recovery latencies
         # (own store reload + upstream propagation), not pure reloads.
         if reload_probe:
-            ptmp = f"{src_dir}_staged/probe"
-            (spark.range(1).select(
-                (F.to_timestamp(F.lit(BASE_TS)) + F.make_dt_interval(
-                    F.lit(0), F.lit(0), F.lit(0), F.lit(180))).alias("ts"),
-                F.lit("probe0").alias("event_type"),
-                F.lit(0.0).alias("value"),
-                F.lit("m0").alias("market"),
-            ).coalesce(1).write.mode("overwrite").parquet(ptmp))
-            for f in os.listdir(ptmp):
-                if f.endswith(".parquet"):
-                    os.replace(f"{ptmp}/{f}",
-                               f"{src_dir}/chunk_probe.parquet")
-            shutil.rmtree(ptmp, ignore_errors=True)
+            publish_probe(spark, src_dir, second=180, with_market=True)
         else:
             publish_chunk(src_dir, 2)
             publish_chunk(src_dir, 3)
@@ -514,13 +514,18 @@ def run_composed_store(spark, store: str, src_dir: str, n_keys: int,
             first_commit: dict = {}
             while len(first_commit) < len(qs):
                 for q in qs:
-                    p = q.lastProgress
-                    if p is None or q.name in first_commit:
+                    if q.name in first_commit:
                         continue
-                    # the hub's 1-row probe batch doesn't count as its
+                    # scan recentProgress (not just lastProgress): a
+                    # stage may commit its ONLY data batch and then
+                    # overwrite lastProgress with empty-trigger
+                    # progresses before a slow poll observes it.  The
+                    # hub's 1-row probe batch doesn't count as its
                     # first DATA commit; catch-up chunks are n_rows/4
                     # rows, so > 1 distinguishes them unambiguously
-                    if p["numInputRows"] > (1 if q is hub else 0):
+                    need = 1 if q is hub else 0
+                    if any(p["numInputRows"] > need
+                           for p in q.recentProgress):
                         first_commit[q.name] = round(time.time() - t0, 1)
                 if time.time() - t0 > 600:
                     raise TimeoutError(
@@ -676,6 +681,15 @@ def run_recovery_ladder(stores: list[str], key_rungs: list[int],
             except Exception as e:  # noqa: BLE001 — record, don't crash
                 rec = {"store": store, "n_keys": n_keys, "ok": False,
                        "error": f"{type(e).__name__}: {e}"[:400]}
+                # a mid-phase failure (timeout, oracle assert) leaves
+                # this rung's queries running in the SHARED session —
+                # stop them or they keep triggering against deleted
+                # dirs and pollute every later rung's timings
+                for q in spark.streams.active:
+                    try:
+                        q.stop()
+                    except Exception:  # noqa: BLE001 — best-effort
+                        pass
             finally:
                 shutil.rmtree(src, ignore_errors=True)
                 shutil.rmtree(f"{src}_staged", ignore_errors=True)

@@ -75,15 +75,19 @@ QUADRATIC_OPT_INS = {
 }
 
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def _latest(pattern_prefix: str, suffix: str) -> str | None:
     """Highest-round artifact matching BENCH_full_r{N}_dev.json-style
-    names in the repo root."""
+    names in the repo root (anchored via __file__, not cwd, like the
+    sibling probes)."""
     best, best_n = None, -1
-    for f in os.listdir("."):
+    for f in os.listdir(REPO_ROOT):
         if f.startswith(pattern_prefix) and f.endswith(suffix):
             digits = "".join(c for c in f[len(pattern_prefix):] if c.isdigit())
             if digits and int(digits) > best_n:
-                best, best_n = f, int(digits)
+                best, best_n = os.path.join(REPO_ROOT, f), int(digits)
     return best
 
 
@@ -95,10 +99,22 @@ def audit(sweep_path: str, bench_path: str, retime: bool = False) -> dict:
     k = sweep.get("k", 10)
     threshold = THRESHOLD_RATIO * (k / 10.0)
     sweep_q = {n: v["sec"] for n, v in sweep["queries"].items()
-               if isinstance(v, dict) and "sec" in v}
+               if isinstance(v, dict) and "sec" in v
+               and v.get("status", "PASS") == "PASS"}
     bench_q = bench["queries"]
 
     queries, flagged = {}, []
+    # a query that FAILED or never produced a wall at 10x is the worst
+    # scale regression there is — it must fail the gate, not vanish
+    # from the comparison
+    for name, v in sorted(sweep["queries"].items()):
+        if name in sweep_q or not isinstance(v, dict):
+            continue
+        queries[name] = {"class": "INCOMPLETE-AT-SCALE",
+                         "sweep_entry": {k: v.get(k)
+                                         for k in ("status", "sec", "err")
+                                         if k in v}}
+        flagged.append(name)
     for name, scaled_sec in sorted(sweep_q.items()):
         base = bench_q.get(name)
         if base is None:
@@ -120,9 +136,11 @@ def audit(sweep_path: str, bench_path: str, retime: bool = False) -> dict:
         queries[name] = entry
 
     if retime and flagged:
-        _retime(flagged, sweep["sf_dir"], queries, threshold)
+        _retime([n for n in flagged if queries[n]["class"] == "FLAGGED"],
+                sweep["sf_dir"], queries, threshold)
         flagged = [n for n in flagged
-                   if queries[n]["class"] == "FLAGGED"]
+                   if queries[n]["class"] in ("FLAGGED",
+                                              "INCOMPLETE-AT-SCALE")]
 
     out = {
         "sweep": sweep_path, "bench": bench_path, "k": k,
@@ -139,6 +157,9 @@ def audit(sweep_path: str, bench_path: str, retime: bool = False) -> dict:
                         if v.get("class") == "quadratic-opt-in"),
         "n_retimed_linear": sum(1 for v in queries.values()
                                 if v.get("class") == "retimed-linear"),
+        "n_incomplete_at_scale": sum(
+            1 for v in queries.values()
+            if v.get("class") == "INCOMPLETE-AT-SCALE"),
         "unexplained": flagged,
         "queries": queries,
     }
@@ -159,7 +180,17 @@ def _retime(names: list[str], scaled_dir: str, queries: dict,
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     qs = entry_mod.queries()
     for name in names:
-        fn = qs[name]
+        fn = qs.get(name)
+        if fn is None:
+            # stale name from an older committed artifact: there is no
+            # current code to be slow, but say so rather than crash
+            # the whole audit after JVM startup
+            queries[name]["class"] = "no-current-query"
+            queries[name]["verdict"] = (
+                "sweep artifact names a query absent from the current "
+                "registry; nothing to retime"
+            )
+            continue
         times = {}
         for label, d in (("base", base_dir), ("scaled", scaled_dir)):
             best = None
@@ -191,7 +222,7 @@ def main() -> int:
               file=sys.stderr)
         return 2
     out = audit(sweep, bench, retime)
-    with open("SCALE_SLOPE.json", "w") as f:
+    with open(os.path.join(REPO_ROOT, "SCALE_SLOPE.json"), "w") as f:
         json.dump(out, f, indent=1)
     ranked = sorted(
         ((n, v) for n, v in out["queries"].items()
