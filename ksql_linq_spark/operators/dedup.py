@@ -74,8 +74,10 @@ def minhash_signatures(
         _md5_half(F.col("s"), 1).alias("h1"),
         _md5_half(F.col("s"), 9).alias("h2"),
     )
+    # one text parse per aggregate (the Column build was ~10 py4j round
+    # trips per hash); exact integer math — tree and results identical
     mins = [
-        F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(_MOD32))).alias(f"m{i}")
+        F.expr(f"MIN(pmod(`h1` + {i} * `h2`, {_MOD32}))").alias(f"m{i}")
         for i in range(num_hashes)
     ]
     agg = h.groupBy(id_col).agg(*mins)
@@ -206,21 +208,23 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ).select(
         F.col(id_col), _md5_half(F.col("tok"), 1).alias("h")
     )
+    # text-parsed builds (the Column loops were ~18 py4j round trips
+    # per bit x 2 passes); exact integer math — results identical
     votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << j).cast("long")) != 0, 1)
-            .otherwise(-1)
+        F.expr(
+            f"SUM(CASE WHEN (`h` & CAST({1 << j} AS BIGINT)) != 0 "
+            f"THEN 1 ELSE -1 END)"
         ).alias(f"v{j}")
         for j in range(bits)
     ]
     agg = th.groupBy(id_col).agg(*votes)
-    fp = F.lit(0).cast("long")
+    fp = "CAST(0 AS BIGINT)"
     for j in range(bits):
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
+        fp = (
+            f"({fp} | CASE WHEN `v{j}` > 0 THEN CAST({1 << j} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
         )
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    return agg.select(F.col(id_col), F.expr(fp).alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -189,6 +189,16 @@ def zorder_value(cols: list, bits: int = 16):
     d = len(cols)
     if bits * d > 63:
         raise ValueError(f"{bits} bits x {d} dims overflows BIGINT")
+    if all(isinstance(c, str) for c in cols):
+        # bits x d bit-extract terms as ONE text parse (the Column loop
+        # was ~10 py4j round trips per bit-position — measured 2.1k for
+        # the zorder query); exact integer math, tree shape unchanged
+        z = "CAST(0 AS BIGINT)"
+        for i in range(bits):
+            for j, c in enumerate(cols):
+                bit = f"(SHIFTRIGHT(CAST(`{c}` AS BIGINT), {i}) & 1)"
+                z = f"({z} | SHIFTLEFT({bit}, {i * d + j}))"
+        return F.expr(z)
     z = F.lit(0).cast("bigint")
     for i in range(bits):
         for j, c in enumerate(cols):

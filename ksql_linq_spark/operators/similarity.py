@@ -19,17 +19,25 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._exprtext import cosine_sql, dbl_arr_sql, dlit, dlit_array, dot_sql, ilit_array, qcol
+
 
 def _dbl(v) -> Column:
     c = F.col(v) if isinstance(v, str) else v
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column, dim: int | None = None, cast_elements: bool = False) -> Column:
+def dot(a, b, dim: int | None = None, cast_elements: bool = False) -> Column:
     """Dot product.  With ``dim`` known statically the fold is unrolled
     into a left-associative Add chain over element_at — bitwise identical
     to the F.aggregate fold (same order, same 0.0 seed) but eligible for
     whole-stage codegen instead of interpreted higher-order eval.
+
+    Operands may be Columns or SQL fragments (strings — a bare column
+    name is one).  When BOTH are strings the whole chain is assembled
+    as text and parsed by ONE ``F.expr`` call instead of ~6 py4j round
+    trips per term — a bit-identical tree (see operators/_exprtext) at
+    ~1/25 the driver-side build cost (guide §7.3).
 
     ``cast_elements`` casts each element to double INSIDE the chain
     (for float arrays).  Never wrap the input in an array-level
@@ -37,6 +45,8 @@ def dot(a: Column, b: Column, dim: int | None = None, cast_elements: bool = Fals
     interpreted transform into every element_at reference (2*dim
     evaluations per pair when the expression lands in a join condition)
     — that is a ~100x regression at n^2 pair counts."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(a, b, dim, cast_elements))
     if dim is not None:
         def elem(c: Column, i: int) -> Column:
             e = F.element_at(c, i)
@@ -62,13 +72,17 @@ def dot(a: Column, b: Column, dim: int | None = None, cast_elements: bool = Fals
     )
 
 
-def norm(a: Column, dim: int | None = None, cast_elements: bool = False) -> Column:
+def norm(a, dim: int | None = None, cast_elements: bool = False) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"SQRT({dot_sql(a, a, dim, cast_elements)})")
     return F.sqrt(dot(a, a, dim, cast_elements))
 
 
 def cosine(
-    a: Column, b: Column, dim: int | None = None, cast_elements: bool = False
+    a, b, dim: int | None = None, cast_elements: bool = False
 ) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(cosine_sql(a, b, dim, cast_elements))
     return dot(a, b, dim, cast_elements) / (
         norm(a, dim, cast_elements) * norm(b, dim, cast_elements)
     )
@@ -87,12 +101,10 @@ def brute_force_topk(
     unrolled chains only pay off at n^2 pair counts (see :func:`dot`);
     for a per-row projection the janino compile cost of a 190-term
     expression exceeds the eval saving."""
-    q = F.transform(
-        F.array(*[F.lit(float(x)) for x in query_vec]), lambda x: x.cast("double")
-    )
+    q = dbl_arr_sql(dlit_array(query_vec))
     scored = df.select(
         F.col(id_col),
-        cosine(_dbl(vec_col), q).alias("cos"),
+        cosine(dbl_arr_sql(qcol(vec_col)), q).alias("cos"),
     )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
 
@@ -131,13 +143,16 @@ def random_projection_buckets(
 def _bucket_expr(dim: int, num_planes: int, vec_col: str) -> Column:
     """Sign-LSH bucket bitstring as a reusable Column expression."""
     # per-row linear scan: the fold is cheaper than compiling an
-    # 8*dim-term unrolled expression (see brute_force_topk note)
-    v = _dbl(vec_col)
+    # 8*dim-term unrolled expression (see brute_force_topk note);
+    # assembled as ONE text parse — num_planes * dim literals through
+    # the Column API were ~70 py4j round trips per plane
+    v = dbl_arr_sql(qcol(vec_col))
     bits = [
-        F.when(dot(v, F.array(*[F.lit(x) for x in _hyperplane(p, dim)])) >= 0, "1").otherwise("0")
+        f"CASE WHEN {dot_sql(v, dlit_array(_hyperplane(p, dim)))} >= 0 "
+        f"THEN '1' ELSE '0' END"
         for p in range(num_planes)
     ]
-    return F.concat(*bits)
+    return F.expr("concat(" + ", ".join(bits) + ")")
 
 
 def _probe_buckets(query_vec: list[float], num_planes: int, max_hamming: int) -> list[str]:
@@ -504,20 +519,17 @@ def quantize_embeddings_int8(
     precompute the scale into a materialized column (checkpoint/cache
     boundary) so CollapseProject can't inline it back.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    mx = F.array_max(F.transform(v, F.abs))
-    scale = (mx / F.lit(127.0)).alias("scale")
-    codes = F.when(mx == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
-        F.transform(
-            v,
-            lambda x: F.greatest(
-                F.lit(-127),
-                F.least(F.lit(127), F.floor(x / (mx / F.lit(127.0))).cast("int")),
-            ),
-        )
+    v = dbl_arr_sql(qcol(vec_col))
+    mx = f"array_max(transform({v}, x -> ABS(x)))"
+    scale = F.expr(f"{mx} / 127.0D").alias("scale")
+    codes = F.expr(
+        f"CASE WHEN {mx} = 0.0D THEN transform({v}, x -> 0) "
+        f"ELSE transform({v}, x -> greatest(-127, least(127, "
+        f"CAST(FLOOR(x / ({mx} / 127.0D)) AS INT)))) END"
     )
     return df.select(
-        F.col(id_col), scale, codes.alias("q"), F.size(v).alias("n_dims")
+        F.col(id_col), scale, codes.alias("q"),
+        F.expr(f"size({v})").alias("n_dims")
     )
 
 
@@ -545,22 +557,19 @@ def int8_topk(
             __import__("math").floor(x / (qmax / 127.0)))))
         for x in query_vec
     ]
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    mx = F.array_max(F.transform(v, F.abs))
-    codes = F.when(mx == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
-        F.transform(
-            v,
-            lambda x: F.greatest(
-                F.lit(-127),
-                F.least(F.lit(127), F.floor(x / (mx / F.lit(127.0))).cast("int")),
-            ),
-        )
+    # one text parse (the Column build was ~650 py4j round trips: 64
+    # int literals + per-element clamp lambdas); tree shape unchanged
+    v = dbl_arr_sql(qcol(vec_col))
+    mx = f"array_max(transform({v}, x -> ABS(x)))"
+    codes = (
+        f"CASE WHEN {mx} = 0.0D THEN transform({v}, x -> 0) "
+        f"ELSE transform({v}, x -> greatest(-127, least(127, "
+        f"CAST(FLOOR(x / ({mx} / 127.0D)) AS INT)))) END"
     )
-    qarr = F.array(*[F.lit(c) for c in qcodes])
-    score = F.aggregate(
-        F.zip_with(codes, qarr, lambda a, b: (a * b).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    score = F.expr(
+        f"aggregate(zip_with({codes}, {ilit_array(qcodes)}, "
+        f"(a, b) -> CAST(a * b AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
     return (
         df.select(F.col(id_col), score.alias("score_i8"))
@@ -801,7 +810,7 @@ def centroid_outliers(
     )
     j = df.join(F.broadcast(carr), label_col)
     cos = F.round(
-        cosine(F.col(vec_col), F.col("cvec"), dim, cast_elements=True), 6
+        cosine(qcol(vec_col), "`cvec`", dim, cast_elements=True), 6
     )
     w = Window.partitionBy(label_col).orderBy("centroid_cos", id_col)
     return (
@@ -938,23 +947,24 @@ def pq_topk(
 
     coded = quantize_embeddings_pq(df, books, vec_col, id_col)
 
+    # LUT scoring assembled as ONE text parse (m * n_codes * 2 double
+    # literals through the Column API were thousands of py4j round
+    # trips); tree shape identical to the old Column build: per-term
+    # element_at(array<lit>, code+1), left-assoc sums, same CASE.
     dot_terms = []
     nrm_terms = []
     for mi in range(m):
         qseg = query_vec[mi * sub : (mi + 1) * sub]
         dlut = [sum(q * c for q, c in zip(qseg, cw)) for cw in books[mi]]
         nlut = [sum(c * c for c in cw) for cw in books[mi]]
-        code = F.element_at(F.col("pq_codes"), mi + 1)
-        dot_terms.append(
-            F.element_at(F.array(*[F.lit(v) for v in dlut]), code + F.lit(1))
-        )
-        nrm_terms.append(
-            F.element_at(F.array(*[F.lit(v) for v in nlut]), code + F.lit(1))
-        )
-    adc_dot = sum(dot_terms[1:], dot_terms[0])
-    recon_n = F.sqrt(sum(nrm_terms[1:], nrm_terms[0]))
-    score = F.when(recon_n == 0.0, F.lit(-1.0)).otherwise(
-        adc_dot / (recon_n * F.lit(qn))
+        code = f"element_at(`pq_codes`, {mi + 1}) + 1"
+        dot_terms.append(f"element_at({dlit_array(dlut)}, {code})")
+        nrm_terms.append(f"element_at({dlit_array(nlut)}, {code})")
+    adc_dot = "(" + " + ".join(dot_terms) + ")"
+    recon_n = "SQRT((" + " + ".join(nrm_terms) + "))"
+    score = F.expr(
+        f"CASE WHEN {recon_n} = 0.0D THEN -1.0D "
+        f"ELSE {adc_dot} / ({recon_n} * {dlit(qn)}) END"
     )
     if rerank <= 0:
         return (
@@ -967,10 +977,9 @@ def pq_topk(
         .orderBy(F.col("pq_cos").desc(), F.col(id_col))
         .limit(max(rerank, k))
     )
-    qarr = F.transform(
-        F.array(*[F.lit(float(x)) for x in query_vec]), lambda x: x.cast("double")
+    exact = cosine(
+        dbl_arr_sql(qcol(vec_col)), dbl_arr_sql(dlit_array(query_vec))
     )
-    exact = cosine(_dbl(vec_col), qarr)
     return (
         shortlist.select(F.col(id_col), exact.alias("pq_cos"))
         .orderBy(F.col("pq_cos").desc(), F.col(id_col))
@@ -1001,14 +1010,14 @@ def reduce_dim_rp(
     """
     import math
 
-    v = _dbl(vec_col)
+    v = dbl_arr_sql(qcol(vec_col))
     cols = []
     for d in range(out_dim):
         plane = _hyperplane(d, dim)
-        proj = dot(v, F.array(*[F.lit(x) for x in plane]))
+        proj = dot_sql(v, dlit_array(plane))
         if jl_scale:
-            proj = proj / F.lit(math.sqrt(float(out_dim)))
-        cols.append(proj.alias(f"rp_{d}"))
+            proj = f"({proj} / {dlit(math.sqrt(float(out_dim)))})"
+        cols.append(F.expr(proj).alias(f"rp_{d}"))
     return df.select(F.col(id_col), *cols)
 
 
@@ -1423,10 +1432,10 @@ def ann_join(
     cand = lp.join(rp, join_keys).select(
         "_lid",
         "_rid",
-        F.try_divide(
-            dot(F.col("_lv"), F.col("_rv"), d, cast_elements=True),
-            norm(F.col("_lv"), d, cast_elements=True)
-            * norm(F.col("_rv"), d, cast_elements=True),
+        F.expr(
+            f"try_divide({dot_sql('`_lv`', '`_rv`', d, True)}, "
+            f"SQRT({dot_sql('`_lv`', '`_lv`', d, True)}) * "
+            f"SQRT({dot_sql('`_rv`', '`_rv`', d, True)}))"
         ).alias("cos"),
     ).where(F.col("cos").isNotNull() & ~F.isnan(F.col("cos")))
     # distinct: a right row can appear in several probed cells? no — each

@@ -52,15 +52,40 @@ def _ntz_to_ltz(df: DataFrame) -> DataFrame:
     return df
 
 
+# Unresolved-PLAN cache for read_table, keyed by (Spark application id,
+# sf_dir, table).  A DataFrame is an immutable logical plan, not data:
+# every action on it still lists/scans the parquet files at execution
+# time, so this caches no results — it only avoids re-running schema
+# inference (a driver-side footer read) and the ns-normalization column
+# rewrites on every call.  In a long-lived session the engine reads the
+# same handful of tables hundreds of times per request batch; the
+# inference cost is pure per-query constant overhead (guide §6 file-
+# listing caching is the same idea one level down).  Keyed by appId so
+# a stopped/restarted session never sees another JVM's plan objects.
+_TABLE_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table; normalize ns timestamps to µs TIMESTAMP."""
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        app_id = None  # context shutting down — build uncached
+    key = (app_id, sf_dir, name)
+    if app_id is not None and key in _TABLE_PLAN_CACHE:
+        return _TABLE_PLAN_CACHE[key]
     _ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, []):
         f = dict(zip(df.schema.names, df.schema.fields))[col]
         if isinstance(f.dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
-    return _ntz_to_ltz(df)
+    df = _ntz_to_ltz(df)
+    if app_id is not None:
+        if len(_TABLE_PLAN_CACHE) > 256:  # bound: ~tables x sf_dirs in use
+            _TABLE_PLAN_CACHE.clear()
+        _TABLE_PLAN_CACHE[key] = df
+    return df
 
 
 def read_stream_from_table(
