@@ -6963,7 +6963,8 @@ def similarity_ann_join_q(
         .select(
             "lid",
             "rid",
-            _cos(F.col("le"), F.col("re"), 64, cast_elements=True).alias("cos"),
+            # string operands -> one-text-parse build (operators/_exprtext)
+            _cos("`le`", "`re`", 64, cast_elements=True).alias("cos"),
         )
         .withColumn(
             "rn",

@@ -117,21 +117,43 @@ def mixture_upsample(
             raise ValueError(f"weight for {name!r} must be >= 0, got {w}")
     if default_weight < 0:
         raise ValueError(f"default_weight must be >= 0, got {default_weight}")
-    b = split_bucket(key, buckets)
 
     def parts(w: float) -> tuple[int, int]:
         whole = int(w)
         return whole, int(round((w - whole) * buckets))
 
-    expr = None
-    for name, w in weights.items():
-        whole, fb = parts(w)
-        n = F.lit(whole) + (b < fb).cast("int")
-        cond = F.col(strata_col) == name
-        expr = F.when(cond, n) if expr is None else expr.when(cond, n)
     dwhole, dfb = parts(default_weight)
-    default = F.lit(dwhole) + (b < dfb).cast("int")
-    n_copies = expr.otherwise(default) if expr is not None else default
+    if isinstance(key, str) and isinstance(strata_col, str):
+        # whole weight map as ONE text parse (the Column loop was ~70
+        # py4j round trips per stratum — 1.4k for a 20-source recipe);
+        # identical CASE tree, exact integer math
+        b_sql = (
+            f"(CAST(conv(substring(md5(CAST(`{key}` AS STRING)), 1, 4), "
+            f"16, 10) AS INT) % {buckets})"
+        )
+        branches = []
+        for name, w in weights.items():
+            whole, fb = parts(w)
+            nm = name.replace("'", "''")
+            branches.append(
+                f"WHEN `{strata_col}` = '{nm}' "
+                f"THEN {whole} + CAST({b_sql} < {fb} AS INT)"
+            )
+        default_sql = f"{dwhole} + CAST({b_sql} < {dfb} AS INT)"
+        n_copies = (
+            F.expr("CASE " + " ".join(branches) + f" ELSE {default_sql} END")
+            if branches else F.expr(default_sql)
+        )
+    else:
+        b = split_bucket(key, buckets)
+        expr = None
+        for name, w in weights.items():
+            whole, fb = parts(w)
+            n = F.lit(whole) + (b < fb).cast("int")
+            cond = F.col(strata_col) == name
+            expr = F.when(cond, n) if expr is None else expr.when(cond, n)
+        default = F.lit(dwhole) + (b < dfb).cast("int")
+        n_copies = expr.otherwise(default) if expr is not None else default
     return df.withColumn("__n", n_copies).where(F.col("__n") > 0).select(
         "*", F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("copy")
     ).drop("__n")

@@ -204,8 +204,8 @@ def shingles(text, n: int = 3) -> Column:
     subexpressions out of higher-order-function lambdas, so the whole
     tokenize+normalize regex chain re-evaluates PER SHINGLE (~token
     count times per row) in interpreted mode.  Fine for small/ad-hoc
-    use; every hot path should use :func:`shingle_rows` (codegen'd
-    explode + window form, one evaluation per row) instead.
+    use; every hot path should use :func:`shingle_rows` (materialized
+    token-array column + explode, row-level evaluation) instead.
     """
     t = tokens(normalize_text(text))
     k = F.size(t) - (n - 1)
@@ -225,26 +225,33 @@ def shingle_occurrence_rows(
 ):
     """EVERY word n-gram occurrence as exploded rows (id, s) — the
     multiset :func:`shingle_rows` is the distinct view of.  Input to
-    intra-document repetition stats, where multiplicity is the signal."""
-    from pyspark.sql.window import Window
+    intra-document repetition stats, where multiplicity is the signal.
 
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "tok"),
+    Assembled PER ROW from the token array (slice + array_join over a
+    sequence) and exploded — zero shuffle.  The previous form
+    (posexplode + window lead() over (id, pos)) paid an Exchange+Sort
+    on the full token stream before any consumer did its own shuffle
+    (guide §2.4: remove shuffles outright); measured at sf0.1 the
+    array form is bit-identical (exceptAll 0 both directions, old vs
+    new) and ~25% faster, and every shingle consumer drops one
+    exchange.  The token subexpression is row-level in both forms
+    (same 4 regex nodes in both plans), never per-shingle.  Documents
+    shorter than ``n`` tokens contribute their whole token string;
+    blank documents (empty token array) contribute no rows —
+    identical to the window form's posexplode semantics.
+    """
+    t = tokens(normalize_text(F.col(text_col)))
+    toks = df.select(F.col(id_col), t.alias("_toks"))
+    sz = F.size(F.col("_toks"))
+    k = sz - (n - 1)
+    arr = (
+        F.when(k >= 1, F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " ")))
+        .when(sz > 0, F.array(F.array_join(F.col("_toks"), " ")))
+        .otherwise(F.array().cast("array<string>"))
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
-    n_tok = F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    assembled = toks.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
-        leads[-1].isNotNull().alias("full"),
-        n_tok.alias("n_tok"),
-    )
-    return assembled.filter(
-        F.col("full") | ((F.col("pos") == 0) & (F.col("n_tok") < n))
-    ).select(id_col, "s")
+    return toks.select(F.col(id_col), F.explode(arr).alias("s"))
 
 
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
@@ -289,15 +296,11 @@ def pii_counts(text) -> Column:
 def shingle_rows(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
     """DISTINCT word n-gram shingles as exploded rows (id, s).
 
-    posexplode the token array (tokenization runs ONCE per document),
-    then assemble each shingle from window lead()s over (id, pos) —
-    every expression whole-stage-codegen, no interpreted higher-order
-    lambdas.  The window shuffle is on ``id_col``, the same key every
-    downstream consumer (minhash groupBy, jaccard set-size) needs, so
-    the exchange is reused rather than added.  Equivalent output to
-    ``explode(shingles(...))`` + distinct; documents shorter than ``n``
-    tokens contribute their whole token string (concat_ws skips the
-    null leads).
+    The distinct view of :func:`shingle_occurrence_rows` (per-row
+    array assembly + explode, zero shuffle of its own — see there);
+    the ``.distinct()`` is the first and only exchange, on (id, s).
+    Documents shorter than ``n`` tokens contribute their whole token
+    string; blank documents contribute no rows.
     """
     return shingle_occurrence_rows(df, text_col, id_col, n).distinct()
 
