@@ -8070,35 +8070,24 @@ def corpus_source_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     novel content worth upweighting, low = the source re-serves what
     the corpus already has (mixture-weight input, the flip side of
     cross_doc_dup_stats).  Distinct (source, gram) projection → gram
-    source-frequency dim → rollup; integer-exact ratio.  The distinct
-    gram frame feeds both the frequency dim and the join spine —
-    without a cut each branch re-runs tokenize + the lead window over
-    the corpus (measured: 2 scans, 2 windows); lazy localCheckpoint
-    materializes it once (graph.py lineage-cut discipline)."""
-    from pyspark.sql.window import Window as _W
-
-    from .operators.text import normalize_text, tokens
+    source-frequency dim → rollup; integer-exact ratio.  Trigrams are
+    assembled row-locally from each document's token array
+    (text._shingle_arrays full_only=True ≡ the old lead-window form's
+    ``lead(2) IS NOT NULL`` complete-trigram filter) — no
+    posexplode+window Exchange+Sort on the token stream; per-doc
+    array_distinct shrinks the explode feeding the one real cross-doc
+    distinct exchange.  The distinct gram frame feeds both the
+    frequency dim and the join spine — without a cut each branch
+    re-runs the shingling (graph.py lineage-cut discipline); lazy
+    localCheckpoint materializes it once."""
+    from .operators.text import _shingle_arrays
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.posexplode(tokens(normalize_text(F.col("text")))).alias("pos", "tok"),
-    )
-    w = _W.partitionBy("doc_id").orderBy("pos")
     grams = (
-        toks.select(
-            "source",
-            F.concat_ws(
-                " ",
-                "tok",
-                F.lead("tok", 1).over(w),
-                F.lead("tok", 2).over(w),
-            ).alias("s"),
-            F.lead("tok", 2).over(w).isNotNull().alias("ok"),
+        _shingle_arrays(d, "text", "source", 3, full_only=True)
+        .select(
+            "source", F.explode(F.array_distinct(F.col("_occ"))).alias("s")
         )
-        .where(F.col("ok"))
-        .select("source", "s")
         .distinct()
         .localCheckpoint(eager=False)
     )

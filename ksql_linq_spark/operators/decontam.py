@@ -6,8 +6,8 @@ n-grams with any training document.  This reports, per eval doc, how
 much of its shingle set appears anywhere in the training split —
 the decision input for dropping eval docs (or quarantining train docs).
 
-Dataflow (all codegen'd, reusing :func:`~..operators.text.shingle_rows`'s
-explode+window shingling):
+Dataflow (all codegen'd, reusing :func:`~..operators.text._shingle_arrays`'s
+row-local shingle assembly):
 
     train shingles (distinct values)  ──┐
                                         ├── inner join on shingle ──
@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .text import shingle_rows
+from .text import _shingle_arrays, shingle_rows
 
 
 def contamination_report(
@@ -48,11 +48,11 @@ def contamination_report(
     overlap/total.  Every eval doc appears exactly once (zero rows for
     clean docs).
 
-    The eval shingle frame feeds two branches (the train join and the
-    per-doc base); Catalyst does not reuse the exchange across them
-    (measured: the eval shingling + count window re-ran per branch), so
-    it is materialized once via lazy localCheckpoint — eval splits are
-    a small fraction of the corpus by construction, making this the
+    The per-doc eval set frame feeds two branches (the train join and
+    the per-doc base); Catalyst does not reuse work across them
+    (measured: the eval shingling re-ran per branch), so it is
+    materialized once via lazy localCheckpoint — eval splits are a
+    small fraction of the corpus by construction, making this the
     cheap side to pin.
 
     ``approx_train_docs`` is the boilerplate-proof scale path: the
@@ -70,12 +70,33 @@ def contamination_report(
     distinct by construction).  The exact shingle doc-frequency falls
     out of the same groupBy, so ``max_shingle_freq`` prunes without
     the window pass the exact path needs."""
-    ev = shingle_rows(eval_df, text_col, id_col, shingle_n)
-    ev = ev.select(
-        F.col(id_col),
-        F.col("s"),
-        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("total"),
-    ).localCheckpoint(eager=False)
+    # the distinct eval shingle SET and its size are per-doc, hence
+    # row-local array expressions (guide §2.4): no (id, s) distinct
+    # exchange and no count-over-window exchange+sort.  The per-doc
+    # frame (one compact row per eval doc) is what gets materialized;
+    # the exploded view and the base totals both derive from it, and
+    # base needs no distinct() any more — it is one row per doc by
+    # construction.
+    ev_sets = (
+        _shingle_arrays(eval_df, text_col, id_col, shingle_n)
+        # Generate barrier (see _shingle_arrays): _set is referenced by
+        # the filter, the size, and the explode below — a Project would
+        # inline the array_distinct chain into each
+        .select(
+            F.col(id_col),
+            F.explode(F.array(F.array_distinct(F.col("_occ")))).alias("_set"),
+        )
+        .where(F.size("_set") > 0)
+        .select(
+            F.col(id_col),
+            F.col("_set"),
+            F.size("_set").cast("long").alias("total"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ev = ev_sets.select(
+        F.col(id_col), F.explode(F.col("_set")).alias("s"), F.col("total")
+    )
     tr = shingle_rows(train, text_col, id_col, shingle_n).withColumnRenamed(
         id_col, "_train_id"
     )
@@ -105,7 +126,7 @@ def contamination_report(
                 ),
             )
         )
-        base = ev.select(id_col, "total").distinct()
+        base = ev_sets.select(id_col, "total")
         return base.join(hits, id_col, "left").select(
             id_col,
             "total",
@@ -129,7 +150,7 @@ def contamination_report(
             F.countDistinct("_train_id").alias("train_docs"),
         )
     )
-    base = ev.select(id_col, "total").distinct()
+    base = ev_sets.select(id_col, "total")
     return base.join(hits, id_col, "left").select(
         id_col,
         "total",

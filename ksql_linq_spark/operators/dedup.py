@@ -245,15 +245,24 @@ def ngram_jaccard_pairs(
     pairing — the skew guard at scale (bucket pair count is quadratic
     in document frequency).
     """
-    from pyspark.sql.window import Window
+    from .text import _shingle_arrays
 
-    sh_rows = shingle_rows(df, text_col, id_col, shingle_n)
-    # set size per doc from a window over the same doc_id partitioning the
-    # distinct() above just produced — no extra shuffle
-    ex = sh_rows.select(
+    # the distinct shingle SET and its size are per-doc quantities —
+    # row-local array expressions, no exchange and no window (the
+    # earlier distinct() + count().over(partitionBy(id)) form paid an
+    # (id, s) exchange plus an id exchange+sort before the first real
+    # cross-doc shuffle below; guide §2.4)
+    # _set goes through the same Generate barrier as _occ (see
+    # _shingle_arrays): it is referenced twice below (size + explode),
+    # and a plain Project would inline the array_distinct per reference
+    sets = _shingle_arrays(df, text_col, id_col, shingle_n).select(
         F.col(id_col).alias("id"),
-        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("sz"),
-        F.col("s"),
+        F.explode(F.array(F.array_distinct(F.col("_occ")))).alias("_set"),
+    )
+    ex = sets.select(
+        F.col("id"),
+        F.size("_set").cast("long").alias("sz"),
+        F.explode(F.col("_set")).alias("s"),
     )
     buckets = (
         ex.groupBy("s")

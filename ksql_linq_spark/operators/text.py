@@ -233,25 +233,64 @@ def shingle_occurrence_rows(
     on the full token stream before any consumer did its own shuffle
     (guide §2.4: remove shuffles outright); measured at sf0.1 the
     array form is bit-identical (exceptAll 0 both directions, old vs
-    new) and ~25% faster, and every shingle consumer drops one
-    exchange.  The token subexpression is row-level in both forms
-    (same 4 regex nodes in both plans), never per-shingle.  Documents
-    shorter than ``n`` tokens contribute their whole token string;
-    blank documents (empty token array) contribute no rows —
+    new) and ~25% faster.  The token subexpression is row-level in
+    both forms (same 4 regex nodes in both plans), never per-shingle.
+    Documents shorter than ``n`` tokens contribute their whole token
+    string; blank documents (empty token array) contribute no rows —
     identical to the window form's posexplode semantics.
     """
+    occ = _shingle_arrays(df, text_col, id_col, n)
+    return occ.select(F.col(id_col), F.explode(F.col("_occ")).alias("s"))
+
+
+def _shingle_arrays(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    full_only: bool = False,
+):
+    """(id, _occ ARRAY<STRING>): every word n-gram occurrence of the
+    row's document as ONE row-local array — the common substrate the
+    exploded shingle views and the per-doc statistics are computed
+    from.  Holding a whole document's shingles in one row keeps every
+    per-doc quantity (set size, distinct set, top multiplicity) a
+    row-local array expression with NO shuffle; only consumers that
+    genuinely need cross-document structure explode and exchange.
+
+    ``_occ`` is emitted through a Generate barrier (explode of a
+    1-element array) rather than a plain Project: consumers reference
+    the occurrence array several times (size, array_distinct, sort),
+    and CollapseProject would otherwise inline the whole
+    tokenize+assemble chain into EVERY reference — measured 6-11
+    copies of the regex chain per row in the collapsed plans, tripling
+    exec time.  Generate materializes the array once per row as an
+    attribute; a 1-element explode adds no rows and stays
+    whole-stage-codegen.
+
+    With ``full_only``, documents shorter than ``n`` tokens contribute
+    an EMPTY array instead of their whole token string — the contract
+    of consumers that only ever count complete n-grams (e.g. the
+    source-exclusivity audit's lead-window predecessor, whose
+    ``lead(n-1) IS NOT NULL`` filter dropped short docs outright)."""
     t = tokens(normalize_text(F.col(text_col)))
     toks = df.select(F.col(id_col), t.alias("_toks"))
     sz = F.size(F.col("_toks"))
     k = sz - (n - 1)
-    arr = (
-        F.when(k >= 1, F.transform(
+    arr = F.when(
+        k >= 1,
+        F.transform(
             F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " ")))
-        .when(sz > 0, F.array(F.array_join(F.col("_toks"), " ")))
-        .otherwise(F.array().cast("array<string>"))
+            lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
+        ),
     )
-    return toks.select(F.col(id_col), F.explode(arr).alias("s"))
+    if full_only:
+        arr = arr.otherwise(F.array().cast("array<string>"))
+    else:
+        arr = arr.when(sz > 0, F.array(F.array_join(F.col("_toks"), " "))).otherwise(
+            F.array().cast("array<string>")
+        )
+    return toks.select(F.col(id_col), F.explode(F.array(arr)).alias("_occ"))
 
 
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
@@ -259,17 +298,53 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int 
     ``total``/``distinct`` n-gram occurrences, ``dup_ratio`` (fraction
     of occurrences that are repeats — boilerplate/spam signal), and
     ``top_fraction`` (share of the single most frequent n-gram).
-    Dataflow: occurrence rows → groupBy(doc, s) count → groupBy(doc)
-    rollup; both shuffles are doc-keyed and map-side combined.  Both
-    ratios are rounded to 6 dp so the value is engine-independent
-    (same float-determinism rule as tfidf's round-6)."""
-    occ = shingle_occurrence_rows(df, text_col, id_col, n)
-    per_shingle = occ.groupBy(id_col, "s").agg(F.count(F.lit(1)).alias("c"))
-    return per_shingle.groupBy(id_col).agg(
-        F.sum("c").alias("total"),
-        F.count(F.lit(1)).alias("distinct"),
-        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_ratio"),
-        F.round(F.max("c") / F.sum("c"), 6).alias("top_fraction"),
+    Every statistic is per-document, so the whole computation is
+    row-local over the occurrence ARRAY — zero shuffle (guide §2.4;
+    the previous occurrence rows → groupBy(doc, s) → groupBy(doc) form
+    paid two doc-keyed exchanges): total = array size, distinct =
+    array_distinct size, and the top multiplicity is the longest equal
+    run of the SORTED array (one O(t log t) sort + O(t) fold per doc).
+    Docs with no shingles (blank text) produce no row, matching the
+    grouped form.  Both ratios are rounded to 6 dp so the value is
+    engine-independent (same float-determinism rule as tfidf's
+    round-6); the counts are exact integers either way, so the
+    divisions are bit-identical to the grouped form's."""
+    occ = _shingle_arrays(df, text_col, id_col, n)
+    top = F.expr(
+        "aggregate(array_sort(`_occ`), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), "
+        "'best', CAST(0 AS BIGINT)), "
+        "(a, x) -> named_struct('prev', x, "
+        "'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L), "
+        "'best', GREATEST(a.best, "
+        "IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L))), "
+        "a -> a.best)"
+    )
+    total = F.size("_occ").cast("long")
+    distinct = F.size(F.array_distinct("_occ")).cast("long")
+    # the three base counts go through one struct Generate barrier so
+    # the ratio projections reference attributes, not re-inlined
+    # array passes (same CollapseProject hazard as _shingle_arrays)
+    stats = occ.where(F.size("_occ") > 0).select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    total.alias("total"),
+                    distinct.alias("distinct"),
+                    top.alias("top"),
+                )
+            )
+        ).alias("_st"),
+    )
+    t_ = F.col("_st.total")
+    d_ = F.col("_st.distinct")
+    return stats.select(
+        F.col(id_col),
+        t_.alias("total"),
+        d_.alias("distinct"),
+        F.round(F.lit(1.0) - d_ / t_, 6).alias("dup_ratio"),
+        F.round(F.col("_st.top") / t_, 6).alias("top_fraction"),
     )
 
 
@@ -296,13 +371,18 @@ def pii_counts(text) -> Column:
 def shingle_rows(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
     """DISTINCT word n-gram shingles as exploded rows (id, s).
 
-    The distinct view of :func:`shingle_occurrence_rows` (per-row
-    array assembly + explode, zero shuffle of its own — see there);
-    the ``.distinct()`` is the first and only exchange, on (id, s).
-    Documents shorter than ``n`` tokens contribute their whole token
-    string; blank documents contribute no rows.
+    Distinctness is PER DOCUMENT (id is in the key), so it is
+    row-local: array_distinct on the occurrence array before the
+    explode — zero shuffle (the earlier ``occurrence_rows.distinct()``
+    paid a full (id, s) exchange for what one array pass computes in
+    place; guide §2.4).  Documents shorter than ``n`` tokens
+    contribute their whole token string; blank documents contribute no
+    rows.
     """
-    return shingle_occurrence_rows(df, text_col, id_col, n).distinct()
+    occ = _shingle_arrays(df, text_col, id_col, n)
+    return occ.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("_occ"))).alias("s")
+    )
 
 
 def cross_doc_dup_stats(df, text_col: str = "text", id_col: str = "doc_id",

@@ -1937,3 +1937,51 @@ def test_ann_join_arrow_dim_and_nan_parity(spark):
         # the zero-norm vector never appears on either side of a pair
         assert all(r[1] != 7 for r in expr)
         assert all(r[0] != 7 for r in expr)
+
+
+def test_repetition_stats_rowlocal_matches_grouped_reference(spark):
+    """The r13 row-local repetition_stats (array size / array_distinct /
+    sorted-run fold, zero shuffle) must agree row-for-row with the naive
+    occurrence-rows -> groupBy(doc, s) -> groupBy(doc) form it replaced,
+    on edge-shaped documents: blank (no row at all), shorter-than-n
+    (whole text as one shingle), all-identical, interleaved repeats
+    (run-length == multiset count needs the sort), and unicode."""
+    from pyspark.sql import functions as F
+
+    from ksql_linq_spark.operators.text import (
+        repetition_stats,
+        shingle_occurrence_rows,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),                                   # blank: no output row
+            (2, "solo"),                               # < n tokens
+            (3, "spam spam spam spam spam"),           # one trigram x3
+            (4, "a b c a b c a b c d"),                # interleaved repeats
+            (5, "añ ño ñu añ ño ñu añ"),               # unicode tokens
+            (6, "all words here are unique ones"),
+        ],
+        "doc_id long, text string",
+    )
+    occ = shingle_occurrence_rows(df, n=3)
+    per = occ.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
+    ref = {
+        r["doc_id"]: r
+        for r in per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("distinct"),
+            F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias(
+                "dup_ratio"
+            ),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_fraction"),
+        )
+        .collect()
+    }
+    got = {r["doc_id"]: r for r in repetition_stats(df, n=3).collect()}
+    assert set(got) == set(ref) and 1 not in got
+    for doc_id, r in ref.items():
+        g = got[doc_id]
+        for col in ("total", "distinct", "dup_ratio", "top_fraction"):
+            assert g[col] == r[col], (doc_id, col, g[col], r[col])
