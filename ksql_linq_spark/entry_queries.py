@@ -3003,10 +3003,11 @@ def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = group_percentiles(
         li, ["l_returnflag"], {"l_quantity": [(0.5, "approx_med")]}, mode="approx"
     )
-    ex = li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
-        F.percentile("l_quantity", F.lit(0.45)).alias("_lo"),
-        F.percentile("l_quantity", F.lit(0.55)).alias("_hi"),
+    ex = group_percentiles(
+        li,
+        ["l_returnflag"],
+        {"l_quantity": [(0.5, "median_qty"), (0.45, "_lo"), (0.55, "_hi")]},
+        mode="exact",
     )
     return ex.join(ap, "l_returnflag").select(
         "l_returnflag",
@@ -3054,9 +3055,16 @@ def text_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import pii_counts, repetition_stats
 
     d = _t(spark, sf_dir, "documents")
-    rep = repetition_stats(d, n=3)
-    pii = d.select("doc_id", pii_counts("text").alias("p"))
-    return rep.join(pii, "doc_id").select(
+    # both legs are row-local per document, so they compute in ONE
+    # projection pass: repetition_stats carries the raw text through
+    # its Generate barrier and pii_counts runs on the same row — the
+    # former self-join on doc_id paid two scans plus a full exchange
+    # for what is a zero-shuffle map (guide §2.4)
+    rep = repetition_stats(d, n=3, carry=["text"])
+    return rep.select(
+        "doc_id", "total", "distinct", "dup_ratio", "top_fraction",
+        pii_counts("text").alias("p"),
+    ).select(
         "doc_id", "total", "distinct", "dup_ratio", "top_fraction",
         F.col("p.emails").alias("emails"),
         F.col("p.ipv4").alias("ipv4"),
@@ -3446,21 +3454,30 @@ def agg_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-dependent."""
     li = _t(spark, sf_dir, "lineitem")
     qty = _dec2dbl(F.col("l_quantity"))
+    # one lineitem scan, not two: the final group keys (c_name,
+    # o_orderkey, o_orderdate) are functionally determined by the order
+    # key, so the HAVING gate's own decimal-exact sum IS total_qty —
+    # the former semi join + re-join + re-aggregate recomputed the same
+    # sum from a second full scan of the fact table (guide §1.1: don't
+    # compute things twice).  Decimal sums are order-independent, so
+    # the value is bit-identical; the filtered aggregate is tiny and
+    # AQE broadcasts it into the orders join.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(qty).alias("q"))
         .where(F.col("q") > 150)
-        .select("l_orderkey")
     )
-    orders = _t(spark, sf_dir, "orders").join(
-        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
-    )
+    orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        big.join(orders, F.col("o_orderkey") == big["l_orderkey"])
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "o_orderkey", "o_orderdate")
-        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("q").cast("double").alias("total_qty"),
+        )
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(20)
     )
@@ -7698,16 +7715,24 @@ def mart_monthly_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec2dbl(
         F.col("l_extendedprice") * (1 - F.col("l_discount")), 22, 6
     )
+    # pre-aggregate revenue per order BEFORE the join: the orderkey
+    # hash aggregate reduces the fact rows map-side, and because each
+    # orderkey then appears exactly once, count(DISTINCT o_orderkey)
+    # becomes a plain count(1) — dropping the planner's distinct-
+    # aggregate Expand (2 extra aggregate phases + an exchange over
+    # (region, month, orderkey)).  Decimal sums are order-independent:
+    # sum of per-order decimal sums == the flat decimal sum, bit-exact.
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("_rev"))
     return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
+        per_order.join(od, per_order.l_orderkey == od.o_orderkey)
         .join(F.broadcast(dims), od.o_custkey == F.col("c_custkey"))
         .groupBy(
             F.col("r_name").alias("region"),
             F.date_trunc("month", "o_orderdate").alias("month"),
         )
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
-            F.count_distinct("o_orderkey").alias("orders"),
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("orders"),
         )
     )
 
@@ -7773,6 +7798,10 @@ def events_weekly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type", "week"],
         {"value": [(0.5, "p50"), (0.9, "p90")]},
         mode="exact",
+        # near-unique continuous values on a small input: the frequency
+        # pre-aggregate buys no reduction here (measured slower) — keep
+        # the direct single-aggregate plan
+        compress=False,
     )
 
 

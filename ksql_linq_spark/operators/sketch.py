@@ -101,6 +101,7 @@ def group_percentiles(
     exact_max_rows: int = 10_000_000,
     accuracy: int = 10_000,
     mode: str | None = None,
+    compress: bool = True,
 ) -> DataFrame:
     """Size-gated per-group percentiles — the public percentile operator.
 
@@ -115,21 +116,66 @@ def group_percentiles(
     ``mode`` forces ``"exact"`` / ``"approx"`` regardless of size (the
     row-count probe is one metadata-cheap parquet count job; pass a mode
     to skip it when the regime is known a priori).
+
+    ``compress`` (exact regime only): pre-reduce to (keys, value, count)
+    with a codegen hash aggregate and run ``percentile(value, p, count)``
+    over the reduced frame — identical values (the frequency form
+    expands to the same multiset), but the per-row work leaves the
+    ObjectHashAggregate's per-group value buffers.  Measured 1.98 s →
+    1.55 s on 600k lineitem rows (sf0.1); on small inputs (~100k rows)
+    the extra exchange costs more than it saves, so callers in that
+    regime pass ``compress=False`` (measured 0.72 → 0.83 s on events).
     """
     if mode is None:
         mode = "exact" if df.count() <= exact_max_rows else "approx"
     if mode not in ("exact", "approx"):
         raise ValueError(f"mode must be exact|approx|None, got {mode!r}")
-    aggs = []
+    if mode == "approx" or not compress:
+        agg_of = (
+            (lambda col, p: F.percentile_approx(col, F.lit(p), F.lit(accuracy)))
+            if mode == "approx"
+            else (lambda col, p: F.percentile(col, F.lit(p)))
+        )
+        aggs = [
+            agg_of(col, p).alias(alias)
+            for col, probs in col_probs.items()
+            for p, alias in probs
+        ]
+        return df.groupBy(*keys).agg(*aggs)
+    # Exact regime, frequency-compressed: reduce to (keys, value, count)
+    # with a codegen hash aggregate first, then run the interpolating
+    # ``percentile(value, p, count)`` over the reduced frame.  Identical
+    # values by definition, but the per-row work moves from the
+    # ObjectHashAggregate's per-group value buffers into whole-stage
+    # codegen, and the percentile pass sees one row per distinct
+    # (group, value) instead of one per input row.  Rows where the value
+    # column is NULL are kept through the pre-aggregate (percentile
+    # ignores them) so all-NULL groups still emit their row.
+    parts = []
     for col, probs in col_probs.items():
-        for p, alias in probs:
-            if mode == "exact":
-                aggs.append(F.percentile(col, F.lit(p)).alias(alias))
-            else:
-                aggs.append(
-                    F.percentile_approx(col, F.lit(p), F.lit(accuracy)).alias(alias)
-                )
-    return df.groupBy(*keys).agg(*aggs)
+        counted = df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("_f"))
+        aggs = [
+            F.percentile(col, F.lit(p), F.col("_f")).alias(alias)
+            for p, alias in probs
+        ]
+        parts.append(counted.groupBy(*keys).agg(*aggs))
+    out = parts[0]
+    for part in parts[1:]:
+        if not keys:
+            out = out.crossJoin(part)
+            continue
+        # null-safe equi-join: NULL group keys are real groups and must
+        # survive the recombination of the per-column aggregates
+        renamed = part
+        for k in keys:
+            renamed = renamed.withColumnRenamed(k, f"_gp_{k}")
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_gp_{k}"))
+            cond = c if cond is None else (cond & c)
+        out = out.join(renamed, cond, "inner").drop(*[f"_gp_{k}" for k in keys])
+    order = list(keys) + [a for probs in col_probs.values() for _, a in probs]
+    return out.select(*order)
 
 
 def cm_sketch(

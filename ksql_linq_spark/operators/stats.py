@@ -248,6 +248,12 @@ def mad_outliers(
     # branches — without the pin the median pass ran twice and the
     # input was scanned 4x (the psi_drift edge-dim pattern; broadcast
     # reuse does not fire across differently-pruned branches)
+    # NOTE (r13): the frequency-compressed exact percentile rewrite
+    # (sketch.group_percentiles ``compress``) was measured here and
+    # REVERTED — the metric values are near-unique continuous doubles,
+    # so the (keys, value) pre-aggregate buys no reduction and its
+    # extra exchange made the query slower (med dim 0.21 s → 0.33 s at
+    # sf0.1).  The direct grouped percentile stays.
     med_dim = (
         df.groupBy(*keys)
         .agg(F.expr(f"percentile({value_col}, 0.5)").alias("med"))

@@ -249,6 +249,7 @@ def _shingle_arrays(
     id_col: str = "doc_id",
     n: int = 3,
     full_only: bool = False,
+    carry: list[str] | None = None,
 ):
     """(id, _occ ARRAY<STRING>): every word n-gram occurrence of the
     row's document as ONE row-local array — the common substrate the
@@ -257,6 +258,10 @@ def _shingle_arrays(
     per-doc quantity (set size, distinct set, top multiplicity) a
     row-local array expression with NO shuffle; only consumers that
     genuinely need cross-document structure explode and exchange.
+
+    ``carry`` lists extra input columns to keep on the output rows
+    (so single-pass consumers can combine the per-doc statistics with
+    other row-local derivations without a self-join).
 
     ``_occ`` is emitted through a Generate barrier (explode of a
     1-element array) rather than a plain Project: consumers reference
@@ -274,7 +279,8 @@ def _shingle_arrays(
     source-exclusivity audit's lead-window predecessor, whose
     ``lead(n-1) IS NOT NULL`` filter dropped short docs outright)."""
     t = tokens(normalize_text(F.col(text_col)))
-    toks = df.select(F.col(id_col), t.alias("_toks"))
+    extra = list(carry or [])
+    toks = df.select(F.col(id_col), *extra, t.alias("_toks"))
     sz = F.size(F.col("_toks"))
     k = sz - (n - 1)
     arr = F.when(
@@ -290,10 +296,13 @@ def _shingle_arrays(
         arr = arr.when(sz > 0, F.array(F.array_join(F.col("_toks"), " "))).otherwise(
             F.array().cast("array<string>")
         )
-    return toks.select(F.col(id_col), F.explode(F.array(arr)).alias("_occ"))
+    return toks.select(
+        F.col(id_col), *extra, F.explode(F.array(arr)).alias("_occ")
+    )
 
 
-def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+                     carry: list[str] | None = None):
     """Gopher-style intra-document repetition filter inputs, per doc:
     ``total``/``distinct`` n-gram occurrences, ``dup_ratio`` (fraction
     of occurrences that are repeats — boilerplate/spam signal), and
@@ -309,7 +318,8 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int 
     engine-independent (same float-determinism rule as tfidf's
     round-6); the counts are exact integers either way, so the
     divisions are bit-identical to the grouped form's."""
-    occ = _shingle_arrays(df, text_col, id_col, n)
+    extra = list(carry or [])
+    occ = _shingle_arrays(df, text_col, id_col, n, carry=extra)
     top = F.expr(
         "aggregate(array_sort(`_occ`), "
         "named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), "
@@ -327,6 +337,7 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int 
     # array passes (same CollapseProject hazard as _shingle_arrays)
     stats = occ.where(F.size("_occ") > 0).select(
         F.col(id_col),
+        *extra,
         F.explode(
             F.array(
                 F.struct(
@@ -341,6 +352,7 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int 
     d_ = F.col("_st.distinct")
     return stats.select(
         F.col(id_col),
+        *extra,
         t_.alias("total"),
         d_.alias("distinct"),
         F.round(F.lit(1.0) - d_ / t_, 6).alias("dup_ratio"),

@@ -1985,3 +1985,39 @@ def test_repetition_stats_rowlocal_matches_grouped_reference(spark):
         g = got[doc_id]
         for col in ("total", "distinct", "dup_ratio", "top_fraction"):
             assert g[col] == r[col], (doc_id, col, g[col], r[col])
+
+
+def test_group_percentiles_compress_bit_identical(spark):
+    """r13: the frequency-compressed exact path (pre-aggregate to
+    (keys, value, count) + percentile-with-frequency) must be
+    bit-identical to the direct grouped percentile — including NULL
+    group keys (null-safe recombination join) and all-NULL value
+    groups (kept through the pre-aggregate)."""
+    from ksql_linq_spark.operators.sketch import group_percentiles
+
+    rows = [
+        ("a", 1.0, 10.0),
+        ("a", 2.0, 20.0),
+        ("a", 4.0, None),
+        ("b", 7.0, 70.0),
+        ("b", None, 80.0),
+        (None, 3.0, 30.0),
+        (None, 5.0, None),
+        ("c", None, None),  # all-NULL group: row must survive
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    col_probs = {
+        "x": [(0.5, "x_med"), (0.9, "x_p90")],
+        "y": [(0.25, "y_p25")],
+    }
+    plain = group_percentiles(
+        df, ["k"], col_probs, mode="exact", compress=False
+    )
+    freq = group_percentiles(df, ["k"], col_probs, mode="exact")
+    assert plain.columns == freq.columns
+    key = lambda r: (r["k"] is None, r["k"])
+    a = sorted(plain.collect(), key=key)
+    b = sorted(freq.collect(), key=key)
+    assert len(a) == len(b) == 4
+    for ra, rb in zip(a, b):
+        assert ra == rb, (ra, rb)

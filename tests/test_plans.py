@@ -155,13 +155,20 @@ def test_q5_snowflake_broadcasts_dims(spark, sf_dir):
     assert "o_orderdate" in plan and "PushedFilters" in plan, plan
 
 
-def test_q18_semi_join_gate(spark, sf_dir):
+def test_q18_single_fact_scan(spark, sf_dir):
+    """r13: the HAVING gate's decimal-exact sum IS total_qty (the final
+    group keys are functions of the order key), so the plan must read
+    lineitem exactly ONCE — the former semi-join + re-join + re-agg
+    shape scanned and summed the fact table twice."""
+    import re
+
     import __spark_entry__ as m
 
     df = m.queries()["agg_large_orders"](spark, sf_dir)
     plan = plan_of(df)
-    assert "LeftSemi" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+    n = len(re.findall(r"/lineitem\.parquet", plan_of(df, "simple")))
+    assert n == 1, f"{n} lineitem scans (want 1)\n{plan[:2000]}"
 
 
 def test_q14_promo_broadcasts_part_and_gates_shipdate(spark, sf_dir):
