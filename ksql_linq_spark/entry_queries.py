@@ -3521,12 +3521,12 @@ def text_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary and filtering (prefix property of the total order
     (cnt DESC, term)), so this is exact at any corpus size — no tuned
     support threshold needed."""
-    from .operators.text import normalize_text, tokens
+    from .operators.text import norm_tokens
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.explode(tokens(normalize_text("text"))).alias("term")
+        "doc_id", F.explode(norm_tokens("text")).alias("term")
     )
     freq = toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("cnt"),

@@ -502,7 +502,7 @@ def remove_dup_ngrams(
     """
     from pyspark.sql.window import Window
 
-    from .text import normalize_text, tokens
+    from .text import norm_tokens
 
     if n < 2:
         raise ValueError(
@@ -511,7 +511,7 @@ def remove_dup_ngrams(
         )
     toks = df.select(
         F.col(id_col),
-        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "tok"),
+        F.posexplode(norm_tokens(F.col(text_col))).alias("pos", "tok"),
     ).localCheckpoint(eager=False)
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, n)]

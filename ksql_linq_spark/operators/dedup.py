@@ -197,14 +197,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     fingerprint is 1 iff sum over tokens of (+1 if token-hash bit j else -1)
     is positive.
     """
-    from .text import normalize_text, tokens
+    from .text import norm_tokens
 
     # explode tokens (tokenizer runs once per row), hash each token, then
     # 32 codegen'd sign-vote SUM aggregates with map-side partials — the
     # earlier form ran 32 interpreted F.aggregate folds per row
     th = df.select(
         F.col(id_col),
-        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+        F.explode(norm_tokens(F.col(text_col))).alias("tok"),
     ).select(
         F.col(id_col), _md5_half(F.col("tok"), 1).alias("h")
     )

@@ -259,27 +259,43 @@ def _lloyd(points, k: int, seed: int, iters: int = 25):
     rng = np.random.RandomState(seed)
     n = len(points)
     k = min(k, n)
-    # kmeans++ seeding: first center random, rest ~ squared-distance
+    # kmeans++ seeding: first center random, rest ~ squared-distance.
+    # Running min over the one NEW center per step (each center's
+    # distance vector is computed exactly once) — bit-identical to
+    # re-minimizing over all centers, which recomputed the same O(k²)
+    # distance vectors (r13: was the dominant pq/ivf build cost).
     centers = [points[rng.randint(n)]]
+    d2 = ((points - centers[0]) ** 2).sum(axis=1)
     for _ in range(1, k):
-        d2 = np.min(
-            [((points - c) ** 2).sum(axis=1) for c in centers], axis=0
-        )
         tot = d2.sum()
         if tot <= 0:
-            centers.append(points[rng.randint(n)])
-            continue
-        centers.append(points[np.searchsorted(np.cumsum(d2 / tot), rng.rand())])
+            c = points[rng.randint(n)]
+        else:
+            c = points[np.searchsorted(np.cumsum(d2 / tot), rng.rand())]
+        centers.append(c)
+        d2 = np.minimum(d2, ((points - c) ** 2).sum(axis=1))
     C = np.array(centers, dtype=np.float64)
+    prev = None
+    pn2 = (points**2).sum(1)[:, None]
     for _ in range(iters):
-        d2 = ((points**2).sum(1)[:, None] - 2 * points @ C.T + (C**2).sum(1)[None, :])
+        d2 = pn2 - 2 * points @ C.T + (C**2).sum(1)[None, :]
         lab = d2.argmin(1)
-        newC = np.array(
-            [
-                points[lab == j].mean(0) if (lab == j).any() else C[j]
-                for j in range(k)
-            ]
-        )
+        # only centroids whose member set changed need a new mean: an
+        # unchanged member set reproduces the current center bit-exactly
+        # (same rows, same order, same np.mean), so copying C[j] is
+        # identical to recomputing it (r13; late iterations move a
+        # handful of points, the full per-centroid mask scan was O(k·n)
+        # every round)
+        if prev is None:
+            dirty = range(k)
+        else:
+            moved = lab != prev
+            dirty = np.unique(np.concatenate([lab[moved], prev[moved]]))
+        newC = C.copy()
+        for j in dirty:
+            sel = lab == j
+            newC[j] = points[sel].mean(0) if sel.any() else C[j]
+        prev = lab
         if np.allclose(newC, C):
             break
         C = newC

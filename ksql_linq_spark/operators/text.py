@@ -183,6 +183,21 @@ def language_id_table(df, text_col: str = "text", id_col: str = "doc_id",
     return joined.select(id_col, *(extra_cols or []), detected.alias("detected_lang"))
 
 
+def norm_tokens(text) -> Column:
+    """``tokens(normalize_text(text))`` with the redundant
+    whitespace-collapse dropped: the ``\\s+`` split already treats any
+    whitespace run as one separator, so collapsing runs to single
+    spaces first buys nothing for token consumers (identical arrays,
+    verified corpus-wide) and costs a full-text regexp_replace per row.
+    Use this wherever the NORMALIZED TOKEN ARRAY is the goal;
+    :func:`normalize_text` remains the contract for consumers of the
+    normalized STRING itself (fingerprint)."""
+    c = F.trim(F.regexp_replace(F.lower(F.trim(_c(text))), _PUNCT_CLASS, ""))
+    return F.when(c == "", F.array().cast("array<string>")).otherwise(
+        F.split(c, "\\s+")
+    )
+
+
 def normalize_text(text) -> Column:
     """Dedup normalization: lowercase, collapse whitespace, strip punct."""
     c = F.lower(F.trim(_c(text)))
@@ -207,7 +222,7 @@ def shingles(text, n: int = 3) -> Column:
     use; every hot path should use :func:`shingle_rows` (materialized
     token-array column + explode, row-level evaluation) instead.
     """
-    t = tokens(normalize_text(text))
+    t = norm_tokens(text)
     k = F.size(t) - (n - 1)
     return F.when(
         k > 0,
@@ -278,7 +293,7 @@ def _shingle_arrays(
     of consumers that only ever count complete n-grams (e.g. the
     source-exclusivity audit's lead-window predecessor, whose
     ``lead(n-1) IS NOT NULL`` filter dropped short docs outright)."""
-    t = tokens(normalize_text(F.col(text_col)))
+    t = norm_tokens(F.col(text_col))
     extra = list(carry or [])
     toks = df.select(F.col(id_col), *extra, t.alias("_toks"))
     sz = F.size(F.col("_toks"))
@@ -492,7 +507,7 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
     from pyspark.sql import Window
 
     toks = df.select(
-        F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("term")
+        F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
     )
     tf = (
         toks.groupBy(id_col, "term")
@@ -551,7 +566,7 @@ def unigram_logprob_score(
     discipline as tfidf_top_terms.)
     """
     toks = df.select(
-        F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("term")
+        F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
     )
     tf = (
         toks.groupBy(id_col, "term")
@@ -702,7 +717,7 @@ def hashed_features(
 
     toks = df.select(
         F.col(id_col),
-        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+        F.explode(norm_tokens(F.col(text_col))).alias("tok"),
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")

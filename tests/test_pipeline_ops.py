@@ -2021,3 +2021,30 @@ def test_group_percentiles_compress_bit_identical(spark):
     assert len(a) == len(b) == 4
     for ra, rb in zip(a, b):
         assert ra == rb, (ra, rb)
+
+
+def test_norm_tokens_matches_tokens_of_normalize_text(spark):
+    """r13: norm_tokens drops the whitespace-collapse before the \\s+
+    split — arrays must stay identical to tokens(normalize_text(...))
+    on every edge class (blank, punct-only, multi-space, mixed)."""
+    from ksql_linq_spark.operators.text import (
+        norm_tokens,
+        normalize_text,
+        tokens,
+    )
+
+    rows = [
+        ("",), ("   ",), (".,!?;:",), (" . , ",),
+        ("Hello,  World!",), ("a\tb\nc   d",), ("x",),
+        ("  MIXED case...  with;punct  and   runs ",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    bad = (
+        df.select(
+            tokens(normalize_text(F.col("text"))).alias("a"),
+            norm_tokens(F.col("text")).alias("b"),
+        )
+        .where(~(F.col("a") == F.col("b")))
+        .count()
+    )
+    assert bad == 0
