@@ -243,17 +243,24 @@ def interpolate_linear(
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    fwd = (
+    # "next non-null strictly after" = "last non-null strictly before"
+    # under DESCENDING order: a growing frame Spark evaluates
+    # incrementally in O(n).  The former (1, unboundedFollowing) frame
+    # is re-scanned from each row to the partition end — O(n²) per
+    # partition (r13: measured 1.43 s → 0.65 s on the 14.4k-row spine,
+    # bit-identical output).  Cost moved: one extra in-partition sort
+    # (same single exchange, the window keys are unchanged).
+    fwd_desc = (
         Window.partitionBy(*keys)
-        .orderBy(bucket_col)
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col(bucket_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     v = F.col(value_col)
     obs_ts = F.when(v.isNotNull(), F.col(bucket_col))
     prev_v = F.last(v, ignorenulls=True).over(back)
     prev_ts = F.last(obs_ts, ignorenulls=True).over(back)
-    next_v = F.first(v, ignorenulls=True).over(fwd)
-    next_ts = F.first(obs_ts, ignorenulls=True).over(fwd)
+    next_v = F.last(v, ignorenulls=True).over(fwd_desc)
+    next_ts = F.last(obs_ts, ignorenulls=True).over(fwd_desc)
     # timestamp→double is fractional epoch seconds (µs-exact), matching
     # DuckDB's epoch(); unix_timestamp() would truncate to seconds and
     # silently mis-weight sub-second buckets
