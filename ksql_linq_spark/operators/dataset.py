@@ -500,8 +500,6 @@ def remove_dup_ngrams(
     materialized tokens instead of spilling the fattest frame in the
     plan.
     """
-    from pyspark.sql.window import Window
-
     from .text import norm_tokens
 
     if n < 2:
@@ -509,18 +507,34 @@ def remove_dup_ngrams(
             f"remove_dup_ngrams requires n >= 2 (got {n}); n=1 is plain "
             "cross-doc token dedup — use cross_doc_dup_stats/filters instead"
         )
-    toks = df.select(
+    # r13: gram assembly and document reassembly are ROW-LOCAL over the
+    # per-doc token array (guide §2.4) — the former shape paid (a) a
+    # doc-keyed window exchange + sort over the FULL token stream to
+    # build grams via lead(), and (b) a doc-keyed groupBy +
+    # array_sort(collect_list) to reassemble survivors.  Now the token
+    # array rides one materialized row per doc, grams slice out of it
+    # in place, and reassembly is an ordered array filter against the
+    # (bounded, matched-only) covered-position set joined back per doc.
+    # Output bit-identical (exceptAll both ways empty at sf0.1).
+    sub = df.select(
         F.col(id_col),
-        F.posexplode(norm_tokens(F.col(text_col))).alias("pos", "tok"),
+        # Generate barrier (the _shingle_arrays discipline): the token
+        # array is referenced by grams, the rebuild filter, and both
+        # sizes — a plain Project would inline the tokenizer per use
+        F.explode(F.array(norm_tokens(F.col(text_col)))).alias("_toks"),
     ).localCheckpoint(eager=False)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
-    grams = toks.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
-        leads[-1].isNotNull().alias("full"),
-    ).filter(F.col("full"))
+    # docs shorter than n tokens contribute NO grams; the when-guard is
+    # load-bearing (sequence(1, 0) would COUNT DOWN, not come up empty)
+    gram_expr = F.when(
+        F.size("_toks") >= n,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {n - 1}), "
+            f"i -> array_join(slice(_toks, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = sub.select(
+        F.col(id_col), F.posexplode(gram_expr).alias("pos", "s")
+    )
     dup_dim = (
         grams.select(id_col, "s")
         .distinct()
@@ -531,37 +545,29 @@ def remove_dup_ngrams(
     )
     if broadcast_dup:
         dup_dim = F.broadcast(dup_dim)
-    covered = (
+    # pos is the 0-based gram start; collect_set dedups overlapping
+    # coverage, so no separate distinct() pass is needed
+    cov = (
         grams.join(dup_dim, "s", "left_semi")
         .select(
             F.col(id_col),
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias(
-                "pos"
+                "p"
             ),
         )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("p").alias("_cov"))
     )
-    survivors = toks.join(covered, [id_col, "pos"], "left_anti")
-    rebuilt = survivors.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias(text_col),
-        F.count(F.lit(1)).alias("n_kept"),
+    kept = F.expr(
+        "filter(_toks, (x, i) -> _cov IS NULL OR NOT array_contains(_cov, i))"
     )
-    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
     return (
-        df.select(id_col)
-        .join(totals, id_col, "left")
-        .join(rebuilt, id_col, "left")
+        sub.join(cov, id_col, "left")
         .select(
-            id_col,
-            F.coalesce(text_col, F.lit("")).alias(text_col),
-            F.coalesce("n_total", F.lit(0)).cast("bigint").alias("n_total"),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.col(id_col),
+            F.array_join(kept, " ").alias(text_col),
+            F.size("_toks").cast("bigint").alias("n_total"),
+            F.size(kept).cast("bigint").alias("n_kept"),
         )
     )
 

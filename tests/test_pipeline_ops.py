@@ -2048,3 +2048,25 @@ def test_norm_tokens_matches_tokens_of_normalize_text(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_remove_dup_ngrams_short_docs_keep_all_tokens(spark):
+    """r13 row-local gram assembly: docs shorter than n tokens build NO
+    grams (the sequence() when-guard — an unguarded sequence(1, 0)
+    counts DOWN) and must come through intact; duplicated 5-grams are
+    still removed everywhere; fully-boilerplate docs empty out."""
+    from ksql_linq_spark.operators.dataset import remove_dup_ngrams
+
+    boiler = "one two three four five"
+    rows = [
+        (1, "tiny doc"),                       # < n tokens: untouched
+        (2, boiler),                           # exactly the dup gram
+        (3, boiler + " unique tail here"),     # dup prefix + survivors
+        (4, ""),                               # empty: 0/0
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in remove_dup_ngrams(df, n=5, min_docs=2).collect()}
+    assert out[1].text == "tiny doc" and out[1].n_total == 2 and out[1].n_kept == 2
+    assert out[2].text == "" and out[2].n_total == 5 and out[2].n_kept == 0
+    assert out[3].text == "unique tail here" and out[3].n_kept == 3
+    assert out[4].text == "" and out[4].n_total == 0 and out[4].n_kept == 0
