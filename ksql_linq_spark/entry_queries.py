@@ -2857,13 +2857,18 @@ def decontamination_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hll_lgk=14: the r7 30x sweep measured the lgk=12 default's error
     # tail at 6.2% max over 15k docs — past the 5% invariant below;
     # lgk=14 halves the rsd (bound moves to ~6 sigma, no flips)
+    # one operator call carries BOTH legs (r13): the exact recount
+    # rides the same checkpointed train/eval shingle frames instead of
+    # a second contamination_report that re-shingled train AND eval
     approx = contamination_report(
-        train, test, shingle_n=3, approx_train_docs=True, hll_lgk=14
+        train,
+        test,
+        shingle_n=3,
+        approx_train_docs=True,
+        hll_lgk=14,
+        exact_check_col="_exact_td",
     )
-    exact_td = contamination_report(train, test, shingle_n=3).select(
-        "doc_id", F.col("train_docs").alias("_exact_td")
-    )
-    return approx.join(exact_td, "doc_id").select(
+    return approx.select(
         "doc_id",
         "total",
         "overlap",

@@ -41,6 +41,7 @@ def contamination_report(
     max_shingle_freq: int | None = None,
     approx_train_docs: bool = False,
     hll_lgk: int = 12,
+    exact_check_col: str | None = None,
 ) -> DataFrame:
     """Per eval document: ``total`` distinct shingles, ``overlap`` of
     them present in the train corpus, ``train_docs`` distinct training
@@ -100,6 +101,14 @@ def contamination_report(
     tr = shingle_rows(train, text_col, id_col, shingle_n).withColumnRenamed(
         id_col, "_train_id"
     )
+    if exact_check_col is not None and not approx_train_docs:
+        raise ValueError("exact_check_col requires approx_train_docs=True")
+    if exact_check_col is not None:
+        # the train shingle stream feeds BOTH the sketch dim and the
+        # exact-recount join below; without a cut the whole train
+        # shingling re-runs per branch (r13: the hll query previously
+        # made two operator calls and shingled train + eval TWICE)
+        tr = tr.localCheckpoint(eager=False)
     if approx_train_docs:
         # hll_lgk sizes the sketch (rsd ~ 1.04/sqrt(2^lgk)): lgk=12 is
         # ~1.6% rsd, measured max error 6.2% over 15k docs at 30x (a
@@ -127,13 +136,27 @@ def contamination_report(
             )
         )
         base = ev_sets.select(id_col, "total")
-        return base.join(hits, id_col, "left").select(
+        out = base.join(hits, id_col, "left").select(
             id_col,
             "total",
             F.coalesce("overlap", F.lit(0)).alias("overlap"),
             F.coalesce("train_docs", F.lit(0)).alias("train_docs"),
             (F.coalesce("overlap", F.lit(0)) / F.col("total")).alias("ratio"),
         )
+        if exact_check_col is not None:
+            # the exact recount rides the SAME checkpointed shingle
+            # frames — one extra doc-keyed aggregate instead of a whole
+            # second report's shingling (identical values to the exact
+            # path's train_docs: same countDistinct over the same join)
+            hits_exact = (
+                ev.join(tr, "s")
+                .groupBy(id_col)
+                .agg(F.countDistinct("_train_id").alias(exact_check_col))
+            )
+            out = out.join(hits_exact, id_col, "left").withColumn(
+                exact_check_col, F.coalesce(exact_check_col, F.lit(0))
+            )
+        return out
     if max_shingle_freq is not None:
         tr = (
             tr.withColumn(

@@ -2070,3 +2070,33 @@ def test_remove_dup_ngrams_short_docs_keep_all_tokens(spark):
     assert out[2].text == "" and out[2].n_total == 5 and out[2].n_kept == 0
     assert out[3].text == "unique tail here" and out[3].n_kept == 3
     assert out[4].text == "" and out[4].n_total == 0 and out[4].n_kept == 0
+
+
+def test_contamination_report_exact_check_col_matches_two_call_form(spark):
+    """r13: the fused exact-check leg must reproduce the separate exact
+    report's train_docs per doc, and the flag demands the approx path."""
+    import pytest as _pytest
+
+    from ksql_linq_spark.operators.decontam import contamination_report
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon"),
+         (3, "zeta eta theta iota")],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "zeta eta theta"), (12, "nope nada zip")],
+        "doc_id int, text string",
+    )
+    fused = contamination_report(
+        train, ev, shingle_n=3, approx_train_docs=True, hll_lgk=14,
+        exact_check_col="_exact_td",
+    )
+    exact = contamination_report(train, ev, shingle_n=3).select(
+        "doc_id", F.col("train_docs").alias("_exact_td")
+    )
+    f = {r.doc_id: r._exact_td for r in fused.collect()}
+    e = {r.doc_id: r._exact_td for r in exact.collect()}
+    assert f == e and f[10] == 2 and f[11] == 1 and f[12] == 0
+    with _pytest.raises(ValueError):
+        contamination_report(train, ev, exact_check_col="x")
