@@ -2997,7 +2997,17 @@ def agg_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete percentiles (percentile_disc ≡ DuckDB quantile_disc):
     returns actual data values, so cross-engine equality is exact by
     construction — the right percentile flavor when the result must be
-    an observed value (a real document length, a real price)."""
+    an observed value (a real document length, a real price).
+
+    r14 measured-and-rejected: the frequency-compressed rank-arithmetic
+    twin (operators/sketch.group_percentiles_disc, bit-identity proven
+    by test_group_percentiles_disc_bit_identical) is a WASH here —
+    interleaved min-of-7 at sf0.1: native 1.093 s, all-compressed
+    2.052 s (the near-unique l_extendedprice column compresses nothing
+    and pays a window sort), mixed qty-only 1.064 s (within noise, one
+    extra fact scan).  The native single-scan ObjectHashAggregate
+    stays; the compressed twin remains the right shape when values
+    repeat (the events compress=False precedent, in reverse)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias(
@@ -6996,29 +7006,15 @@ def similarity_ann_join_q(
             ).alias("exact_pairs"),
             F.lit(None).cast("boolean").alias("recall_ok"),
         )
-    from .operators.similarity import cosine as _cos
+    from .operators.similarity import brute_force_top1_ids
 
-    r = e.select(
-        F.col("vec_id").alias("rid"), F.col("embedding").alias("re")
-    )
-    exact = (
-        lq.select(F.col("vec_id").alias("lid"), F.col("embedding").alias("le"))
-        .join(r, F.col("lid") != F.col("rid"))
-        .select(
-            "lid",
-            "rid",
-            # string operands -> one-text-parse build (operators/_exprtext)
-            _cos("`le`", "`re`", 64, cast_elements=True).alias("cos"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                _W.partitionBy("lid").orderBy(F.col("cos").desc(), F.col("rid"))
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select("lid", F.col("rid").alias("exact_rid"))
-    )
+    # exact top-1 per query via the numpy block kernel (bit-identical
+    # IEEE fold to the former crossjoin + unrolled-cosine + window form
+    # — see brute_force_top1_ids): the |queries| x corpus pair matrix
+    # never materializes as rows, only per-block winners flow (guide §8
+    # proxy discipline); replaces a 4M-row codegen cosine + full-pair
+    # window shuffle at sf0.1
+    exact = brute_force_top1_ids(e, lq, max_queries=exact_verify_max_rows)
     j = exact.join(ann, "lid", "left")
     agg = j.agg(
         F.concat_ws(

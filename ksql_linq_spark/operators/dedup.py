@@ -146,17 +146,45 @@ def minhash_lsh_pairs(
     statement about components, not about individual edges).  The cap is
     deterministic (array_sort order), so results are stable run to run.
     """
-    banded = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_n)
+    # Band key = the RAW signature slice (2 longs), not md5 of its
+    # string form: bucket equality is slice equality either way (md5 is
+    # deterministic on the slice; a cross-slice md5 collision — odds
+    # ~2^-128 — is the only world where the md5 form differs, and the
+    # oracle's own md5 banding shares that world), but the raw slice
+    # shuffles 16 bytes instead of a 32-char string and skips one md5 +
+    # array_join + transform per (doc, band) — guide §2.3 narrower keys.
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).alias(
+                "band_key"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
     buckets = (
-        banded.groupBy("band_idx", "band_hash")
+        banded.groupBy("band_idx", "band_key")
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    # sort each bucket ONCE through a Generate barrier: the pair
+    # expressions reference the sorted array many times (slice per
+    # element), and without the barrier CollapseProject re-inlines
+    # array_sort into EVERY reference — the before-plan shows 8+
+    # array_sort evaluations per bucket (the _shingle_arrays hazard)
+    sorted_b = buckets.select(
+        F.explode(F.array(F.array_sort(F.col("ids")))).alias("sids")
+    )
     pair_expr = F.when(
-        F.size("ids") <= max_bucket_size, _sorted_pairs(F.col("ids"))
-    ).otherwise(_chain_pairs(F.col("ids")))
+        F.size("sids") <= max_bucket_size, _presorted_pairs(F.col("sids"))
+    ).otherwise(_presorted_chain(F.col("sids")))
     return (
-        buckets.select(F.explode(pair_expr).alias("p"))
+        sorted_b.select(F.explode(pair_expr).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -164,7 +192,21 @@ def minhash_lsh_pairs(
 
 def _sorted_pairs(ids: Column) -> Column:
     """All (id_a < id_b) pairs from an id array, as array<struct>."""
-    sorted_ids = F.array_sort(ids)
+    return _presorted_pairs(F.array_sort(ids))
+
+
+def _chain_pairs(ids: Column) -> Column:
+    """Consecutive (ids[i], ids[i+1]) pairs of the sorted id array —
+    O(n) spanning chain of the bucket's connectivity graph (the
+    degenerate-bucket fallback for ``minhash_lsh_pairs``)."""
+    return _presorted_chain(F.array_sort(ids))
+
+
+def _presorted_pairs(sorted_ids: Column) -> Column:
+    """All (id_a < id_b) pairs of an ALREADY-SORTED id array.  The
+    caller should bind ``sorted_ids`` to an attribute (Generate
+    barrier) — the expression references it per element, and an inlined
+    array_sort would be re-evaluated at every reference."""
     return F.flatten(
         F.transform(
             sorted_ids,
@@ -176,11 +218,9 @@ def _sorted_pairs(ids: Column) -> Column:
     )
 
 
-def _chain_pairs(ids: Column) -> Column:
-    """Consecutive (ids[i], ids[i+1]) pairs of the sorted id array —
-    O(n) spanning chain of the bucket's connectivity graph (the
-    degenerate-bucket fallback for ``minhash_lsh_pairs``)."""
-    sorted_ids = F.array_sort(ids)
+def _presorted_chain(sorted_ids: Column) -> Column:
+    """Consecutive (ids[i], ids[i+1]) pairs of an ALREADY-SORTED array
+    (see :func:`_presorted_pairs` for the attribute-binding contract)."""
     n = F.size(sorted_ids)
     return F.zip_with(
         F.slice(sorted_ids, 1, n - 1),

@@ -109,6 +109,140 @@ def brute_force_topk(
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
 
 
+def brute_force_top1_ids(
+    df: DataFrame,
+    query_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """(lid, exact_rid): each query vector's exact nearest neighbor id
+    over the full corpus by cosine, self excluded, ties by smallest
+    neighbor id — the brute-force verification leg of an ANN join.
+
+    Bit-identical to the expression form (cross join + unrolled cosine
+    + ``row_number() OVER (ORDER BY cos DESC, rid)``): the numpy block
+    kernel accumulates dot products and norms dimension-at-a-time
+    (``acc += a[:,i]*b[:,i]``) — the identical left-associative IEEE-754
+    fold as the Column expression and the DuckDB ``list_reduce`` oracle,
+    vectorized ACROSS pairs only — and the per-query winner is picked by
+    exact-equality argmax with min-id tie-break, matching the window's
+    (cos DESC, rid) order.  NaN cosines (zero-norm vectors) rank FIRST,
+    as in both engines' descending sorts.
+
+    The query side is the bounded side (collected and shipped to every
+    task — the footprint a broadcast join would ship), gated at
+    ``max_queries`` like the other quadratic opt-ins; the corpus is
+    streamed through ``mapInPandas`` and never shuffled by pair — the
+    guide-§8 proxy discipline: per corpus batch only |queries| winner
+    rows (a few bytes each) flow into the final tiny aggregate.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    qt = (
+        query_df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(max_queries + 1)
+        .toArrow()
+    )
+    if qt.num_rows > max_queries:
+        raise ValueError(
+            f"brute_force_top1_ids: more than {max_queries} query rows hit "
+            "the exact-verify gate — this leg is |queries| x corpus by "
+            "contract; raise max_queries deliberately or drop the exact leg"
+        )
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("lid", id_type),
+            T.StructField("rid", id_type),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    sess = df.sparkSession
+    if qt.num_rows == 0:
+        return sess.createDataFrame([], out_schema).select("lid", F.col("rid").alias("exact_rid"))
+    q_ids = np.array(qt.column(id_col).to_pylist(), dtype=np.int64)
+    q_mat = np.array(qt.column(vec_col).to_pylist(), dtype=np.float64)  # float->double exact
+    ndim = q_mat.shape[1]
+    q_acc = np.zeros(len(q_ids), dtype=np.float64)
+    for i in range(ndim):  # same fold order as the expression/oracle
+        q_acc += q_mat[:, i] * q_mat[:, i]
+    q_norms = np.sqrt(q_acc)
+    m = len(q_ids)
+    # cap the m x block dots matrix at ~64 MB (embedding_cosine_pairs_
+    # blocked discipline), floor 16 rows
+    block_rows = max(16, int(8_000_000 / m))
+
+    def run(batches):
+        for pdf in batches:
+            for s in range(0, len(pdf), block_rows):
+                sub = pdf.iloc[s : s + block_rows]
+                c_ids = sub[id_col].to_numpy(dtype=np.int64)
+                if len(c_ids) == 0:
+                    continue
+                c_mat = np.array(list(sub[vec_col]), dtype=np.float64)
+                c_acc = np.zeros(len(c_ids), dtype=np.float64)
+                dots = np.zeros((m, len(c_ids)), dtype=np.float64)
+                for i in range(ndim):
+                    col = c_mat[:, i]
+                    c_acc += col * col
+                    dots += q_mat[:, i][:, None] * col[None, :]
+                cos = dots / (q_norms[:, None] * np.sqrt(c_acc)[None, :])
+                # self-pairs excluded exactly as the join's lid != rid
+                valid = q_ids[:, None] != c_ids[None, :]
+                out_l, out_r, out_c = [], [], []
+                for qi in range(m):
+                    row, v = cos[qi], valid[qi]
+                    if not v.any():
+                        continue  # block held only the self row
+                    nan_mask = np.isnan(row) & v
+                    if nan_mask.any():
+                        # NaN sorts ABOVE every double in cos DESC (both
+                        # engines); tie-break min rid among NaNs
+                        cand = np.flatnonzero(nan_mask)
+                    else:
+                        best = row[v].max()
+                        cand = np.flatnonzero(v & (row == best))
+                    rid = c_ids[cand].min()
+                    out_l.append(q_ids[qi])
+                    out_r.append(rid)
+                    out_c.append(row[np.flatnonzero(c_ids == rid)[0]])
+                yield pd.DataFrame({"lid": out_l, "rid": out_r, "cos": out_c})
+
+    parts = min(
+        2048,
+        max(
+            sess.sparkContext.defaultParallelism,
+            -(-qt.num_rows // max(block_rows, 1)),
+        ),
+    )
+    winners = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .repartition(parts)
+        .mapInPandas(run, out_schema)
+    )
+    # per-block winners -> global winner per query: lexicographic max of
+    # (cos, -rid) == highest cos, ties by smallest rid.  NaN cos (ranked
+    # first in both engines) is mapped to +inf for the struct compare —
+    # exact cos values are per-pair deterministic, so cross-block
+    # comparisons reproduce the window's total order.
+    key = F.struct(
+        F.when(F.isnan(F.col("cos")), F.lit(float("inf")))
+        .otherwise(F.col("cos"))
+        .alias("c"),
+        (-F.col("rid")).alias("nr"),
+    )
+    return (
+        winners.groupBy("lid")
+        .agg(F.max(key).alias("_w"))
+        .select("lid", (-F.col("_w.nr")).alias("exact_rid"))
+    )
+
+
 def _hyperplane(plane_idx: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes.
 

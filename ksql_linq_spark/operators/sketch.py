@@ -151,31 +151,120 @@ def group_percentiles(
     # (group, value) instead of one per input row.  Rows where the value
     # column is NULL are kept through the pre-aggregate (percentile
     # ignores them) so all-NULL groups still emit their row.
+    taken = set(df.columns) | {a for probs in col_probs.values() for _, a in probs}
+    fcol = _fresh("_f", taken)
     parts = []
     for col, probs in col_probs.items():
-        counted = df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("_f"))
+        counted = df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias(fcol))
         aggs = [
-            F.percentile(col, F.lit(p), F.col("_f")).alias(alias)
+            F.percentile(col, F.lit(p), F.col(fcol)).alias(alias)
             for p, alias in probs
         ]
         parts.append(counted.groupBy(*keys).agg(*aggs))
+    return _recombine_on_keys(parts, keys, col_probs, taken)
+
+
+def _fresh(name: str, taken: set[str]) -> str:
+    """Internal-column name guaranteed absent from ``taken`` (caller
+    columns + output aliases) — reserved names like ``_f`` must never
+    silently collide with a real column (ambiguity / wrong frequencies)."""
+    cand, i = name, 0
+    while cand in taken:
+        i += 1
+        cand = f"{name}{i}"
+    taken.add(cand)
+    return cand
+
+
+def _recombine_on_keys(
+    parts: list[DataFrame],
+    keys: list[str],
+    col_probs: dict,
+    taken: set[str],
+) -> DataFrame:
+    """Null-safe recombination of per-column aggregate frames: NULL group
+    keys are real groups and must survive the join of the per-column
+    results back into one row per group."""
     out = parts[0]
+    gp = {k: _fresh(f"_gp_{k}", taken) for k in keys}
     for part in parts[1:]:
         if not keys:
             out = out.crossJoin(part)
             continue
-        # null-safe equi-join: NULL group keys are real groups and must
-        # survive the recombination of the per-column aggregates
         renamed = part
         for k in keys:
-            renamed = renamed.withColumnRenamed(k, f"_gp_{k}")
+            renamed = renamed.withColumnRenamed(k, gp[k])
         cond = None
         for k in keys:
-            c = F.col(k).eqNullSafe(F.col(f"_gp_{k}"))
+            c = F.col(k).eqNullSafe(F.col(gp[k]))
             cond = c if cond is None else (cond & c)
-        out = out.join(renamed, cond, "inner").drop(*[f"_gp_{k}" for k in keys])
+        out = out.join(renamed, cond, "inner").drop(*[gp[k] for k in keys])
     order = list(keys) + [a for probs in col_probs.values() for _, a in probs]
     return out.select(*order)
+
+
+def group_percentiles_disc(
+    df: DataFrame,
+    keys: list[str],
+    col_probs: dict[str, list[tuple[float, str]]],
+) -> DataFrame:
+    """Frequency-compressed discrete per-group percentiles — the
+    rank-arithmetic twin of ``group_percentiles(compress=True)`` for
+    ``percentile_disc``.
+
+    Spark's ``percentile_disc`` is an ObjectHashAggregate that buffers
+    every (value, 1) pair per group and sorts at eval; its documented
+    semantics (PercentileDisc.getPercentile, non-legacy path) are::
+
+        rank = ceil(n.toDouble * p).toLong       # n = non-null count
+        result = first value whose cumulative count >= rank  (as double)
+
+    This computes the identical value from the frequency-compressed
+    frame: pre-reduce to (keys, value, count) in a codegen hash
+    aggregate, cumulative counts via one incremental window over the
+    compressed rows, and the rank pick as a conditional min — the same
+    double multiply + ceil, so bit-identical by construction (including
+    the p·n floating-point boundary behavior).  NULL values are
+    excluded from n and from candidacy exactly as the native aggregate
+    does; all-NULL groups still emit their row (result NULL).
+    """
+    from pyspark.sql.window import Window
+
+    taken = set(df.columns) | {a for probs in col_probs.values() for _, a in probs}
+    fcol = _fresh("_f", taken)
+    ncol = _fresh("_n", taken)
+    ccol = _fresh("_cum", taken)
+    parts = []
+    for col, probs in col_probs.items():
+        counted = df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias(fcol))
+        nn = F.col(col).isNotNull()
+        w_all = Window.partitionBy(*keys)
+        w_cum = (
+            Window.partitionBy(*keys)
+            .orderBy(F.asc_nulls_last(col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        en = counted.select(
+            *keys,
+            col,
+            F.sum(F.when(nn, F.col(fcol))).over(w_cum).alias(ccol),
+            F.sum(F.when(nn, F.col(fcol))).over(w_all).alias(ncol),
+        )
+        aggs = []
+        for p, alias in probs:
+            # the EXACT native arithmetic: n (long) -> double, * p, ceil -> long
+            rank = F.ceil(F.col(ncol).cast("double") * F.lit(float(p)))
+            aggs.append(
+                F.min(
+                    F.when(
+                        F.col(col).isNotNull() & (F.col(ccol) >= rank), F.col(col)
+                    )
+                )
+                .cast("double")
+                .alias(alias)
+            )
+        parts.append(en.groupBy(*keys).agg(*aggs))
+    return _recombine_on_keys(parts, keys, col_probs, taken)
 
 
 def cm_sketch(

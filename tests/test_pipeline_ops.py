@@ -2100,3 +2100,99 @@ def test_contamination_report_exact_check_col_matches_two_call_form(spark):
     assert f == e and f[10] == 2 and f[11] == 1 and f[12] == 0
     with _pytest.raises(ValueError):
         contamination_report(train, ev, exact_check_col="x")
+
+
+def test_group_percentiles_disc_bit_identical(spark):
+    """r14: the frequency-compressed rank-arithmetic percentile_disc
+    twin must reproduce the native ObjectHashAggregate bit-for-bit —
+    including NULL group keys, all-NULL value groups, the FP
+    ceil(n·p) boundary (p=0.9, n=100-class products), and p=0/p=1."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ksql_linq_spark.operators.sketch import group_percentiles_disc
+
+    random.seed(7)
+    rows = [
+        ("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 2.0, None),
+        ("b", 7.0, 70.0), ("b", None, 80.0),
+        (None, 3.0, 30.0), (None, 5.0, None),
+        ("c", None, None),  # all-NULL group: row must survive, NULL result
+    ]
+    # FP-boundary group: exactly 100 values so 0.9*n rides the
+    # double-multiply rounding edge the native rank arithmetic has
+    rows += [("d", float(i % 13), random.random() * 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    col_probs = {
+        "x": [(0.5, "x_med"), (0.9, "x_p90"), (0.0, "x_min"), (1.0, "x_max")],
+        "y": [(0.25, "y_p25")],
+    }
+    aggs = [
+        F.expr(f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY {c})").alias(a)
+        for c, probs in col_probs.items()
+        for p, a in probs
+    ]
+    native = df.groupBy("k").agg(*aggs)
+    freq = group_percentiles_disc(df, ["k"], col_probs)
+    assert native.schema == freq.schema
+    assert native.exceptAll(freq).count() == 0
+    assert freq.exceptAll(native).count() == 0
+
+
+def test_brute_force_top1_ids_matches_window_form(spark):
+    """r14: the numpy exact-NN kernel must reproduce the crossjoin +
+    unrolled-cosine + row_number window form exactly — same IEEE fold,
+    min-id tie-break, self exclusion, and NaN-first (zero-norm vector)
+    ordering."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as _W
+
+    from ksql_linq_spark.operators.similarity import (
+        brute_force_top1_ids,
+        cosine as _cos,
+    )
+
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # exact duplicate of 0 -> tie class
+        (2, [1.0, 0.0, 0.0, 0.0]),   # second duplicate: tie-break min id
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (100, [0.0, 0.0, 0.0, 0.0]),  # zero norm -> NaN cosines rank first
+        (200, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lq = e.filter(F.col("vec_id") % 100 == 0)
+    r = e.select(F.col("vec_id").alias("rid"), F.col("embedding").alias("re"))
+    # ANSI mode (Spark 4 default) ERRORS the expression form on the
+    # zero-norm 0/0 division, while DuckDB (the oracle) yields NaN; the
+    # kernel matches the oracle.  Compare against the window form with
+    # ANSI off so the NaN ordering is exercised.
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    old = (
+        lq.select(F.col("vec_id").alias("lid"), F.col("embedding").alias("le"))
+        .join(r, F.col("lid") != F.col("rid"))
+        .select(
+            "lid", "rid",
+            _cos("`le`", "`re`", dim, cast_elements=True).alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("lid").orderBy(F.col("cos").desc(), F.col("rid"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("lid", F.col("rid").alias("exact_rid"))
+    )
+    new = brute_force_top1_ids(e, lq)
+    try:
+        a = sorted(old.collect())
+        b = sorted(new.collect())
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+    assert a == b, (a, b)
+    with __import__("pytest").raises(ValueError):
+        brute_force_top1_ids(e, e, max_queries=2)

@@ -428,9 +428,14 @@ def test_ann_join_exact_verify_side_gated_above_max_rows(spark, sf_dir):
     row = gated.first()
     assert row["recall_ok"] is None
     assert row["exact_pairs"]  # ANN pairs still come back
-    ungated = similarity_ann_join_q(spark, sf_dir)
-    assert "NestedLoop" in plan_of(ungated) or "CartesianProduct" in plan_of(ungated)
-    assert ungated.first()["recall_ok"] is not None
+    # r14: below the gate the exact leg is the numpy winner kernel
+    # (brute_force_top1_ids) — the |queries| x corpus product must
+    # never materialize as join rows in the plan at ANY regime
+    ungated_plan = plan_of(similarity_ann_join_q(spark, sf_dir))
+    assert "NestedLoop" not in ungated_plan, ungated_plan
+    assert "CartesianProduct" not in ungated_plan, ungated_plan
+    assert "MapInPandas" in ungated_plan, ungated_plan
+    assert similarity_ann_join_q(spark, sf_dir).first()["recall_ok"] is not None
 
 
 def test_blocked_cosine_refuses_quadratic_above_gate(spark, sf_dir):
