@@ -66,6 +66,11 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if got is None:
         d = _t(spark, sf_dir, "documents")
         got = minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_n=3)
+        # read_table's bound-and-clear discipline: entries keyed by
+        # stopped applications must not accumulate for the process
+        # lifetime (each pins a SparkSession + DataFrame graph)
+        if len(_LSH_PAIRS_PLANS) > 64:
+            _LSH_PAIRS_PLANS.clear()
         _LSH_PAIRS_PLANS[key] = got
     return got
 

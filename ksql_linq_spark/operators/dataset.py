@@ -520,8 +520,16 @@ def remove_dup_ngrams(
         F.col(id_col),
         # Generate barrier (the _shingle_arrays discipline): the token
         # array is referenced by grams, the rebuild filter, and both
-        # sizes — a plain Project would inline the tokenizer per use
-        F.explode(F.array(norm_tokens(F.col(text_col)))).alias("_toks"),
+        # sizes — a plain Project would inline the tokenizer per use.
+        # NULL text coalesces to an empty token array so those rows
+        # keep the ("", 0, 0) contract (size(NULL) is -1, not 0)
+        F.explode(
+            F.array(
+                F.coalesce(
+                    norm_tokens(F.col(text_col)), F.array().cast("array<string>")
+                )
+            )
+        ).alias("_toks"),
     ).localCheckpoint(eager=False)
     # docs shorter than n tokens contribute NO grams; the when-guard is
     # load-bearing (sequence(1, 0) would COUNT DOWN, not come up empty)

@@ -206,7 +206,63 @@ def dedup_clusters(
     )
 
 
-def triangle_count(pairs, id_a: str = "id_a", id_b: str = "id_b"):
+def _fetch_edges_gated(pairs, id_a: str, id_b: str, gate: int):
+    """Canonical distinct undirected edges, fetched to the driver iff
+    the graph fits under ``gate`` (one upstream execution decides the
+    regime AND fetches — the connected_components limit-probe
+    discipline).  Returns (edge_list | None, canonical_frame)."""
+    from pyspark.sql import functions as F
+
+    canon = (
+        pairs.select(
+            F.least(id_a, id_b).alias("u"), F.greatest(id_a, id_b).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if gate:
+        tbl = canon.limit(gate + 1).toArrow()
+        if tbl.num_rows <= gate:
+            return list(zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist())), canon
+    return None, canon
+
+
+def _oriented_triangles(edges):
+    """Exact per-node triangle counts of an undirected edge list on the
+    driver: degree-ordered orientation (low-degree → high-degree, ties
+    by id) + forward adjacency intersection — the same arboricity-bound
+    algorithm the distributed leg runs as joins.  Returns (per-node
+    Counter, degree dict)."""
+    from collections import Counter, defaultdict
+
+    deg: Counter = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+
+    def ahead(a, b):
+        return (deg[a], a) < (deg[b], b)
+
+    fwd = defaultdict(set)
+    for u, v in edges:
+        s, t = (u, v) if ahead(u, v) else (v, u)
+        fwd[s].add(t)
+    tri: Counter = Counter()
+    for s, ts in fwd.items():
+        for t in ts:
+            for w in ts & fwd.get(t, _EMPTY_SET):
+                tri[s] += 1
+                tri[t] += 1
+                tri[w] += 1
+    return tri, deg
+
+
+_EMPTY_SET: frozenset = frozenset()
+
+
+def triangle_count(
+    pairs, id_a: str = "id_a", id_b: str = "id_b", driver_max_edges: int = 1_000_000
+):
     """Exact triangle count over an undirected edge list — the
     clustering-coefficient numerator that distinguishes a near-dup
     CLUSTER (template pages: dense, many triangles) from a CHAIN
@@ -215,22 +271,34 @@ def triangle_count(pairs, id_a: str = "id_a", id_b: str = "id_b"):
     join fan-out by the graph's arboricity — the classic trick that
     keeps the two-path join from exploding on hubs.
 
-    Two self-joins on the oriented edge list, both key-partitioned.
+    Size-gated two-regime execution (the connected_components
+    discipline): the edge list is the dedup BYPRODUCT — orders of
+    magnitude smaller than the corpus — so up to ``driver_max_edges``
+    the canonical edges are fetched once (bounded limit+1 Arrow probe)
+    and the SAME oriented-intersection algorithm runs on the driver:
+    one job instead of ~9 join/aggregate stages whose per-stage latency
+    dominates at small edge counts.  Above the gate the distributed
+    two-self-join dataflow below takes over unchanged.
+
     Returns a 1-row DataFrame: ``triangles``.
 
-    The canonical edge list is materialized once (lazy localCheckpoint,
-    the connected_components lineage-cut discipline): the triangle
-    dataflow references it four times, and without the cut each
-    reference re-expands the whole upstream pair-mining pipeline —
-    measured 11 corpus scans / 38 shuffles for the LSH-pairs caller vs
-    one pipeline run + the triangle joins with it.  Edges ≪ corpus, so
-    the materialization is the cheap side by construction.
+    Distributed regime: the canonical edge list is materialized once
+    (lazy localCheckpoint, the connected_components lineage-cut
+    discipline): the triangle dataflow references it four times, and
+    without the cut each reference re-expands the whole upstream
+    pair-mining pipeline — measured 11 corpus scans / 38 shuffles for
+    the LSH-pairs caller vs one pipeline run + the triangle joins.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    e = pairs.select(
-        F.least(id_a, id_b).alias("u"), F.greatest(id_a, id_b).alias("v")
-    ).where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
+    rows, canon = _fetch_edges_gated(pairs, id_a, id_b, driver_max_edges)
+    if rows is not None:
+        tri, _ = _oriented_triangles(rows)
+        total = sum(tri.values()) // 3
+        schema = T.StructType([T.StructField("triangles", T.LongType(), False)])
+        return pairs.sparkSession.createDataFrame([(total,)], schema)
+    e = canon.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -265,16 +333,25 @@ def triangle_count(pairs, id_a: str = "id_a", id_b: str = "id_b"):
     return closed.agg(F.count(F.lit(1)).alias("triangles"))
 
 
-def clustering_coefficient(pairs, id_a: str = "id_a", id_b: str = "id_b"):
+def clustering_coefficient(
+    pairs, id_a: str = "id_a", id_b: str = "id_b", driver_max_edges: int = 1_000_000
+):
     """Local clustering coefficient per node: closed triangles at the
     node / (deg·(deg−1)/2) — near 1 inside template families (dense
     near-dup cliques), near 0 on drift chains; per-node where
     :func:`triangle_count` is corpus-global.
 
-    Same degree-ordered orientation bounds the two-path join; each
-    closed triangle credits all three member nodes via one explode.
-    Returns (node, degree, triangles, coefficient).
+    Size-gated like :func:`triangle_count`: under ``driver_max_edges``
+    the per-node counts come from the driver-side oriented
+    intersection (one bounded fetch, one job).  The driver leg
+    replicates the distributed expression OPERAND-FOR-OPERAND:
+    coefficient = round((t·2.0)/(d·(d−1.0)), 6) with Spark's
+    BigDecimal-of-shortest-repr HALF_UP rounding (Decimal(repr(x))
+    quantize), so results are bit-identical across regimes.
 
+    Distributed regime: same degree-ordered orientation bounds the
+    two-path join; each closed triangle credits all three member nodes
+    via one explode.  Returns (node, degree, triangles, coefficient).
     Edge list materialized once via lazy localCheckpoint (see
     triangle_count): the five downstream references otherwise each
     re-expand the upstream pair-mining pipeline (measured 13 corpus
@@ -282,9 +359,39 @@ def clustering_coefficient(pairs, id_a: str = "id_a", id_b: str = "id_b"):
     """
     from pyspark.sql import functions as F
 
-    e = pairs.select(
-        F.least(id_a, id_b).alias("u"), F.greatest(id_a, id_b).alias("v")
-    ).where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
+    rows, canon = _fetch_edges_gated(pairs, id_a, id_b, driver_max_edges)
+    if rows is not None:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from pyspark.sql import types as T
+
+        tri, deg = _oriented_triangles(rows)
+        out = []
+        for n in deg:
+            d = deg[n]
+            t = tri.get(n, 0)
+            if d >= 2:
+                # Spark round(double, 6): BigDecimal.valueOf (shortest
+                # repr) setScale(6, HALF_UP) — replicated exactly
+                c = float(
+                    Decimal(repr((t * 2.0) / (d * (d - 1.0)))).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                )
+            else:
+                c = 0.0
+            out.append((n, d, t, c))
+        node_type = pairs.schema[id_a].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type),
+                T.StructField("degree", T.LongType(), False),
+                T.StructField("triangles", T.LongType(), False),
+                T.StructField("coefficient", T.DoubleType()),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
+    e = canon.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))

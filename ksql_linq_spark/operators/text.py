@@ -252,6 +252,9 @@ def shingle_occurrence_rows(
     return occ.select(F.col(id_col), F.explode(F.col("_occ")).alias("s"))
 
 
+_MAX_OCC_TOKENS = 1 << 20  # ~6 MB of text; _occ is ~3x that in one row
+
+
 def _shingle_arrays(
     df,
     text_col: str = "text",
@@ -259,6 +262,7 @@ def _shingle_arrays(
     n: int = 3,
     full_only: bool = False,
     carry: list[str] | None = None,
+    max_tokens: int = _MAX_OCC_TOKENS,
 ):
     """(id, _occ ARRAY<STRING>): every word n-gram occurrence of the
     row's document as ONE row-local array — the common substrate the
@@ -286,7 +290,16 @@ def _shingle_arrays(
     an EMPTY array instead of their whole token string — the contract
     of consumers that only ever count complete n-grams (e.g. the
     source-exclusivity audit's lead-window predecessor, whose
-    ``lead(n-1) IS NOT NULL`` filter dropped short docs outright)."""
+    ``lead(n-1) IS NOT NULL`` filter dropped short docs outright).
+
+    ``max_tokens`` bounds per-row memory (guide §5): ``_occ`` holds
+    every n-gram occurrence of ONE document in ONE row — roughly 3x
+    the document's text size transiently — so a pathological multi-MB
+    document concentrates task memory invisibly.  Documents over the
+    bound FAIL FAST with a pointed error instead of OOM-killing an
+    executor; chunk such documents upstream (or raise the bound
+    deliberately) — at the default 2^20 tokens the worst row is
+    ~20 MB, safely under any sane task budget."""
     t = norm_tokens(F.col(text_col))
     extra = list(carry or [])
     toks = df.select(F.col(id_col), *extra, t.alias("_toks"))
@@ -305,8 +318,16 @@ def _shingle_arrays(
         arr = arr.when(sz > 0, F.array(F.array_join(F.col("_toks"), " "))).otherwise(
             F.array().cast("array<string>")
         )
+    guarded = F.when(sz <= F.lit(max_tokens), arr).otherwise(
+        F.expr(
+            "raise_error('_shingle_arrays: document exceeds "
+            f"{max_tokens} tokens; the per-row occurrence array would "
+            "hold ~3x the document in one row — chunk the document or "
+            "raise max_tokens deliberately')"
+        )
+    )
     return toks.select(
-        F.col(id_col), *extra, F.explode(F.array(arr)).alias("_occ")
+        F.col(id_col), *extra, F.explode(F.array(guarded)).alias("_occ")
     )
 
 

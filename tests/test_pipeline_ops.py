@@ -1508,24 +1508,27 @@ def test_ann_join_empty_left_and_psi_empty_current(spark, sf_dir):
 def test_triangle_count_known_graphs(spark):
     from ksql_linq_spark.operators.graph import triangle_count
 
-    tri = spark.createDataFrame(
-        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
-    )
-    assert triangle_count(tri).first().triangles == 1
-    k4 = spark.createDataFrame(
-        [(a, b) for a in range(4) for b in range(4) if a < b],
-        "id_a long, id_b long",
-    )
-    assert triangle_count(k4).first().triangles == 4
-    chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
-    )
-    assert triangle_count(chain).first().triangles == 0
-    # duplicate + reversed edges collapse before counting
-    dup = spark.createDataFrame(
-        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)], "id_a long, id_b long"
-    )
-    assert triangle_count(dup).first().triangles == 1
+    # r14: both regimes pinned — driver oriented-intersection (default
+    # gate) and the distributed two-self-join dataflow (gate=0)
+    for gate in (1_000_000, 0):
+        tri = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+        )
+        assert triangle_count(tri, driver_max_edges=gate).first().triangles == 1
+        k4 = spark.createDataFrame(
+            [(a, b) for a in range(4) for b in range(4) if a < b],
+            "id_a long, id_b long",
+        )
+        assert triangle_count(k4, driver_max_edges=gate).first().triangles == 4
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+        )
+        assert triangle_count(chain, driver_max_edges=gate).first().triangles == 0
+        # duplicate + reversed edges collapse before counting
+        dup = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)], "id_a long, id_b long"
+        )
+        assert triangle_count(dup, driver_max_edges=gate).first().triangles == 1
 
 
 def test_table_diff_statuses_and_attribution(spark):
@@ -1563,16 +1566,23 @@ def test_weighted_median_vs_model(spark):
 def test_clustering_coefficient_known_graphs(spark):
     from ksql_linq_spark.operators.graph import clustering_coefficient
 
-    # triangle 1-2-3 plus pendant 3-4
+    # triangle 1-2-3 plus pendant 3-4; r14: both regimes pinned and
+    # must agree row-for-row (driver leg replicates Spark's round)
     g = spark.createDataFrame(
         [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
     )
-    out = {r.node: r for r in clustering_coefficient(g).collect()}
-    assert out[1].coefficient == 1.0 and out[1].triangles == 1
-    assert out[2].coefficient == 1.0
-    # node 3: degree 3, 1 triangle -> 2*1/(3*2) = 1/3
-    assert out[3].degree == 3 and out[3].coefficient == round(1 / 3, 6)
-    assert out[4].degree == 1 and out[4].coefficient == 0.0
+    rows = {}
+    for gate in (1_000_000, 0):
+        out = {r.node: r for r in
+               clustering_coefficient(g, driver_max_edges=gate).collect()}
+        assert out[1].coefficient == 1.0 and out[1].triangles == 1
+        assert out[2].coefficient == 1.0
+        # node 3: degree 3, 1 triangle -> 2*1/(3*2) = 1/3
+        assert out[3].degree == 3 and out[3].coefficient == round(1 / 3, 6)
+        assert out[4].degree == 1 and out[4].coefficient == 0.0
+        rows[gate] = sorted((r.node, r.degree, r.triangles, r.coefficient)
+                            for r in out.values())
+    assert rows[1_000_000] == rows[0]
 
 
 def test_standardize_embeddings_moments(spark):
@@ -2063,6 +2073,7 @@ def test_remove_dup_ngrams_short_docs_keep_all_tokens(spark):
         (2, boiler),                           # exactly the dup gram
         (3, boiler + " unique tail here"),     # dup prefix + survivors
         (4, ""),                               # empty: 0/0
+        (5, None),                             # NULL text: ("", 0, 0), not (NULL, -1, -1)
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     out = {r.doc_id: r for r in remove_dup_ngrams(df, n=5, min_docs=2).collect()}
@@ -2070,6 +2081,7 @@ def test_remove_dup_ngrams_short_docs_keep_all_tokens(spark):
     assert out[2].text == "" and out[2].n_total == 5 and out[2].n_kept == 0
     assert out[3].text == "unique tail here" and out[3].n_kept == 3
     assert out[4].text == "" and out[4].n_total == 0 and out[4].n_kept == 0
+    assert out[5].text == "" and out[5].n_total == 0 and out[5].n_kept == 0
 
 
 def test_contamination_report_exact_check_col_matches_two_call_form(spark):
@@ -2196,3 +2208,21 @@ def test_brute_force_top1_ids_matches_window_form(spark):
     assert a == b, (a, b)
     with __import__("pytest").raises(ValueError):
         brute_force_top1_ids(e, e, max_queries=2)
+
+
+def test_shingle_arrays_max_tokens_guard(spark):
+    """r14 (guide §5): the per-row occurrence array holds every n-gram
+    of one document in one row (~3x the text size) — documents over
+    the token bound must FAIL FAST with a pointed error, not OOM an
+    executor; documents at or under the bound are untouched."""
+    import pytest as _pytest
+
+    from ksql_linq_spark.operators.text import _shingle_arrays
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y")], "doc_id int, text string"
+    )
+    ok = _shingle_arrays(df, max_tokens=6).collect()
+    assert len(ok) == 2
+    with _pytest.raises(Exception, match="exceeds 4 tokens"):
+        _shingle_arrays(df, max_tokens=4).collect()
