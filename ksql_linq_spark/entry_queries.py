@@ -8124,16 +8124,22 @@ def corpus_source_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     novel content worth upweighting, low = the source re-serves what
     the corpus already has (mixture-weight input, the flip side of
     cross_doc_dup_stats).  Distinct (source, gram) projection → gram
-    source-frequency dim → rollup; integer-exact ratio.  Trigrams are
+    source-frequency as ONE count() window over the s-partitioning
+    (the rows are already distinct (source, s), so the partition row
+    count IS n_sources) → rollup; integer-exact ratio.  Trigrams are
     assembled row-locally from each document's token array
     (text._shingle_arrays full_only=True ≡ the old lead-window form's
     ``lead(2) IS NOT NULL`` complete-trigram filter) — no
     posexplode+window Exchange+Sort on the token stream; per-doc
     array_distinct shrinks the explode feeding the one real cross-doc
-    distinct exchange.  The distinct gram frame feeds both the
-    frequency dim and the join spine — without a cut each branch
-    re-runs the shingling (graph.py lineage-cut discipline); lazy
-    localCheckpoint materializes it once."""
+    distinct exchange.  r14: the former frequency-dim branch +
+    join-back referenced the distinct gram frame twice, which defeats
+    ReuseExchange and forced a lazy localCheckpoint (~0.5 s of toRdd
+    planning per build, §7.3); the window form references it once —
+    no cut, no join (the r13 attempt that was rejected replaced the
+    join with EXTRA aggregates; the window replaces it with none)."""
+    from pyspark.sql.window import Window
+
     from .operators.text import _shingle_arrays
 
     d = _t(spark, sf_dir, "documents")
@@ -8143,15 +8149,14 @@ def corpus_source_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.explode(F.array_distinct(F.col("_occ"))).alias("s")
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    df_dim = grams.groupBy("s").agg(F.count(F.lit(1)).alias("n_sources"))
+    n_sources = F.count(F.lit(1)).over(Window.partitionBy("s"))
     return (
-        grams.join(df_dim, "s")
+        grams.select("source", (n_sources == 1).alias("_x"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("n_sources") == 1).cast("int")).alias("n_exclusive"),
+            F.sum(F.col("_x").cast("int")).alias("n_exclusive"),
         )
         .select(
             "source",

@@ -435,49 +435,46 @@ def cross_doc_dup_stats(df, text_col: str = "text", id_col: str = "doc_id",
     headers, license blurbs, navigation chrome), and ``dup_frac`` —
     the drop/trim signal.
 
-    Dataflow: occurrence rows → groupBy(doc, s) count (doc-keyed,
-    map-side combined) → shingle doc-frequency groupBy(s) over the
-    already-distinct (doc, s) pairs → join back on s → per-doc rollup.
-    At 100 TB, gate the join side with a support prefilter (n_docs ≥
-    min_docs reduces the duplicated-shingle dim to the boilerplate
-    tail, which is tiny and broadcastable) — the same recount pattern
-    sketch.heavy_hitters uses.
-
-    The (doc, s) count frame feeds THREE branches (dup dim, marked,
-    totals); Catalyst prunes each branch into a different aggregate
-    shape, which defeats ReuseExchange (verified on the final plan: 3
-    parquet scans, i.e. the shingling re-ran per branch), so the frame
-    is materialized once via lazy localCheckpoint — it is the distinct
-    (doc, shingle) projection, smaller than the shingle stream it
-    summarizes.
+    Dataflow (r14, single-pass lineage): occurrence rows →
+    groupBy(doc, s) count (doc-keyed, map-side combined) → shingle
+    doc-frequency as ONE count() window over the s-partitioning (the
+    (doc, s) rows are already distinct, so the partition row count IS
+    the document frequency) → per-doc rollup with a conditional sum.
+    The former shape derived a dup-shingle dim from the count frame
+    and semi-joined it back — THREE references to the frame, which
+    defeats ReuseExchange (Catalyst prunes each branch differently;
+    measured 3 parquet scans) and therefore needed a lazy
+    localCheckpoint whose toRdd planning alone costs ~0.5 s of
+    driver time per build (guide §7.3).  The window form references
+    the frame ONCE: no cut, no joins, same three exchanges
+    ((doc,s) → s-window → doc rollup), and the s-exchange carries the
+    aggregated counts either way.
 
     ``dup_frac`` is one BIGINT/BIGINT double division — no float
     accumulation, bit-exact across engines.
     """
+    from pyspark.sql import Window
+
     occ = shingle_occurrence_rows(df, text_col, id_col, n)
-    ps = (
-        occ.groupBy(id_col, "s")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+    ps = occ.groupBy(id_col, "s").agg(F.count(F.lit(1)).alias("c"))
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    annotated = ps.select(
+        F.col(id_col),
+        F.col("c"),
+        (n_docs >= min_docs).alias("_dup"),
     )
-    dup_dim = (
-        ps.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") >= min_docs)
-        .select("s")
-    )
-    marked = ps.join(dup_dim, "s", "left_semi").groupBy(id_col).agg(
-        F.sum("c").alias("dup_occ")
-    )
-    totals = ps.groupBy(id_col).agg(F.sum("c").alias("total"))
     return (
-        totals.join(marked, id_col, "left")
+        annotated.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("total"),
+            F.sum(F.when(F.col("_dup"), F.col("c"))).alias("_dup_occ"),
+        )
         .select(
             id_col,
             "total",
-            F.coalesce("dup_occ", F.lit(0)).alias("dup_occ"),
+            F.coalesce("_dup_occ", F.lit(0)).alias("dup_occ"),
             (
-                F.coalesce("dup_occ", F.lit(0)).cast("double")
+                F.coalesce("_dup_occ", F.lit(0)).cast("double")
                 / F.col("total").cast("double")
             ).alias("dup_frac"),
         )
@@ -485,32 +482,27 @@ def cross_doc_dup_stats(df, text_col: str = "text", id_col: str = "doc_id",
 
 
 def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
-                    k: int = 3, round_to: int | None = 6,
-                    broadcast_df: bool = True):
+                    k: int = 3, round_to: int | None = 6):
     """Top-k TF-IDF terms per document (corpus-level IDF).
 
-    Dataflow (all codegen'd; tokenize runs ONCE, three shuffles, ONE
-    window):
+    Dataflow (r14, single-pass lineage; all codegen'd; tokenize runs
+    ONCE):
       1. posexplode normalized tokens,
       2. TF = groupBy(id, term).count()            — shuffle on (id, term),
-      3. DF = TF.groupBy(term).count()             — TF rows are already
-         DISTINCT (doc, term), so counting them per term IS the document
-         frequency: no second tokenize pass, no count_distinct dedup,
-         and the input to this shuffle is the *aggregated* TF (tiny),
-      4. score join TF x broadcast(DF) — the DF dim is |vocab| rows
-         (bounded, zipf-truncated at any corpus size that fits a
-         dictionary; pass broadcast_df=False for adversarial vocabs to
-         fall back to a term-keyed shuffle join), corpus size N joined
-         as a 1-row broadcast (no collect),
+      3. DF = one count() window over the term partitioning — TF rows
+         are already DISTINCT (doc, term), so the partition row count
+         IS the document frequency.  The former shape aggregated DF in
+         a separate branch and broadcast-joined it back; that second
+         reference to TF defeats ReuseExchange (Catalyst prunes the
+         branch into a different aggregate shape — measured 3 parquet
+         scans) and forced a lazy localCheckpoint whose toRdd planning
+         alone costs ~0.5 s of driver time per build (§7.3).  The
+         window form references TF once: no cut, no DF join, and the
+         term exchange carries the SAME aggregated TF rows the DF
+         branch shuffled anyway,
+      4. corpus size N joined as a 1-row broadcast (no collect; the
+         count-only scan prunes every column — a metadata read),
       5. one row_number window per document, keep k.
-    ReuseExchange does NOT dedup TF's exchange between the join side
-    and the DF branch: the DF branch only needs group EXISTENCE, so
-    Catalyst prunes its partial aggregate to a distinct (dropping the
-    count), the canonicalized subtrees no longer match, and the corpus
-    was tokenized twice (measured: 3 scans on the final plan).  TF is
-    therefore materialized once via lazy localCheckpoint — tokenize
-    runs exactly once, and the checkpointed frame is the (doc, term)
-    count projection, smaller than the token stream.
     idf = ln(N/df) so corpus-ubiquitous terms score 0; ties broken by
     term for determinism.
 
@@ -524,21 +516,16 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
     toks = df.select(
         F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
     )
-    tf = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     n = df.select(F.count(F.lit(1)).alias("n_docs"))
     tfidf = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("doc_freq"))
     if round_to is not None:
         tfidf = F.round(tfidf, round_to)
     w = Window.partitionBy(id_col).orderBy(tfidf.desc(), F.col("term"))
-    if broadcast_df:
-        dfreq = F.broadcast(dfreq)
     return (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .join(F.broadcast(n))
         .withColumn("tfidf", tfidf)
         .withColumn("rnk", F.row_number().over(w))
