@@ -1283,7 +1283,12 @@ def calendar_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sched = make_daily_schedule(
         spark, ["X"], "2024-01-01", "2024-01-31", open_hour=9, close_hour=17
     )
-    gated = in_session_join(ev, sched, row_key="market", ts_col="ts")
+    # the schedule is synthesized from parameters, so its longest
+    # session (8 h) is caller-known: passing bucket_width skips the
+    # probe job in_session_join otherwise runs at build (§7.3)
+    gated = in_session_join(
+        ev, sched, row_key="market", ts_col="ts", bucket_width=8 * 3600.0
+    )
     return gated.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("session_day")
     ).agg(
@@ -4419,9 +4424,16 @@ def join_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS + NOT-EXISTS pair is two more passes over lineitem; the
     aggregation form computes per-(order, supplier) lateness and
     per-order late counts once each — the sole-late condition becomes
-    n_late = 1 AND late — and every join keys on orderkey so the
-    exchange is reused.  numwait counts waiting ORDERS per supplier
+    n_late = 1 AND late.  r14: the per-order counts are ONE window over
+    the l_orderkey partitioning of the lateness frame — the former
+    separate aggregate branch + join-back duplicated the whole
+    lineitem⋈orders+aggregate subtree in the plan (ReuseExchange does
+    not fire across the differently-shaped branches; before-plan shows
+    2 lineitem scans / 16 Exchange), while the window references it
+    once (§2.4).  numwait counts waiting ORDERS per supplier
     (supplier-order grain)."""
+    from pyspark.sql.window import Window
+
     od = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
     su = _t(spark, sf_dir, "supplier")
@@ -4436,11 +4448,10 @@ def join_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late")
         )
     )
-    per_o = ll.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    w_o = Window.partitionBy("l_orderkey")
     hits = (
-        ll.join(per_o, "l_orderkey")
+        ll.withColumn("n_supp", F.count(F.lit(1)).over(w_o))
+        .withColumn("n_late", F.sum("late").over(w_o))
         .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .join(F.broadcast(su), ll.l_suppkey == su.s_suppkey)
     )
@@ -5490,13 +5501,17 @@ def agg_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: how many distinct suppliers can serve each
     (brand, type, size) bucket, excluding a blacklist.  The NOT IN is
     a broadcast LEFT ANTI join (safe here: s_suppkey is non-null by
-    construction, so NOT IN ≡ anti-join), the part descriptor gate
-    broadcasts, and the distinct-supplier count runs on the deduped
-    (partkey, suppkey) bridge — the dedup and the count share one
-    exchange.  No row explosion anywhere: the bridge is strictly
-    smaller than lineitem."""
+    construction, so NOT IN ≡ anti-join) and the part descriptor gate
+    broadcasts.  r14: the former explicit `.distinct()` bridge exchange
+    was REDUNDANT under the final `count(DISTINCT l_suppkey)` — a part
+    maps to exactly one (brand, type, size), so duplicate (partkey,
+    suppkey) rows cannot change any group's distinct-supplier count
+    (§2.4 remove shuffles outright: the distinct aggregate's own
+    partial phase dedups map-side).  One exchange instead of two, and
+    the surviving exchange runs AFTER the broadcast filters prune the
+    part gate.  No row explosion anywhere."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    bridge = li.distinct()
+    bridge = li
     pa = (
         _t(spark, sf_dir, "part")
         .where(

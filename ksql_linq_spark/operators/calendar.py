@@ -40,6 +40,7 @@ def in_session_join(
     close_col: str = "close_time",
     bounds: SessionBounds = SessionBounds(),
     bucketed: bool = True,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """Keep rows whose ts falls inside any session of their market.
 
@@ -72,18 +73,31 @@ def in_session_join(
         else (ts < F.col(f"__s.{close_col}"))
     )
     if bucketed and not schedule.isStreaming:
-        # one tiny driver-side agg over the dim (markets × days rows)
-        stats = schedule.agg(
-            F.max(
-                F.col(close_col).cast("double") - F.col(open_col).cast("double")
-            ).alias("max_len"),
-            F.sum(
-                (F.col(open_col).isNull() | F.col(close_col).isNull())
-                .cast("long")
-            ).alias("nulls"),
-        ).collect()[0]
-        if stats["max_len"] is not None and not stats["nulls"]:
-            width = max(float(stats["max_len"]), 1.0)
+        # ``bucket_width``: callers that KNOW the longest session length
+        # (seconds) pass it and skip the probe job below — a width is a
+        # bucketing granularity only, never a correctness input (the
+        # join re-checks lo & hi), so a caller-supplied value is
+        # semantically free; the probe job is one full Spark job at
+        # query BUILD time (~0.3-0.5 s of per-build latency, guide §7.3)
+        if bucket_width is not None:
+            width = max(float(bucket_width), 1.0)
+        else:
+            # one tiny driver-side agg over the dim (markets × days rows)
+            stats = schedule.agg(
+                F.max(
+                    F.col(close_col).cast("double") - F.col(open_col).cast("double")
+                ).alias("max_len"),
+                F.sum(
+                    (F.col(open_col).isNull() | F.col(close_col).isNull())
+                    .cast("long")
+                ).alias("nulls"),
+            ).collect()[0]
+            width = (
+                max(float(stats["max_len"]), 1.0)
+                if stats["max_len"] is not None and not stats["nulls"]
+                else None
+            )
+        if width is not None:
             b_lo = F.floor(F.col(open_col).cast("double") / width)
             b_hi = F.floor(F.col(close_col).cast("double") / width)
             # Inverted intervals (close < open) can never satisfy the
