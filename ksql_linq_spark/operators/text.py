@@ -318,7 +318,9 @@ def _shingle_arrays(
         arr = arr.when(sz > 0, F.array(F.array_join(F.col("_toks"), " "))).otherwise(
             F.array().cast("array<string>")
         )
-    guarded = F.when(sz <= F.lit(max_tokens), arr).otherwise(
+    # NULL-text rows have sz = NULL (size of a NULL array) and must fall
+    # through to arr's own empty-array branch, not the raise
+    guarded = F.when(sz.isNull() | (sz <= F.lit(max_tokens)), arr).otherwise(
         F.expr(
             "raise_error('_shingle_arrays: document exceeds "
             f"{max_tokens} tokens; the per-row occurrence array would "

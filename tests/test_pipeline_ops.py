@@ -2220,9 +2220,11 @@ def test_shingle_arrays_max_tokens_guard(spark):
     from ksql_linq_spark.operators.text import _shingle_arrays
 
     df = spark.createDataFrame(
-        [(1, "a b c d e f"), (2, "x y")], "doc_id int, text string"
+        [(1, "a b c d e f"), (2, "x y"), (3, None)], "doc_id int, text string"
     )
+    # NULL text has size(NULL) = NULL and must pass the guard (empty
+    # occurrence array), never raise
     ok = _shingle_arrays(df, max_tokens=6).collect()
-    assert len(ok) == 2
+    assert len(ok) == 3
     with _pytest.raises(Exception, match="exceeds 4 tokens"):
         _shingle_arrays(df, max_tokens=4).collect()
