@@ -311,7 +311,15 @@ def ngram_jaccard_pairs(
     )
     if max_shingle_freq is not None:
         buckets = buckets.filter(F.size("ds") <= max_shingle_freq)
-    sorted_ds = F.array_sort(F.col("ds"))
+    # sort each bucket ONCE through a Generate barrier (the
+    # minhash_lsh_pairs r14 fix): the pair expansion references the
+    # sorted array per element, and without the barrier CollapseProject
+    # re-inlines array_sort into every slice/size reference —
+    # O(k² log k) sorts per k-doc bucket
+    buckets = buckets.select(
+        F.explode(F.array(F.array_sort(F.col("ds")))).alias("sds")
+    )
+    sorted_ds = F.col("sds")
     pair_expr = F.flatten(
         F.transform(
             sorted_ds,
